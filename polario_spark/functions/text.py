@@ -1,0 +1,111 @@
+"""Portable text-analysis expression builders.
+
+Every function here emits the SAME deterministic computation in two SQL
+dialects — ``spark`` (runs JVM-side inside whole-stage codegen; no Python
+UDFs) and ``duckdb`` (the correctness oracle). Hash functions are built on
+``md5`` (identical hex output in both engines) so MinHash/SimHash/fingerprint
+results are bit-for-bit comparable across engines.
+
+Scale notes: all expressions are per-row scalar/array ops — they pushdown,
+vectorize, and shard embarrassingly. The only shuffle any consumer needs is
+its own groupBy/join.
+"""
+
+from __future__ import annotations
+
+#: modulus for the universal hash family; (P-1)^2 < 2^63 so a*h+b never
+#: overflows int64 in either engine.
+HASH_P = 1_000_000_007
+
+
+def _lcg_stream(seed: int = 0x5DEECE66D):
+    x = seed
+    while True:
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        yield x
+
+
+def hash_coefficients(k: int) -> list[tuple[int, int]]:
+    """k fixed (a, b) pairs for h_i(x) = (a*x + b) mod P — generated from a
+    constant seed so Spark exprs and oracle SQL embed identical literals."""
+    gen = _lcg_stream()
+    return [(next(gen) % (HASH_P - 1) + 1, next(gen) % HASH_P) for _ in range(k)]
+
+
+def tokens(col: str, dialect: str) -> str:
+    """Non-empty lowercase alphanumeric tokens of a text column."""
+    if dialect == "spark":
+        return f"filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+    return f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+
+
+def distinct_tokens(col: str, dialect: str) -> str:
+    fn = "array_distinct" if dialect == "spark" else "list_distinct"
+    return f"{fn}({tokens(col, dialect)})"
+
+
+def sorted_distinct_tokens(col: str, dialect: str) -> str:
+    fn = "array_sort" if dialect == "spark" else "list_sort"
+    return f"{fn}({distinct_tokens(col, dialect)})"
+
+
+def array_size(expr: str, dialect: str) -> str:
+    return f"size({expr})" if dialect == "spark" else f"len({expr})"
+
+
+def array_join(expr: str, sep: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"array_join({expr}, '{sep}')"
+    return f"array_to_string({expr}, '{sep}')"
+
+
+def md5_int32(col: str, dialect: str) -> str:
+    """First 32 bits of md5 as a non-negative int64 — the portable base hash."""
+    if dialect == "spark":
+        return f"cast(conv(substring(md5({col}),1,8),16,10) as bigint)"
+    return f"('0x'||substr(md5({col}),1,8))::BIGINT"
+
+
+def universal_hash(i: int, hash_col: str, coeffs: list[tuple[int, int]]) -> str:
+    """h_i over a precomputed base-hash column; dialect-neutral arithmetic."""
+    a, b = coeffs[i]
+    return f"(({a} * ({hash_col} % {HASH_P}) + {b}) % {HASH_P})"
+
+
+def count_matching(tokens_expr: str, words: list[str], dialect: str) -> str:
+    """Number of tokens (with multiplicity) that are in ``words``."""
+    in_list = ", ".join(f"'{w}'" for w in words)
+    fn = "filter" if dialect == "spark" else "list_filter"
+    inner = f"{fn}({tokens_expr}, x -> x in ({in_list}))"
+    return array_size(inner, dialect)
+
+
+def word_bigrams(tokens_expr: str, dialect: str) -> str:
+    """Adjacent-token bigrams as 'w1 w2' strings (n-gram shingles, n=2)."""
+    if dialect == "spark":
+        # zip tokens with tokens[1:]; the final (last, null) pair concats to
+        # null and is filtered out
+        return (
+            f"filter(zip_with({tokens_expr}, "
+            f"slice({tokens_expr}, 2, greatest(size({tokens_expr})-1, 0)), "
+            f"(x, y) -> concat(x, ' ', y)), p -> p is not null)"
+        )
+    return (
+        f"list_filter(list_transform(list_zip({tokens_expr}, ({tokens_expr})[2:]), "
+        f"p -> p[1] || ' ' || p[2]), x -> x is not null)"
+    )
+
+
+#: marker words per language for the n-gram language-ID heuristic.  The
+#: heuristic is deterministic scoring over token frequencies; on real text
+#: these separate languages well — on the synthetic fixture the value tested
+#: is cross-engine equivalence of the scoring pipeline.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+#: small stopword list for quality scoring
+STOPWORDS = ["the", "a", "of", "and", "is", "in", "to", "for"]

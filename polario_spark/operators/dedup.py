@@ -1,0 +1,209 @@
+"""Deduplication operators for document corpora, Spark-first.
+
+Four families, each a composition of built-in DataFrame ops (no Python
+UDFs anywhere — everything stays in whole-stage codegen):
+
+- **exact** — keep the lexicographically-first row per key (deterministic,
+  unlike ``dropDuplicates`` whose survivor depends on partition order).
+- **content fingerprint** — md5 over the sorted distinct token set; exact
+  dedup of token-set-identical documents regardless of word order.
+- **MinHash + LSH** — k universal hashes over the word-bigram shingle set, banded into
+  groups; documents sharing any band bucket become candidate pairs. The
+  classic near-dup pipeline (Broder '97; the same shape as Spark MLlib's
+  MinHashLSH, reimplemented here with portable md5-based hashing so a SQL
+  oracle can verify it).
+- **SimHash** — 32-bit per-document signature from per-token hash bit
+  votes (Charikar '02); equal signatures => near-identical token multisets.
+
+Scale notes (100 TB): every stage is explode -> groupBy-doc (map-side
+combinable) or a band-key equi-join. Band buckets are the only skew risk —
+identical boilerplate docs pile into one bucket; cap bucket size upstream
+(filter giant buckets, they are degenerate "everything matches" groups) or
+enable AQE skew-join, which the session config does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polario_spark.functions import text as TXT
+
+#: MinHash configuration: 12 hashes in 4 bands of 3 rows.
+#: P(candidate | jaccard j) = 1 - (1 - j^3)^4 — ~0.9 at j=0.8, ~0.07 at j=0.25.
+MINHASH_K = 12
+MINHASH_BANDS = 4
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+MINHASH_COEFFS = TXT.hash_coefficients(MINHASH_K)
+
+#: candidates below this estimated Jaccard are band-collision noise; on
+#: small-vocabulary corpora the bands alone are too permissive, so the
+#: pair output is post-filtered on the signature-agreement estimate.
+MINHASH_MIN_EST_SIM = 0.8
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row per key: the one with the smallest id.
+
+    Deterministic alternative to ``df.dropDuplicates(key_cols)``. Executes
+    as a single hash-aggregate / window over the key shuffle.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def content_fingerprint(df: DataFrame, text_col: str) -> DataFrame:
+    """Add a ``fingerprint`` column: md5 of the sorted distinct token set."""
+    toks = TXT.sorted_distinct_tokens(text_col, "spark")
+    return df.withColumn(
+        "fingerprint", F.expr(f"md5({TXT.array_join(toks, ' ', 'spark')})")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per document with columns mh0..mh{k-1} (the MinHash signature).
+
+    explode(distinct tokens) -> per-token base hash -> k min-aggregates.
+    The groupBy is map-side combinable: the shuffle carries one partial
+    signature per document per task, not per token.
+    """
+    shingles = (
+        f"array_distinct({TXT.word_bigrams(TXT.tokens(text_col, 'spark'), 'spark')})"
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(shingles)).alias("__tok")
+    ).withColumn("__h", F.expr(TXT.md5_int32("__tok", "spark")))
+    aggs = [
+        F.min(F.expr(TXT.universal_hash(i, "__h", MINHASH_COEFFS))).alias(f"mh{i}")
+        for i in range(MINHASH_K)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """LSH banding: equi-join signatures on each band, union, distinct.
+
+    Returns (id_a, id_b, est_sim): est_sim = fraction of the k minhashes
+    that agree — an unbiased estimate of Jaccard similarity.
+    """
+    pairs = None
+    est = (
+        sum(
+            F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+            for i in range(MINHASH_K)
+        )
+        / F.lit(float(MINHASH_K))
+    ).alias("est_sim")
+    for band in range(MINHASH_BANDS):
+        cols = [f"mh{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
+        a, b = sig.alias("a"), sig.alias("b")
+        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in cols] + [
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        ]
+        band_pairs = a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            est,
+        )
+        pairs = band_pairs if pairs is None else pairs.union(band_pairs)
+    return pairs.filter(F.col("est_sim") >= MINHASH_MIN_EST_SIM).distinct()
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Add a 32-bit ``simhash`` signature per document.
+
+    Bit j of the signature is the majority vote of bit j across the md5
+    hashes of the document's distinct tokens. Computed as 32 conditional
+    sums in ONE aggregate pass (no 32x row blowup).
+    """
+    toks = TXT.distinct_tokens(text_col, "spark")
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(toks)).alias("__tok")
+    ).withColumn("__h", F.expr(TXT.md5_int32("__tok", "spark")))
+    votes = [
+        F.sum(
+            F.expr(f"case when (__h div {1 << j}) % 2 = 1 then 1 else -1 end")
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*votes)
+    value = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(SIMHASH_BITS)
+    )
+    return per_doc.select(F.col(id_col), value.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (DuckDB dialect) — the same pipelines, verbatim math
+# ---------------------------------------------------------------------------
+
+def minhash_signatures_sql(table: str, id_col: str, text_col: str) -> str:
+    toks = (
+        f"list_distinct({TXT.word_bigrams(TXT.tokens(text_col, 'duckdb'), 'duckdb')})"
+    )
+    h = TXT.md5_int32("tok", "duckdb")
+    mins = ",\n    ".join(
+        f"min({TXT.universal_hash(i, '__h', MINHASH_COEFFS)}) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+SELECT {id_col}, {mins}
+FROM (
+  SELECT {id_col}, {h} AS __h
+  FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table})
+)
+GROUP BY {id_col}
+"""
+
+
+def minhash_candidate_pairs_sql(table: str, id_col: str, text_col: str) -> str:
+    sig = minhash_signatures_sql(table, id_col, text_col)
+    est = (
+        "("
+        + " + ".join(
+            f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+            for i in range(MINHASH_K)
+        )
+        + f") / {float(MINHASH_K)}"
+    )
+    band_selects = []
+    for band in range(MINHASH_BANDS):
+        cols = [f"mh{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
+        cond = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        band_selects.append(
+            f"SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {est} AS est_sim\n"
+            f"FROM sig a JOIN sig b ON {cond} AND a.{id_col} < b.{id_col}\n"
+            f"WHERE {est} >= {MINHASH_MIN_EST_SIM}"
+        )
+    union = "\nUNION\n".join(band_selects)
+    return f"WITH sig AS ({sig})\n{union}"
+
+
+def simhash_sql(table: str, id_col: str, text_col: str) -> str:
+    toks = TXT.distinct_tokens(text_col, "duckdb")
+    h = TXT.md5_int32("tok", "duckdb")
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (__h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+SELECT {id_col}, ({value})::BIGINT AS simhash
+FROM (
+  SELECT {id_col}, {votes}
+  FROM (
+    SELECT {id_col}, {h} AS __h
+    FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table})
+  )
+  GROUP BY {id_col}
+)
+"""

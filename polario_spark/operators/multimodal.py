@@ -1,0 +1,77 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: store payloads as ``binary``
+columns (or pointers to object storage) next to typed metadata, and run
+decode / feature-extraction as Arrow-batched ``mapInPandas`` over the
+binary column — Python touches each batch once, Spark controls partitioning
+and pushdown around it.
+
+The container has no image/audio codecs, so ``decode_image`` is STUBBED
+(raises NotImplementedError); ``extract_binary_features`` is the same
+plumbing with a real, deterministic feature set (byte length, first byte,
+ascii ratio) so the mapInPandas path — schema, batching, partition
+behavior — is fully exercised and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BINARY_FEATURE_SCHEMA = "doc_id long, byte_len long, first_byte long, ascii_ratio double"
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a ``payload`` binary column (utf-8 bytes of the text).
+
+    Stand-in for a real media payload; at scale this column arrives from
+    the source parquet already binary-typed.
+    """
+    return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+
+
+def extract_binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over a binary column.
+
+    Real mapInPandas plumbing: batches arrive as pandas DataFrames with the
+    payload as bytes objects; output schema is declared up front so Spark
+    plans around the Python stage. Deterministic features stand in for a
+    decoder.
+    """
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": payloads.map(len),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+                    "ascii_ratio": payloads.map(
+                        lambda b: round(sum(x < 128 for x in b) / len(b), 4)
+                        if len(b)
+                        else 0.0
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _features, schema=BINARY_FEATURE_SCHEMA
+    )
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """STUB: decode an image payload into (height, width, channels).
+
+    The execution container ships no image codecs; on a real cluster,
+    replace the body of ``_decode`` with PIL/libvips calls — the Spark-side
+    plumbing (mapInPandas over binary, declared schema) is identical to
+    extract_binary_features above.
+    """
+    raise NotImplementedError(
+        "image decoding requires codec libraries not present in this "
+        "container; see extract_binary_features for the exercised plumbing"
+    )

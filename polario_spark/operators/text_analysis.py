@@ -1,0 +1,80 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+Pure built-in expression pipelines (generated through
+polario_spark.functions.text so the DuckDB oracle runs the identical
+math). Per-row scalar work -> embarrassingly parallel; the aggregations
+are map-side combinable groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polario_spark.functions import text as TXT
+
+
+def _metrics_exprs(text_col: str, dialect: str) -> dict[str, str]:
+    toks = TXT.tokens(text_col, dialect)
+    n_tokens = TXT.array_size(toks, dialect)
+    n_distinct = TXT.array_size(TXT.distinct_tokens(text_col, dialect), dialect)
+    n_stop = TXT.count_matching(toks, TXT.STOPWORDS, dialect)
+    return {
+        "n_tokens": n_tokens,
+        "n_distinct": n_distinct,
+        # lexical diversity + stopword density at double precision
+        "distinct_ratio": f"round({n_distinct}::DOUBLE / {n_tokens}, 4)"
+        if dialect == "duckdb"
+        else f"round(cast({n_distinct} as double) / {n_tokens}, 4)",
+        "stopword_ratio": f"round({n_stop}::DOUBLE / {n_tokens}, 4)"
+        if dialect == "duckdb"
+        else f"round(cast({n_stop} as double) / {n_tokens}, 4)",
+        "avg_token_len": (
+            f"round((length(replace(array_to_string({toks}, ' '), ' ', ''))"
+            f")::DOUBLE / {n_tokens}, 4)"
+            if dialect == "duckdb"
+            else f"round(cast(length(replace({TXT.array_join(toks, ' ', 'spark')}, ' ', '')) as double) / {n_tokens}, 4)"
+        ),
+    }
+
+
+def doc_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics as new columns."""
+    exprs = _metrics_exprs(text_col, "spark")
+    out = docs
+    for name, expr in exprs.items():
+        out = out.withColumn(name, F.expr(expr))
+    return out
+
+
+def doc_metrics_sql_exprs(text_col: str = "text") -> dict[str, str]:
+    return _metrics_exprs(text_col, "duckdb")
+
+
+def lang_scores_exprs(text_col: str, dialect: str) -> dict[str, str]:
+    toks = TXT.tokens(text_col, dialect)
+    return {
+        lang: TXT.count_matching(toks, words, dialect)
+        for lang, words in TXT.LANG_MARKERS.items()
+    }
+
+
+def predicted_lang_expr(text_col: str, dialect: str) -> str:
+    """Deterministic argmax over marker-word scores; 'und' (undetermined)
+    when no marker occurs. Ties resolve in fixed language order."""
+    scores = lang_scores_exprs(text_col, dialect)
+    langs = list(scores)
+    gt = ", ".join(scores.values())
+    cases = " ".join(
+        f"WHEN {scores[lang]} = greatest({gt}) THEN '{lang}'" for lang in langs
+    )
+    any_marker = " + ".join(scores.values())
+    return f"(CASE WHEN ({any_marker}) = 0 THEN 'und' {cases} END)"
+
+
+def fingerprint_expr(text_col: str, dialect: str) -> str:
+    """Content fingerprint: md5 of the sorted distinct token set (word-order
+    independent document identity)."""
+    joined = TXT.array_join(TXT.sorted_distinct_tokens(text_col, dialect), " ", dialect)
+    return f"md5({joined})"

@@ -1,0 +1,741 @@
+"""The engine's query registry: every implemented operator as a named
+(spark_callable, duckdb_oracle_sql) pair.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame; each
+oracle is self-contained ANSI SQL over the pre-registered DuckDB views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Column aliases match exactly between the two sides — the
+driver's comparator sorts columns by name and hashes values.
+
+Determinism rules applied throughout:
+- every floating-point output is round(·, 2..4) at double precision;
+- every top-k has a total deterministic ordering (value desc, id asc);
+- timestamps are compared as formatted strings or epoch integers (Spark is
+  µs-precision, DuckDB ns — raw values can't hash-match).
+
+Scale notes are on each query; the common ones: small dims are broadcast,
+aggregations are map-side combinable, filters/projections sit directly on
+the parquet scan so Catalyst pushes them down.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polario_spark.hive_dataset import HiveDataset
+from polario_spark.operators import dedup, similarity, text_analysis
+from polario_spark.operators.multimodal import (
+    extract_binary_features,
+    with_binary_payload,
+)
+from polario_spark.sources.tables import load_table
+from polario_spark.streaming.events import hourly_counts
+
+
+@dataclass
+class Query:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def _register(name: str, oracle: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = Query(spark=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Relational core: TPC-H-shaped analytics
+# ===========================================================================
+
+@_register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: grouped pricing summary. One scan, map-side partial aggs,
+    2-key shuffle of 6 partial states — the plan every engine should pick."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + top-10. customer is tiny -> broadcast; the
+    orders<->lineitem join shuffles on orderkey (both sides pre-filtered,
+    so the shuffle carries only qualifying rows)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join. region/nation/supplier/customer are all dims —
+    broadcast every one of them; the only shuffle left is the
+    orders<->lineitem equi-join + final 1-key agg."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+@_register(
+    "top_customers",
+    """
+SELECT c_custkey, c_name,
+       round(sum(o_totalprice), 2) AS total_spend,
+       count(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 10
+""",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg-then-broadcast-join: aggregate orders FIRST (15k -> 1.5k rows),
+    then join the small result to customer — never join-then-agg when the
+    agg collapses the fact side."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@_register(
+    "order_rank_window",
+    """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def order_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window: one shuffle on the partition key,
+    sort within partitions, no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@_register(
+    "rollup_sales",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — Spark expands grouping sets in one
+    pass with partial aggregation, not one job per level."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_items",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ===========================================================================
+# Events: time-series / sessionization / JSON
+# ===========================================================================
+
+@_register(
+    "events_hourly",
+    """
+SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour batch aggregate (the batch twin of the streaming
+    query below)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@_register(
+    "events_sessions",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+)
+SELECT user_id,
+       sum(new_session) AS n_sessions,
+       count(*) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag + flag + count
+    per user. One shuffle on user_id serves both the window and the agg."""
+    ev = _t(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn("prev_us", F.lag("us").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "events_json_stats",
+    """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path -> typed column -> aggregate.
+    get_json_object runs JVM-side; no Python in the loop."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "streaming_events_hourly",
+    # the streaming plan must reproduce the batch result exactly, so it
+    # shares the batch oracle
+    """
+SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregate drained to a memory
+    sink — must equal the batch events_hourly result exactly."""
+    return hourly_counts(spark, sf_dir).orderBy("hour", "event_type")
+
+
+# ===========================================================================
+# LLM-pipeline: dedup
+# ===========================================================================
+
+@_register(
+    "dedup_exact",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang, n_chars ORDER BY doc_id ASC) AS rn
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact subset-key dedup (keep smallest doc_id per key), reported as
+    kept-vs-total per language."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs, ["lang", "n_chars"], "doc_id").select(
+        "doc_id", "lang"
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kept_counts, "lang")
+        .select("lang", "n_docs", "n_kept")
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "dedup_fingerprint",
+    f"""
+WITH fp AS (
+  SELECT doc_id, {text_analysis.fingerprint_expr('text', 'duckdb')} AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, count(*) AS group_size, min(doc_id) AS canonical_id
+FROM fp
+GROUP BY fingerprint
+HAVING count(*) > 1
+ORDER BY canonical_id
+""",
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-fingerprint dedup: md5 over the sorted distinct token set
+    finds word-order-insensitive duplicates; emit multi-member groups."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = dedup.content_fingerprint(docs, "text")
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("group_size") > 1)
+        .orderBy("canonical_id")
+    )
+
+
+@_register(
+    "dedup_minhash",
+    dedup.minhash_candidate_pairs_sql("documents", "doc_id", "text")
+    + "\nORDER BY id_a, id_b",
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands x 3) candidate pairs with estimated
+    Jaccard. See operators/dedup.py for the scale analysis."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text")
+    return dedup.minhash_candidate_pairs(sig, "doc_id").orderBy("id_a", "id_b")
+
+
+@_register(
+    "dedup_simhash",
+    f"""
+WITH sh AS ({dedup.simhash_sql('documents', 'doc_id', 'text')})
+SELECT simhash, count(*) AS group_size, min(doc_id) AS canonical_id
+FROM sh
+GROUP BY simhash
+HAVING count(*) > 1
+ORDER BY canonical_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 duplicate groups (equal signatures)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.simhash(docs, "doc_id", "text")
+    return (
+        sh.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("group_size") > 1)
+        .orderBy("canonical_id")
+    )
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    similarity.ngram_jaccard_pairs_sql(
+        "documents", "doc_id", "text", ("lang",), 0.6
+    )
+    + "\nORDER BY id_a, id_b",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard >= 0.6 for same-language pairs (blocked
+    quadratic — exact complement to the MinHash approximation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return similarity.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ("lang",), 0.6
+    ).orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# LLM-pipeline: similarity search over embeddings
+# ===========================================================================
+
+@_register(
+    "ann_topk_cosine",
+    similarity.brute_force_topk_sql(
+        "embeddings", "vec_id % 100 = 0", "vec_id", "embedding", 5
+    )
+    + "\nORDER BY qid, rank",
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the query subset (vec_id % 100 = 0).
+    Query side broadcast; corpus scanned once, never shuffled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.brute_force_topk(emb, queries, "vec_id", "embedding", 5).orderBy(
+        "qid", "rank"
+    )
+
+
+# ===========================================================================
+# LLM-pipeline: text analysis
+# ===========================================================================
+
+@_register(
+    "text_quality",
+    f"""
+WITH m AS (
+  SELECT lang,
+         {text_analysis.doc_metrics_sql_exprs('text')['n_tokens']} AS n_tokens,
+         {text_analysis.doc_metrics_sql_exprs('text')['distinct_ratio']} AS distinct_ratio,
+         {text_analysis.doc_metrics_sql_exprs('text')['stopword_ratio']} AS stopword_ratio,
+         {text_analysis.doc_metrics_sql_exprs('text')['avg_token_len']} AS avg_token_len
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(distinct_ratio), 4) AS avg_distinct_ratio,
+       round(avg(stopword_ratio), 4) AS avg_stopword_ratio,
+       round(avg(avg_token_len), 4) AS avg_token_len
+FROM m
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality profile from per-doc lexical metrics."""
+    docs = text_analysis.doc_metrics(_t(spark, sf_dir, "documents"), "text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+            F.round(F.avg("avg_token_len"), 4).alias("avg_token_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "lang_id_confusion",
+    f"""
+SELECT lang AS labeled,
+       {text_analysis.predicted_lang_expr('text', 'duckdb')} AS predicted,
+       count(*) AS n
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID vs the labeled lang column (confusion
+    counts). Deterministic marker-word scoring, built-ins only."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = F.expr(text_analysis.predicted_lang_expr("text", "spark"))
+    return (
+        docs.select(F.col("lang").alias("labeled"), pred.alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled", "predicted")
+    )
+
+
+@_register(
+    "token_stats",
+    f"""
+WITH t AS (
+  SELECT source,
+         {text_analysis.doc_metrics_sql_exprs('text')['n_tokens']} AS n_tokens
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       max(n_tokens) AS max_tokens
+FROM t
+GROUP BY source
+ORDER BY source
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source (whitespace/punct regex tokenizer)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.expr(
+            text_analysis._metrics_exprs("text", "spark")["n_tokens"]  # noqa: SLF001
+        ),
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ===========================================================================
+# Multimodal plumbing (mapInPandas over binary payloads)
+# ===========================================================================
+
+@_register(
+    "multimodal_features",
+    """
+SELECT d.source,
+       count(*) AS n_docs,
+       sum(octet_length(encode(d.text))) AS total_bytes,
+       round(avg(ascii(substr(d.text, 1, 1))), 4) AS avg_first_byte
+FROM documents d
+GROUP BY d.source
+ORDER BY d.source
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: attach payload -> Arrow-batched mapInPandas
+    feature extraction -> join metadata -> aggregate. The decode step is a
+    deterministic stand-in (container has no codecs); the plumbing is real."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_binary_features(with_binary_payload(docs, "text"), "doc_id")
+    joined = feats.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.round(F.avg("first_byte"), 4).alias("avg_first_byte"),
+        )
+        .orderBy("source")
+    )
+
+
+# ===========================================================================
+# Dataset layer inside the correctness gate
+# ===========================================================================
+
+@_register(
+    "hive_roundtrip",
+    """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def hive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents through HiveDataset (partitioned by lang, dynamic
+    overwrite), scan back, aggregate — proving the storage layer preserves
+    data exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="polario_spark_roundtrip_")
+    ds = HiveDataset(spark, f"{tmp}/docs", ["lang"])
+    ds.write(docs)
+    back = ds.scan()
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -63,6 +63,10 @@ def get_spark(
         # snappy parquet (/root/reference/polario/hive_dataset.py:19-22)
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.parquet.mergeSchema", "false")
+        # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects by default; read as ns-since-epoch longs and convert
+        # in polario_spark.sources.tables.load_events
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,120 @@
+"""Unit tests for dedup / similarity / text-analysis / multimodal operators
+on small in-memory frames with hand-checkable expectations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polario_spark.operators import dedup, multimodal, similarity, text_analysis
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "the quick brown fox jumps over the lazy cat", "en"),
+            (3, "dog lazy the over jumps fox brown quick the", "en"),  # permuted #1
+            (4, "completely different words entirely here now", "en"),
+            (5, "der schnelle braune fuchs springt", "de"),
+        ],
+        schema="doc_id long, text string, lang string",
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "k1"), (1, "k1"), (2, "k2")], schema="id long, k string"
+    )
+    kept = dedup.exact_dedup(df, ["k"], "id").collect()
+    assert sorted((r.k, r.id) for r in kept) == [("k1", 1), ("k2", 2)]
+
+
+def test_content_fingerprint_order_insensitive(docs):
+    fp = dedup.content_fingerprint(docs, "text").select("doc_id", "fingerprint")
+    rows = {r.doc_id: r.fingerprint for r in fp.collect()}
+    # doc 3 is a word permutation of doc 1 => same token set => same fingerprint
+    assert rows[1] == rows[3]
+    assert rows[1] != rows[4]
+
+
+def test_minhash_identical_docs_are_candidates(docs):
+    sig = dedup.minhash_signatures(docs, "doc_id", "text")
+    sigs = {r.doc_id: [r[f"mh{i}"] for i in range(dedup.MINHASH_K)] for r in sig.collect()}
+    # doc 3 has the same bigram set as... actually permutation changes
+    # bigrams; docs 1 and 2 share 7 of 8 bigrams -> most minhashes equal
+    agree = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    assert agree >= dedup.MINHASH_K // 2
+    pairs = dedup.minhash_candidate_pairs(sig, "doc_id").collect()
+    assert all(p.id_a < p.id_b for p in pairs)
+
+
+def test_simhash_similar_docs_close(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    # permuted doc has identical distinct-token set => identical simhash
+    assert sh[1] == sh[3]
+    assert 0 <= sh[1] < 2**32
+    # unrelated doc differs
+    assert sh[1] != sh[4]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = similarity.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ("lang",), threshold=0.5
+    ).collect()
+    found = {(p.id_a, p.id_b): p.jaccard for p in pairs}
+    # docs 1 & 2 share 7/9 distinct bigrams => jaccard ~0.78
+    assert (1, 2) in found and found[(1, 2)] > 0.7
+    # doc 4 shares nothing
+    assert not any(4 in p for p in found)
+
+
+def test_brute_force_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.01]),
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+        schema="vec_id long, embedding array<float>",
+    )
+    out = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=2
+    ).collect()
+    ranked = [(r.nid, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [(1, 1), (2, 2)]  # closest first, deterministic
+
+
+def test_doc_metrics(docs):
+    m = text_analysis.doc_metrics(docs, "text").filter(F.col("doc_id") == 1).first()
+    assert m.n_tokens == 9
+    assert m.n_distinct == 8  # 'the' twice
+    assert m.stopword_ratio == round(2 / 9, 4)
+
+
+def test_predicted_lang(spark, docs):
+    pred = docs.select(
+        "doc_id",
+        F.expr(text_analysis.predicted_lang_expr("text", "spark")).alias("p"),
+    )
+    rows = {r.doc_id: r.p for r in pred.collect()}
+    assert rows[1] == "en"  # 'the' x2
+    assert rows[5] == "de"  # 'der'
+    assert rows[4] == "und"  # no markers
+
+
+def test_multimodal_feature_plumbing(docs):
+    feats = multimodal.extract_binary_features(
+        multimodal.with_binary_payload(docs, "text"), "doc_id"
+    )
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert rows[1].byte_len == len("the quick brown fox jumps over the lazy dog")
+    assert rows[1].first_byte == ord("t")
+    assert rows[1].ascii_ratio == 1.0
+
+
+def test_decode_image_is_stubbed(docs):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(docs)

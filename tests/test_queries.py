@@ -1,0 +1,77 @@
+"""End-to-end query registry tests: run a representative subset of
+queries() against their DuckDB oracles at sf0.001 — the same comparison
+the driver's correctness gate performs."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from polario_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# fast, shape-diverse subset; the full 21-query sweep runs via
+# tools/check_oracles.py (and the driver's gate)
+SUBSET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "top_customers",
+    "rollup_sales",
+    "events_sessions",
+    "dedup_minhash",
+    "ann_topk_cosine",
+    "text_quality",
+    "hive_roundtrip",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm(v):
+        if isinstance(v, float):
+            return "nan" if math.isnan(v) else f"{v:.6f}"
+        return str(v)
+
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    fn = entry_mod.queries()[name]
+    oracle = entry_mod.oracle_sql()[name]
+    sdf = fn(spark, SF_DIR)
+    rel = duck.sql(oracle)
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    drows = _normalize(rel.fetchall(), list(rel.columns))
+    assert len(srows) == len(drows)
+    assert srows == drows
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "sum_qty" in df.columns
+
+
+def test_every_query_has_oracle_or_reason():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    missing = set(qs) - set(oracles)
+    # only genuinely non-SQL-expressible ops may omit the oracle
+    assert missing == set()
