@@ -1,0 +1,98 @@
+"""CLI for inspecting Parquet files, Spark-backed.
+
+Verb parity with the reference CLI (/root/reference/polario/main.py:16-22):
+``show``, ``schema``, ``json_head``, ``jsonl``, ``concat_csv``,
+``write_csv`` — same argument shapes and refusal semantics (directories
+rejected, existing outputs not overwritten), executed through a local-mode
+SparkSession instead of Polars.
+
+Usage: ``python -m polario_spark.cli <cmd> PATH [PATH ...]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+from polario_spark import __version__
+
+COMMANDS = ["show", "schema", "json_head", "jsonl", "concat_csv", "write_csv"]
+
+
+def _get_spark():
+    # imported lazily so `--version`/argparse errors don't pay JVM startup
+    from polario_spark.session import get_spark
+
+    return get_spark("polario_spark_cli")
+
+
+def concat_csv(paths: list[Path]) -> int:
+    """Concatenate schema-less CSVs (all columns string) into one parquet
+    named after the first input (/root/reference/polario/main.py:50-62)."""
+    spark = _get_spark()
+    # header=true, no inferSchema -> every column is a string, matching the
+    # reference's infer_schema_length=0
+    df = spark.read.option("header", "true").csv([str(p.absolute()) for p in paths])
+    df.show()
+    output = Path(paths[0].stem + ".parquet").absolute()
+    if output.exists():
+        raise ValueError(f"Output file {output} already exists")
+    print("Writing to", output)
+    # single parquet file like the reference's write_parquet
+    df.coalesce(1).write.format("parquet").save(str(output) + ".dir")
+    part = next(Path(str(output) + ".dir").glob("*.parquet"))
+    part.rename(output)
+    for leftover in Path(str(output) + ".dir").iterdir():
+        leftover.unlink()
+    Path(str(output) + ".dir").rmdir()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        description="polario_spark commandline tool to inspect Parquet files"
+    )
+    parser.add_argument("--version", action="version", version=f"%(prog)s {__version__}")
+    parser.add_argument("cmd", choices=COMMANDS, help="command to run")
+    parser.add_argument("paths", metavar="PATH", type=Path, nargs="+")
+    args = parser.parse_args(argv)
+
+    if args.cmd == "concat_csv":
+        return concat_csv(args.paths)
+
+    spark = _get_spark()
+    for path in args.paths:
+        if path.is_dir():
+            raise ValueError(
+                "Input path must be a file. File an issue if you want dataset support."
+            )
+        df = spark.read.parquet(str(path.absolute()))
+        if args.cmd == "show":
+            df.show()
+        elif args.cmd == "schema":
+            df.printSchema()
+        elif args.cmd == "json_head":
+            rows = [json.loads(r) for r in df.limit(5).toJSON().collect()]
+            json.dump(rows, sys.stdout, indent=2)
+        elif args.cmd == "jsonl":
+            for row in df.toJSON().toLocalIterator():
+                sys.stdout.write(row)
+                sys.stdout.write("\n")
+        elif args.cmd == "write_csv":
+            output = Path(path.name).with_suffix(".csv").absolute()
+            if output.exists():
+                print(f"Output file {output} already exists")
+                continue
+            df.coalesce(1).write.option("header", "true").csv(str(output) + ".dir")
+            part = next(Path(str(output) + ".dir").glob("*.csv"))
+            part.rename(output)
+            for leftover in Path(str(output) + ".dir").iterdir():
+                leftover.unlink()
+            Path(str(output) + ".dir").rmdir()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

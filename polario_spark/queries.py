@@ -733,6 +733,401 @@ def hive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Relational coverage, batch 2: semi/anti joins, set ops, pivot, cube,
+# grouping sets, percentiles, correlated-subquery shapes, as-of join,
+# sliding windows, embedding stats
+# ===========================================================================
+
+@_register(
+    "q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS -> left-semi join. The semi join shuffles only
+    orderkeys, never duplicates orders rows."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "customers_without_urgent_orders",
+    """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join, counted per segment. The filter lands
+    on the orders scan before the anti join shuffles anything."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@_register(
+    "parts_set_ops",
+    """
+SELECT
+  (SELECT count(*) FROM
+     (SELECT DISTINCT l_partkey FROM lineitem
+      EXCEPT
+      SELECT p_partkey FROM part WHERE p_size > 40)) AS sold_not_large,
+  (SELECT count(*) FROM
+     (SELECT DISTINCT l_partkey FROM lineitem
+      INTERSECT
+      SELECT p_partkey FROM part WHERE p_size > 40)) AS sold_and_large
+""",
+)
+def parts_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / INTERSECT set operators (hash-based distinct set ops)."""
+    sold = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk")
+    ).distinct()
+    large = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40).select(
+        F.col("p_partkey").alias("pk")
+    )
+    a = sold.exceptAll(large).distinct().agg(
+        F.count(F.lit(1)).alias("sold_not_large")
+    )
+    b = sold.intersect(large).agg(F.count(F.lit(1)).alias("sold_and_large"))
+    return a.crossJoin(b)
+
+
+@_register(
+    "pivot_returnflag",
+    """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns; explicit value list avoids the extra
+    distinct-values job Spark otherwise runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+    return pivoted
+
+
+@_register(
+    "cube_sales",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus, g_flag, g_status
+""",
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping() indicators — all 4 grouping sets in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "sum_price",
+        )
+        .orderBy("returnflag", "linestatus", "g_flag", "g_status")
+    )
+
+
+@_register(
+    "grouping_sets_priority",
+    """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY status, priority
+""",
+)
+def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API (same Catalyst plan as
+    the DataFrame route)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+@_register(
+    "price_percentiles",
+    """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). At 100 TB switch to percentile_approx — noted here
+    because the exact form requires a per-group sort."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@_register(
+    "price_above_brand_avg",
+    """
+SELECT p_brand, count(*) AS n_above,
+       round(avg(p_retailprice), 2) AS avg_above_price
+FROM (
+  SELECT p_brand, p_retailprice,
+         avg(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+  FROM part
+) WHERE p_retailprice > brand_avg
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def price_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape via an analytic window (one shuffle
+    on brand instead of a per-row subquery)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_above_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@_register(
+    "asof_click_before_purchase",
+    """
+WITH tagged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), enriched AS (
+  SELECT user_id, event_id, event_type, us,
+         last_value(click_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_click_us
+  FROM tagged
+)
+SELECT user_id, event_id AS purchase_id, prev_click_us,
+       us - prev_click_us AS gap_us
+FROM enriched
+WHERE event_type = 'purchase'
+ORDER BY user_id, purchase_id
+""",
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent click before each purchase, per user) as a
+    single merge-carry window — no join at all, one shuffle on user_id.
+    Spark lacks a native as-of join; this composition IS the scalable form."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "click_us", F.when(F.col("event_type") == "click", F.col("us"))
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn("prev_click_us", F.last("click_us", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "prev_click_us",
+            (F.col("us") - F.col("prev_click_us")).alias("gap_us"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+@_register(
+    "sliding_window_counts",
+    """
+SELECT window_start_us, event_type, count(*) AS n
+FROM (
+  SELECT unnest([
+           epoch_us(ts) - epoch_us(ts) % 3600000000,
+           epoch_us(ts) - epoch_us(ts) % 3600000000 - 3600000000
+         ]) AS window_start_us,
+         event_type
+  FROM events
+)
+GROUP BY window_start_us, event_type
+ORDER BY window_start_us, event_type
+""",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h size, 1h slide) in batch: each event explodes
+    into its 2 covering windows — the same expansion Spark's streaming
+    window() operator performs."""
+    ev = _t(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    hour = F.col("us") - F.col("us") % F.lit(3_600_000_000)
+    return (
+        ev.withColumn(
+            "window_start_us",
+            F.explode(F.array(hour, hour - F.lit(3_600_000_000))),
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+@_register(
+    "embedding_norm_stats",
+    f"""
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
+       round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS min_norm,
+       round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS max_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column profiling: L2 norms via higher-order functions, grouped
+    by label."""
+    from polario_spark.functions import vector as VEC
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.expr(VEC.norm("embedding", "spark"))
+    )
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@_register(
+    "distinct_counts",
+    """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct aggregation (expand + two-phase agg in Spark).
+    At 100 TB prefer approx_count_distinct (HLL) — exact form kept here
+    because the oracle must match exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

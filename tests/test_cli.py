@@ -1,0 +1,66 @@
+"""CLI verb tests (reference surface: /root/reference/polario/main.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from polario_spark import cli
+
+
+@pytest.fixture()
+def parquet_file(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], schema="id long, name string"
+    )
+    out = tmp_path / "data"
+    df.coalesce(1).write.parquet(str(out))
+    return next(out.glob("*.parquet"))
+
+
+def test_show_and_schema(parquet_file, capsys):
+    assert cli.main(["show", str(parquet_file)]) == 0
+    assert cli.main(["schema", str(parquet_file)]) == 0
+    out = capsys.readouterr().out
+    assert "name" in out
+
+
+def test_json_head(parquet_file, capsys):
+    assert cli.main(["json_head", str(parquet_file)]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 3
+    assert {"id", "name"} == set(rows[0])
+
+
+def test_jsonl(parquet_file, capsys):
+    assert cli.main(["jsonl", str(parquet_file)]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["id"] for r in lines) == [1, 2, 3]
+
+
+def test_directory_rejected(tmp_path):
+    with pytest.raises(ValueError, match="must be a file"):
+        cli.main(["show", str(tmp_path)])
+
+
+def test_write_csv(parquet_file, tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    assert cli.main(["write_csv", str(parquet_file)]) == 0
+    out = tmp_path / parquet_file.with_suffix(".csv").name
+    assert out.exists()
+    header = out.read_text().splitlines()[0]
+    assert header == "id,name"
+    # refuses to overwrite
+    assert cli.main(["write_csv", str(parquet_file)]) == 0
+    assert "already exists" in capsys.readouterr().out
+
+
+def test_concat_csv(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "x1.csv").write_text("a,b\n1,foo\n")
+    (tmp_path / "x2.csv").write_text("a,b\n2,bar\n")
+    assert cli.main(["concat_csv", "x1.csv", "x2.csv"]) == 0
+    assert (tmp_path / "x1.parquet").is_file()
+    with pytest.raises(ValueError, match="already exists"):
+        cli.main(["concat_csv", "x1.csv", "x2.csv"])

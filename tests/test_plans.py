@@ -1,0 +1,79 @@
+"""Plan-quality tests: the properties that make queries survive scale-up.
+
+Each assertion here is a performance contract: filter pushdown to the
+parquet scan, column pruning in ReadSchema, broadcast joins for dims,
+partition pruning through the dataset layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polario_spark import HiveDataset, queries as Q, unwrap
+from polario_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = Q.q1_pricing_summary(spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), pushed
+    # only the 7 needed columns are read, not all 11
+    schemas = scan_read_schema(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+    assert all("l_comment" not in s for s in schemas)
+
+
+def test_q3_broadcasts_customer(spark):
+    df = Q.q3_shipping_priority(spark, SF_DIR)
+    assert has_broadcast_join(df)
+    pushed = pushed_filters(df)
+    assert any("c_mktsegment" in f for f in pushed), pushed
+    assert any("o_orderdate" in f for f in pushed), pushed
+
+
+def test_q5_broadcasts_dims(spark):
+    df = Q.q5_local_supplier_volume(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # cust, supp, nation/region
+
+
+def test_events_queries_prune_columns(spark):
+    df = Q.events_sessions(spark, SF_DIR)
+    schemas = scan_read_schema(df)
+    # props (the widest column) is never read
+    assert schemas and all("props" not in s for s in schemas)
+
+
+def test_hive_dataset_partition_pruning(spark, tmp_path, example_df_1):
+    ds = HiveDataset(spark, str(tmp_path / "ds"), ["p1", "p2"])
+    ds.write(example_df_1)
+    pruned = unwrap(ds.scan()).filter(F.col("p1") == "1")
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "p1" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_dedup_minhash_single_agg_pass(spark):
+    """The signature computation must be ONE aggregate over the exploded
+    shingles, not k passes."""
+    docs = Q._t(spark, SF_DIR, "documents")  # noqa: SLF001
+    from polario_spark.operators import dedup
+
+    import re
+
+    sig = dedup.minhash_signatures(docs, "doc_id", "text")
+    plan = formatted_plan(sig)
+    # count plan NODES (the "(n) Op" detail headers), not tree-art mentions
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1  # one explode
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial+final
+
+
+def test_ann_broadcasts_queries(spark):
+    df = Q.ann_topk_cosine(spark, SF_DIR)
+    assert has_broadcast_join(df)
