@@ -25,7 +25,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("polario_spark_bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+    # warm-up: JVM/codegen plus one footer+row touch per table, so the
+    # first measured query doesn't absorb one-time scan setup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from polario_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():

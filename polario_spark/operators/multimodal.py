@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
 BINARY_FEATURE_SCHEMA = "doc_id long, byte_len long, first_byte long, ascii_ratio double"
 
 

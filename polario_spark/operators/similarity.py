@@ -8,10 +8,10 @@ Two strategies:
   partitioned; the broadcast is queries only, so cost is
   O(|corpus| * |queries|) FLOPs with zero shuffle of the corpus.
 
-- ``ngram_jaccard_pairs`` — exact blocked pairwise Jaccard over token
-  bigram sets: block on cheap keys (lang, length bucket) so the quadratic
-  pair space collapses to within-block pairs; each block's pairs are an
-  equi-join on the block key. The exact complement to MinHash's
+- ``ngram_jaccard_pairs`` — exact pairwise Jaccard over token bigram
+  sets via an inverted-index co-occurrence join blocked on cheap keys
+  (lang); intersection sizes fall out of a count per pair, so no pair
+  ever materializes both gram arrays. The exact complement to MinHash's
   approximate candidates.
 
 All math is built-in higher-order functions — JVM-side, no Python.
@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from polario_spark.functions import text as TXT
 from polario_spark.functions import vector as VEC
+from polario_spark.plans.parallelism import ensure_parallelism
 
 
 def brute_force_topk(
@@ -77,33 +78,56 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Exact Jaccard over word-bigram sets for within-block pairs.
+    """Exact Jaccard over word-bigram sets for within-block pairs, as an
+    inverted-index set-similarity join.
 
-    Returns (id_a, id_b, jaccard) for pairs >= threshold. The block join is
-    a plain equi-join on block keys — shuffle is proportional to block
-    sizes, never the full cross product.
+    Returns (id_a, id_b, jaccard) for pairs >= threshold.
+
+    Plan shape: inverted-index co-occurrence join. Explode each doc's
+    distinct grams into postings, self-equi-join on (block, gram-key) so
+    |A ∩ B| falls out of a count per pair — no per-pair array
+    re-materialization or array_intersect, the whole pipeline is int
+    columns through whole-stage codegen. |A ∪ B| = |A| + |B| - |A ∩ B|.
+    Pairs sharing zero grams have jaccard 0 < threshold, so never
+    producing them is exact pruning, not approximation.
+
+    Two further prunings, both exact:
+    - gram keys are xxhash64(gram) — 8-byte join keys instead of strings
+      (collision odds ~ vocab^2 / 2^64, vanishing for any real corpus);
+    - length-ratio filter inside the join condition: J >= t forces
+      min(|A|,|B|) >= t * max(|A|,|B|) (+1e-9 guards binary-float t*n,
+      e.g. 0.6*5 -> 3.0000000000000004, from over-pruning).
+
+    Scale: shuffle volume is postings (linear in corpus), join output is
+    sum over (block, gram) of df^2 — the skew lever is the block key, so
+    callers should block on (lang, length-bucket, shard) for open-domain
+    corpora; for very large vocabularies a rarity-prefix filter
+    (Bayardo et al., WWW'07) in front of this join cuts df^2 further.
+    AQE's skew-join handles residual hot grams.
     """
+    docs = ensure_parallelism(docs)
     grams = F.expr(
         f"array_distinct({TXT.word_bigrams(TXT.tokens(text_col, 'spark'), 'spark')})"
     )
-    base = docs.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], grams.alias("__grams")
-    ).withColumn("__n", F.expr("size(__grams)"))
-    # Inverted-index set-similarity join: explode grams and equi-join on
-    # (block, gram) so only (id, gram) ints travel through the shuffle —
-    # never the full arrays. |A ∩ B| falls out of the co-occurrence count,
-    # |A ∪ B| = |A| + |B| - |A ∩ B|. Pairs sharing zero grams have
-    # jaccard 0 < threshold, so skipping them is exact, not approximate.
+    base = (
+        docs.select(
+            F.col(id_col), *[F.col(c) for c in block_cols], grams.alias("__grams")
+        )
+        .withColumn("__n", F.expr("size(__grams)"))
+        .filter(F.col("__n") > 0)
+    )
     postings = base.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.col("__n"),
-        F.explode("__grams").alias("__g"),
+        F.explode(F.expr("transform(__grams, g -> xxhash64(g))")).alias("__g"),
     )
     a, b = postings.alias("a"), postings.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
         F.col("a.__g") == F.col("b.__g"),
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        F.least(F.col("a.__n"), F.col("b.__n")) + F.lit(1e-9)
+        >= F.lit(threshold) * F.greatest(F.col("a.__n"), F.col("b.__n")),
     ]
     co = (
         a.join(b, cond)
