@@ -96,6 +96,25 @@ def word_bigrams(tokens_expr: str, dialect: str) -> str:
     )
 
 
+def window_hashes(col: str, w: int, dialect: str) -> str:
+    """Rolling w-token window fingerprints: md5-int32 of each consecutive
+    w-token window of the document (Rabin-Karp/winnowing-style chunk
+    hashes; Schleimer et al., SIGMOD'03). Shorter docs yield one hash of
+    all their tokens."""
+    toks = tokens(col, dialect)
+    if dialect == "spark":
+        win = f"array_join(slice({toks}, i, {w}), ' ')"
+        return (
+            f"transform(sequence(1, greatest(size({toks}) - {w} + 1, 1)), "
+            f"i -> {md5_int32(win, 'spark')})"
+        )
+    win = f"array_to_string(({toks})[i:i+{w - 1}], ' ')"
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {w} + 1, 1) + 1), "
+        f"i -> {md5_int32(win, 'duckdb')})"
+    )
+
+
 #: marker words per language for the n-gram language-ID heuristic.  The
 #: heuristic is deterministic scoring over token frequencies; on real text
 #: these separate languages well — on the synthetic fixture the value tested

@@ -140,6 +140,58 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return per_doc.select(F.col(id_col), value.cast("long").alias("simhash"))
 
 
+#: rolling-window fingerprint configuration: tokens per window, minimum
+#: shared windows for a candidate pair.
+ROLLING_WINDOW = 8
+ROLLING_MIN_SHARED = 5
+
+
+def rolling_window_pairs(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Chunk-level near-dup pairs via rolling-window fingerprints.
+
+    Each doc is reduced to its stream of w-token window hashes
+    (Rabin-Karp/winnowing chunking); documents sharing >=
+    ``ROLLING_MIN_SHARED`` distinct window hashes are emitted with the
+    shared count. Order-sensitive — catches copied passages that token-set
+    fingerprints miss. Same co-occurrence-join shape as the Jaccard
+    operator: shuffle is postings, never the pair space; 8-token windows
+    are near-unique, so posting lists stay short and the join stays
+    near-linear even at corpus scale.
+    """
+    from polario_spark.plans.parallelism import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    wins = F.expr(f"array_distinct({TXT.window_hashes(text_col, ROLLING_WINDOW, 'spark')})")
+    postings = df.select(F.col(id_col), F.explode(wins).alias("__wh"))
+    a, b = postings.alias("a"), postings.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__wh") == F.col("b.__wh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+        .filter(F.col("shared_windows") >= ROLLING_MIN_SHARED)
+    )
+
+
+def rolling_window_pairs_sql(table: str, id_col: str, text_col: str) -> str:
+    wins = f"list_distinct({TXT.window_hashes(text_col, ROLLING_WINDOW, 'duckdb')})"
+    return f"""
+WITH p AS (SELECT {id_col}, unnest({wins}) AS __wh FROM {table})
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS shared_windows
+FROM p a JOIN p b ON a.__wh = b.__wh AND a.{id_col} < b.{id_col}
+GROUP BY 1, 2
+HAVING count(*) >= {ROLLING_MIN_SHARED}
+"""
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders (DuckDB dialect) — the same pipelines, verbatim math
 # ---------------------------------------------------------------------------

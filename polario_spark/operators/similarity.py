@@ -166,3 +166,141 @@ SELECT id_a, id_b, jaccard FROM (
   FROM g a JOIN g b ON {cond} AND a.{id_col} < b.{id_col}
 ) WHERE jaccard >= {threshold}
 """
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for
+    all pairs with round(cosine, 4) >= threshold.
+
+    Brute-force self-join — the exact baseline. At 100 TB the same output
+    comes from the LSH path (random-hyperplane bucketing, see ivf_topk's
+    cell assignment) feeding this verify step only within buckets; here the
+    corpus is the verify input directly. ensure_parallelism spreads the
+    O(n^2) dot products across cores when the scan is one row group.
+    """
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    )
+    d = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = F.round(F.expr(VEC.cosine("__va", "__vb", "spark")), 4).alias("sim")
+    return (
+        c.join(d, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim)
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def cosine_pairs_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.5,
+) -> str:
+    sim = VEC.cosine("a.__v", "b.__v", "duckdb")
+    return f"""
+WITH e AS (SELECT {id_col} AS id, {vec_col} AS __v FROM {table})
+SELECT id_a, id_b, sim FROM (
+  SELECT a.id AS id_a, b.id AS id_b, round({sim}, 4) AS sim
+  FROM e a JOIN e b ON a.id < b.id
+) WHERE sim >= {threshold}
+"""
+
+
+#: IVF configuration: centroid stride (every Nth vector is a coarse cell
+#: center — a deterministic stand-in for trained k-means centers), probe
+#: count, and the query-set stride (co-prime with the centroid stride so
+#: queries are not the centroids themselves).
+IVF_CENTROID_STRIDE = 50
+IVF_NPROBE = 2
+IVF_QUERY_STRIDE = 97
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k cosine search — the 100 TB scale path.
+
+    Inverted-file ANN: a small set of coarse centroids partitions the
+    corpus into cells (each vector assigned to its nearest centroid);
+    a query scans only its ``IVF_NPROBE`` nearest cells instead of the
+    whole corpus, cutting work by ~|cells|/nprobe at some recall cost.
+    Centroids here are the deterministic subset vec_id % stride == 0
+    (k-means training is out of scope and non-deterministic); on a real
+    cluster the assignment step is a broadcast of the centroid set and
+    the probe step a cell-key equi-join — no corpus shuffle, and the
+    cell column is the natural partition key for a materialized index.
+
+    Returns (qid, nid, sim, rank) — the same shape as brute_force_topk,
+    so callers can swap exact for approximate.
+    """
+    corpus = ensure_parallelism(corpus)
+    cent = F.broadcast(
+        corpus.filter(F.col(id_col) % IVF_CENTROID_STRIDE == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
+        )
+    )
+    vecs = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__v"))
+    csim = F.expr(VEC.cosine("__v", "__cent", "spark"))
+    w_assign = Window.partitionBy("nid").orderBy(
+        csim.desc(), F.col("cid").asc()
+    )
+    assigned = (
+        vecs.join(cent)
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("nid", "__v", F.col("cid").alias("cell"))
+    )
+    queries = corpus.filter(F.col(id_col) % IVF_QUERY_STRIDE == 0).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__q")
+    )
+    qsim = F.expr(VEC.cosine("__q", "__cent", "spark"))
+    w_probe = Window.partitionBy("qid").orderBy(qsim.desc(), F.col("cid").asc())
+    probes = (
+        queries.join(cent)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= IVF_NPROBE)
+        .select("qid", "__q", F.col("cid").alias("cell"))
+    )
+    sim = F.round(F.expr(VEC.cosine("__q", "__v", "spark")), 4).alias("sim")
+    w_top = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        probes.join(assigned, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", sim)
+        .withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )
+
+
+def ivf_topk_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5
+) -> str:
+    return f"""
+WITH e AS (SELECT {id_col} AS id, {vec_col} AS __v FROM {table}),
+cent AS (SELECT id AS cid, __v AS __cent FROM e WHERE id % {IVF_CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT id AS nid, __v, cid AS cell FROM (
+    SELECT e.id, e.__v, cent.cid,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY {VEC.cosine('e.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1),
+probes AS (
+  SELECT id AS qid, __v AS __q, cid AS cell FROM (
+    SELECT e.id, e.__v, cent.cid,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY {VEC.cosine('e.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
+    FROM e CROSS JOIN cent WHERE e.id % {IVF_QUERY_STRIDE} = 0) WHERE rn <= {IVF_NPROBE})
+SELECT qid, nid, sim, rank FROM (
+  SELECT p.qid, a.nid, round({VEC.cosine('p.__q', 'a.__v', 'duckdb')}, 4) AS sim,
+         row_number() OVER (PARTITION BY p.qid
+           ORDER BY round({VEC.cosine('p.__q', 'a.__v', 'duckdb')}, 4) DESC, a.nid ASC) AS rank
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid != a.nid
+) WHERE rank <= {k}
+"""

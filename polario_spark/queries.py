@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import tempfile
 from collections.abc import Callable
+
+import pandas as pd
 from dataclasses import dataclass
 from typing import Optional
 
@@ -1125,6 +1127,301 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# ===========================================================================
+# Relational coverage, batch 3: scan-heavy aggregates, outer-join
+# distributions, OR-of-ANDs pushdown, decile stats, Python UDF surface
+# (pandas_udf grouped agg + applyInPandas), and the LLM-pipeline scale
+# paths: embedding-cosine near-dup, IVF ANN, rolling-window fingerprints
+# ===========================================================================
+
+@_register(
+    "q6_forecast_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+aggregate. Every predicate reaches the parquet
+    scan (PushedFilters); the agg is a single map-side partial sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@_register(
+    "q13_order_count_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer join keeps zero-order customers, then a
+    two-level aggregation (per-customer count, then histogram). The first
+    agg rides the join shuffle's partitioning; the second shuffles only
+    the histogram keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_register(
+    "q18_large_orders",
+    """
+SELECT c_name, o_orderkey, o_totalprice, total_qty FROM (
+  SELECT c.c_name, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+         round(l.s, 2) AS total_qty
+  FROM (SELECT l_orderkey, sum(l_quantity) AS s
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+)
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum feeds a join back to
+    orders/customer. The heavy lineitem agg runs first and its (small)
+    survivor set drives broadcast joins; top-100 keeps output bounded at
+    any scale factor."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__s"))
+        .filter(F.col("__s") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("__s", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@_register(
+    "q19_discounted_revenue",
+    """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    extracts the common p_brand IN (...) / l_quantity range as pushable
+    scan filters; part is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@_register(
+    "q22_idle_customers",
+    """
+SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global avg, computed once and
+    broadcast as a literal-like single-row join) + anti join against
+    recent orders, grouped by nation (broadcast dim)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_register(
+    "geomean_brand_price",
+    """
+SELECT p_brand, round(exp(avg(ln(p_retailprice))), 2) AS geo_mean_price
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def geomean_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Arrow-batched UDAF surface): geometric
+    mean of retail price per brand. The UDF receives each group's column
+    as one numpy-backed series — vectorized, no per-row Python."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(prices: pd.Series) -> float:
+        return float(np.exp(np.log(prices.to_numpy()).mean()))
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(F.round(geo_mean("p_retailprice"), 2).alias("geo_mean_price"))
+        .orderBy("p_brand")
+    )
+
+
+@_register(
+    "brand_price_zscore_top",
+    """
+SELECT p_brand, p_partkey, z FROM (
+  SELECT p_brand, p_partkey,
+         round((p_retailprice - avg(p_retailprice) OVER (PARTITION BY p_brand))
+               / stddev_pop(p_retailprice) OVER (PARTITION BY p_brand), 4) AS z,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part
+)
+WHERE rn = 1
+ORDER BY p_brand
+""",
+)
+def brand_price_zscore_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped-map UDF surface): per-brand z-score
+    normalization in pandas, emitting each brand's top-priced part. One
+    shuffle on the group key; each group is a single Arrow batch."""
+    import pandas as pd
+
+    def top_z(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        prices = pdf["p_retailprice"]
+        z = (prices - prices.mean()) / prices.std(ddof=0)
+        out = pdf.assign(z=z.round(4)).sort_values(
+            ["p_retailprice", "p_partkey"], ascending=[False, True]
+        )
+        return out.head(1)[["p_brand", "p_partkey", "z"]]
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .applyInPandas(top_z, schema="p_brand string, p_partkey long, z double")
+        .orderBy("p_brand")
+    )
+
+
+@_register(
+    "dedup_embedding_cosine",
+    similarity.cosine_pairs_sql("embeddings", "vec_id", "embedding", 0.45)
+    + "\nORDER BY id_a, id_b",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline for semantic
+    dedup): all pairs with cosine >= 0.45."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, "vec_id", "embedding", 0.45).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@_register(
+    "ann_ivf_topk",
+    similarity.ivf_topk_sql("embeddings", "vec_id", "embedding", 5)
+    + "\nORDER BY qid, rank",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 cosine neighbors — the scale path
+    complement to ann_topk_cosine's exact scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, "vec_id", "embedding", 5).orderBy(
+        "qid", "rank"
+    )
+
+
+@_register(
+    "dedup_rolling_windows",
+    dedup.rolling_window_pairs_sql("documents", "doc_id", "text")
+    + "\nORDER BY id_a, id_b",
+)
+def dedup_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level near-dup pairs: documents sharing >= 5 rolling 8-token
+    window fingerprints (order-sensitive passage copying)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.rolling_window_pairs(docs, "doc_id", "text").orderBy(
+        "id_a", "id_b"
     )
 
 

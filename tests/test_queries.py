@@ -26,6 +26,10 @@ SUBSET = [
     "ann_topk_cosine",
     "text_quality",
     "hive_roundtrip",
+    "q13_order_count_distribution",
+    "ann_ivf_topk",
+    "dedup_rolling_windows",
+    "geomean_brand_price",
 ]
 
 
