@@ -37,6 +37,7 @@ from polario_spark.operators.multimodal import (
     with_binary_payload,
 )
 from polario_spark.sources.tables import load_table
+from polario_spark.streaming import events as streaming_events
 from polario_spark.streaming.events import hourly_counts
 
 
@@ -1423,6 +1424,110 @@ def dedup_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.rolling_window_pairs(docs, "doc_id", "text").orderBy(
         "id_a", "id_b"
     )
+
+
+# ===========================================================================
+# Batch 4: window frames + streaming depth (sliding windows, custom
+# stateful operator)
+# ===========================================================================
+
+@_register(
+    "customer_running_totals",
+    """
+SELECT c_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg3,
+       round(coalesce(lead(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey), -1), 2) AS next_price
+FROM orders JOIN customer ON c_custkey = o_custkey
+WHERE c_custkey % 100 = 0
+ORDER BY c_custkey, o_orderkey
+""",
+)
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: running total (UNBOUNDED PRECEDING), 3-row moving
+    average (2 PRECEDING), and lead() — all three share ONE shuffle+sort
+    on (custkey, orderdate) because they use the same window spec base."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum("o_totalprice").over(
+                    base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ).alias("running_total"),
+            F.round(
+                F.avg("o_totalprice").over(base.rowsBetween(-2, Window.currentRow)),
+                2,
+            ).alias("moving_avg3"),
+            F.round(
+                F.coalesce(F.lead("o_totalprice").over(base), F.lit(-1)), 2
+            ).alias("next_price"),
+        )
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@_register(
+    "streaming_sliding_counts",
+    # sliding window = each event in its 2 covering (1h, 30m-slide) windows
+    """
+SELECT window_start, event_type, count(*) AS n_events
+FROM (
+  SELECT strftime(make_timestamp(w_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type
+  FROM (
+    SELECT unnest([
+             epoch_us(ts) - epoch_us(ts) % 1800000000,
+             epoch_us(ts) - epoch_us(ts) % 1800000000 - 1800000000
+           ]) AS w_us,
+           event_type
+    FROM events
+  )
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding-window counts (1h window / 30m slide)
+    drained through a memory sink; must equal the batch window expansion."""
+    return streaming_events.sliding_counts(spark, sf_dir).orderBy(
+        "window_start", "event_type"
+    )
+
+
+@_register(
+    "streaming_stateful_sessions",
+    # same sessionization the batch lag/cumsum query performs
+    """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS total_events
+FROM ordered
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionization (30-min gap) — the custom
+    stateful streaming operator, verified against batch sessionization."""
+    return streaming_events.stateful_sessions(spark, sf_dir).orderBy("user_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

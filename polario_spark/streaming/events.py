@@ -70,3 +70,102 @@ def hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming aggregate: 1-hour windows sliding every 30
+    minutes, per event_type. Each event lands in two overlapping windows;
+    watermark bounds state exactly as in the tumbling case."""
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with a
+    30-minute inactivity gap via ``applyInPandasWithState``.
+
+    The canonical arbitrary-state shape: groupBy(user) -> pandas function
+    receiving (key, batch iterator, GroupState); state carries (last event
+    ts, open session count) across micro-batches, so sessions stitch
+    correctly even when a user's events span triggers. The memory-sink
+    drain emits each user's final (n_sessions, total_events) — identical
+    to the batch lag/cumsum sessionization, which is the oracle.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = None, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # datetime64[ns] -> int64 is nanoseconds; the gap is in micros
+        rows["__us"] = rows["ts"].astype("int64") // 1000
+        rows = rows.sort_values(["__us", "event_id"])
+        for us in rows["__us"]:
+            if last_us is None or us - last_us > GAP_US:
+                n_sessions += 1
+            last_us = us
+            n_events += 1
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "total_events": [n_events],
+            }
+        )
+
+    out = (
+        _event_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType="user_id long, n_sessions long, total_events long",
+            stateStructType="last_us long, n_sessions long, n_events long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # update mode appends one row per (user, trigger); keep each user's last
+    snap = spark.table(name)
+    w_latest = (
+        "SELECT user_id, n_sessions, total_events FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY total_events DESC) AS rn FROM {name}"
+        ") WHERE rn = 1"
+    )
+    return spark.sql(w_latest)
