@@ -269,8 +269,10 @@ def ivf_topk(
     )
     sim = F.round(F.expr(VEC.cosine("__q", "__v", "spark")), 4).alias("sim")
     w_top = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    # probes = queries x nprobe — always the small side; broadcasting it
+    # means the corpus-sized assignment table is never shuffled
     return (
-        probes.join(assigned, "cell")
+        F.broadcast(probes).join(assigned, "cell")
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid", sim)
         .withColumn("rank", F.row_number().over(w_top))

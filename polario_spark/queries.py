@@ -1376,7 +1376,9 @@ def brand_price_zscore_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.head(1)[["p_brand", "p_partkey", "z"]]
 
-    part = _t(spark, sf_dir, "part")
+    part = _t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice"
+    )
     return (
         part.groupBy("p_brand")
         .applyInPandas(top_z, schema="p_brand string, p_partkey long, z double")

@@ -77,3 +77,27 @@ def test_dedup_minhash_single_agg_pass(spark):
 def test_ann_broadcasts_queries(spark):
     df = Q.ann_topk_cosine(spark, SF_DIR)
     assert has_broadcast_join(df)
+
+
+def test_no_row_python_udfs_anywhere(spark):
+    """Every registry query must stay Arrow-side: no BatchEvalPython
+    (row-at-a-time Python UDF) in any physical plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as entry_mod
+
+    skip = {
+        "streaming_events_hourly",
+        "streaming_sliding_counts",
+        "streaming_stateful_sessions",
+        "hive_roundtrip",
+    }
+    for name, fn in entry_mod.queries().items():
+        if name in skip:
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        assert "BatchEvalPython" not in buf.getvalue(), name
