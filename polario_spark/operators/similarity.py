@@ -168,6 +168,13 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+#: vectors per GEMM tile in cosine_pairs. Tile memory is
+#: COSINE_TILE x dim doubles (~0.5 MB at dim=64); a tile-pair task holds
+#: two tiles plus their COSINE_TILE^2 similarity block (~8 MB) — sized so
+#: tasks stay cache-friendly and well under executor memory at any scale.
+COSINE_TILE = 1024
+
+
 def cosine_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -177,21 +184,76 @@ def cosine_pairs(
     """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for
     all pairs with round(cosine, 4) >= threshold.
 
-    Brute-force self-join — the exact baseline. At 100 TB the same output
-    comes from the LSH path (random-hyperplane bucketing, see ivf_topk's
-    cell assignment) feeding this verify step only within buckets; here the
-    corpus is the verify input directly. ensure_parallelism spreads the
-    O(n^2) dot products across cores when the scan is one row group.
+    Executed as TILED distributed GEMM — the shape that survives scale-up:
+    the corpus is cut into id-range tiles of ``COSINE_TILE`` vectors, each
+    tile aggregated into one row holding its (ids, matrix, norms); the
+    upper triangle of tile pairs is a self-join, and each tile pair
+    computes its full cosine submatrix with one vectorized numpy matmul
+    inside mapInPandas (Arrow-batched, BLAS-backed). Work per task is one
+    T x T x dim matmul; shuffle volume is tile matrices (linear in the
+    corpus), never the O(n^2) pair stream; no driver-side collect
+    anywhere. At 100 TB the same plan holds — tiles partition across
+    executors and only the surviving pairs (>= threshold) materialize.
+
+    For corpora too large even for tiled n^2, cut the pair space first
+    with LSH bucketing (random-hyperplane, see ivf_topk's cell
+    assignment) and run this verify within buckets.
     """
-    c = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    tile = F.floor(F.col("__id") / COSINE_TILE).alias("__tile")
+    base = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+        )
+        .withColumn("__tile", tile)
+        .groupBy("__tile")
+        .agg(
+            F.collect_list(F.struct("__id", "__v")).alias("__rows"),
+        )
     )
-    d = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = F.round(F.expr(VEC.cosine("__va", "__vb", "spark")), 4).alias("sim")
-    return (
-        c.join(d, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim)
-        .filter(F.col("sim") >= threshold)
+    a = base.select(
+        F.col("__tile").alias("ta"), F.col("__rows").alias("rows_a")
+    )
+    b = base.select(
+        F.col("__tile").alias("tb"), F.col("__rows").alias("rows_b")
+    )
+    pairs = a.join(b, F.col("ta") <= F.col("tb"))
+
+    def tile_cosine(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for rows_a, rows_b, ta, tb in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["ta"], pdf["tb"]
+            ):
+                ids_a = np.array([r["__id"] for r in rows_a])
+                mat_a = np.stack([np.asarray(r["__v"]) for r in rows_a])
+                ids_b = np.array([r["__id"] for r in rows_b])
+                mat_b = np.stack([np.asarray(r["__v"]) for r in rows_b])
+                na = np.sqrt((mat_a * mat_a).sum(axis=1))
+                nb = np.sqrt((mat_b * mat_b).sum(axis=1))
+                sim = np.round(
+                    (mat_a @ mat_b.T) / np.outer(na, nb), 4
+                )
+                ia, ib = np.nonzero(sim >= threshold)
+                keep = ids_a[ia] < ids_b[ib]
+                out_a.append(ids_a[ia][keep])
+                out_b.append(ids_b[ib][keep])
+                out_s.append(sim[ia, ib][keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    return pairs.mapInPandas(
+        tile_cosine, schema="id_a long, id_b long, sim double"
     )
 
 

@@ -14,9 +14,29 @@ plan must produce byte-identical results to the batch plan.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+#: shuffle/state partition count for the streaming drains. Stateful
+#: streaming creates one state store per shuffle partition, and the count
+#: is frozen into the checkpoint at first start — so it is sized to the
+#: expected STATE volume (keys x state size), not to cluster width. The
+#: fixture-scale default keeps per-batch state-store commit overhead low;
+#: a real deployment sizes this up front (e.g. hundreds for 100 TB).
+STATE_PARTITIONS = 8
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,16 +74,17 @@ def hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"hourly_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    with _state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     return spark.table(name).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
@@ -85,16 +106,17 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     name = f"sliding_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    with _state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     return spark.table(name).select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -128,11 +150,14 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # datetime64[ns] -> int64 is nanoseconds; the gap is in micros
         rows["__us"] = rows["ts"].astype("int64") // 1000
         rows = rows.sort_values(["__us", "event_id"])
-        for us in rows["__us"]:
-            if last_us is None or us - last_us > GAP_US:
-                n_sessions += 1
-            last_us = us
-            n_events += 1
+        us = rows["__us"].to_numpy()
+        if len(us):
+            prev = us.copy()
+            prev[1:] = us[:-1]
+            prev[0] = last_us if last_us is not None else us[0] - GAP_US - 1
+            n_sessions += int((us - prev > GAP_US).sum())
+            last_us = int(us[-1])
+            n_events += len(us)
         state.update((last_us, n_sessions, n_events))
         yield pd.DataFrame(
             {
@@ -154,15 +179,18 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    query = (
-        out.writeStream.outputMode("update").format("memory").queryName(name).start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    with _state_partitions(spark):
+        query = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     # update mode appends one row per (user, trigger); keep each user's last
-    snap = spark.table(name)
     w_latest = (
         "SELECT user_id, n_sessions, total_events FROM ("
         f"  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY total_events DESC) AS rn FROM {name}"
