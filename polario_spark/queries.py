@@ -1532,6 +1532,106 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.stateful_sessions(spark, sf_dir).orderBy("user_id")
 
 
+# ===========================================================================
+# Batch 5: CSV/JSON source-sink round-trips in the gate, salted skew agg
+# ===========================================================================
+
+@_register(
+    "csv_roundtrip",
+    """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source: write orders to headered CSV, read back schema-less
+    (all strings, the reference CLI's concat_csv semantics), cast, and
+    aggregate — proving the CSV path preserves values exactly."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("string")
+    )
+    tmp = tempfile.mkdtemp(prefix="polario_spark_csv_")
+    orders.write.mode("overwrite").option("header", "true").csv(f"{tmp}/orders")
+    back = spark.read.option("header", "true").csv(f"{tmp}/orders")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@_register(
+    "json_roundtrip",
+    """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip over events (ts serialized as
+    epoch micros so the round-trip is lossless)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    tmp = tempfile.mkdtemp(prefix="polario_spark_json_")
+    ev.write.mode("overwrite").json(f"{tmp}/events")
+    back = spark.read.json(f"{tmp}/events")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "skew_salted_agg",
+    """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: stage 1 aggregates on
+    (key, salt) — spreading one hot key over 16 reducers — stage 2 merges
+    the partials per key. Result is provably identical to the direct
+    groupBy (the oracle IS the direct groupBy); the technique is the
+    standard fix when one key holds a disproportionate share of a 100 TB
+    shuffle. count/sum/max all decompose into partial + merge.
+    (Spark's map-side partial aggregation makes this unnecessary for
+    built-in aggs; the pattern matters for collect_list-style holistic
+    aggs and skewed JOIN keys, and AQE skew-join handles the join case.)
+    """
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("value").alias("__sum"),
+        F.max("value").alias("__max"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("__n").alias("n_events"),
+            F.round(F.sum("__sum"), 2).alias("sum_value"),
+            F.round(F.max("__max"), 2).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
