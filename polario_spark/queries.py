@@ -1632,6 +1632,191 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Batch 6: remaining TPC-H-adaptable shapes (argmin join-back, window-max
+# filter, correlated avg, promo share, sole-supplier exists-shape)
+# ===========================================================================
+
+@_register(
+    "q14_promo_revenue",
+    """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast join —
+    promo revenue share in one month. The date filter is pushed to the
+    lineitem scan; part is broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate -> filter to the global max (scalar
+    subquery over the aggregate, computed once and broadcast) -> join the
+    supplier dim. Ties all surface, ordered by suppkey."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("__mx"))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average -> window avg over
+    partkey computed in the same shuffle as the join, then the 0.2*avg
+    filter. No second lineitem scan: the window replaces the correlated
+    subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    w = Window.partitionBy("l_partkey")
+    with_avg = li.withColumn("__avg_qty", F.avg("l_quantity").over(w))
+    return (
+        with_avg.join(F.broadcast(part), with_avg.l_partkey == part.p_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "sole_supplier_orders",
+    """
+SELECT s_name, count(*) AS n_sole_orders
+FROM (
+  SELECT l_orderkey, min(l_suppkey) AS the_supp
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING count(DISTINCT l_suppkey) = 1 AND count(*) > 1
+)
+JOIN supplier ON s_suppkey = the_supp
+GROUP BY s_name
+ORDER BY n_sole_orders DESC, s_name
+LIMIT 20
+""",
+)
+def sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted): multi-line orders served entirely by one
+    supplier — count-distinct HAVING replaces the EXISTS/NOT EXISTS pair,
+    one shuffle on orderkey instead of two correlated probes."""
+    li = _t(spark, sf_dir, "lineitem")
+    sole = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("the_supp"),
+            F.countDistinct("l_suppkey").alias("__nsupp"),
+            F.count(F.lit(1)).alias("__nlines"),
+        )
+        .filter((F.col("__nsupp") == 1) & (F.col("__nlines") > 1))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(sup), sole.the_supp == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_sole_orders"))
+        .orderBy(F.col("n_sole_orders").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@_register(
+    "cheapest_supplier_per_part",
+    """
+SELECT p_partkey, s_suppkey, avg_price FROM (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         round(avg(l_extendedprice / l_quantity), 2) AS avg_price,
+         row_number() OVER (PARTITION BY l_partkey
+            ORDER BY round(avg(l_extendedprice / l_quantity), 2) ASC, l_suppkey ASC) AS rn
+  FROM lineitem
+  WHERE l_partkey % 200 = 0
+  GROUP BY l_partkey, l_suppkey
+)
+WHERE rn = 1
+ORDER BY p_partkey
+""",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted): per-(part, supplier) average unit price,
+    then argmin per part — the min-subquery join-back expressed as one
+    window over the aggregation's own shuffle. The partkey filter prunes
+    at the scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 200 == 0)
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
+            "avg_price"
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("avg_price").asc(), F.col("l_suppkey").asc()
+    )
+    return (
+        per.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "avg_price",
+        )
+        .orderBy("p_partkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
