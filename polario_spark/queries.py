@@ -1817,6 +1817,56 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bucketed_join",
+    """
+SELECT o_orderstatus, count(*) AS n_lines, round(sum(l_extendedprice), 2) AS total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written bucketBy(orderkey) so
+    the join needs NO shuffle exchange — each bucket pairs 1:1. At 100 TB
+    this is the standard way to amortize one write-time shuffle across
+    every future join/agg on the bucket key; the test asserts the final
+    plan is exchange-free on the join path."""
+    import uuid as _uuid
+
+    db = f"bjoin_{_uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="polario_spark_bucketed_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    try:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = _t(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+        ).select("o_orderkey", "o_orderstatus")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(f"{db}.lineitem_b")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(f"{db}.orders_b")
+        lb = spark.table(f"{db}.lineitem_b")
+        ob = spark.table(f"{db}.orders_b")
+        return (
+            lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+        )
+    except Exception:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        raise
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
