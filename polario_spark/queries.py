@@ -1867,6 +1867,23 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise
 
 
+@_register(
+    "streaming_dedup_counts",
+    # streaming dropDuplicates admits each (user, type) exactly once ==
+    # batch count of distinct users per type
+    """
+SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dropDuplicates (exact ingest dedup) counted
+    per event type; must equal the batch distinct count."""
+    return streaming_events.dedup_counts(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

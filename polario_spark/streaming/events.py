@@ -197,3 +197,33 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ") WHERE rn = 1"
     )
     return spark.sql(w_latest)
+
+
+def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on (user_id, event_type)
+    keyed state with a watermark bounding it, then a per-type count of the
+    deduped stream. Append-mode drain to a memory sink, aggregated after —
+    the shape of an ingest pipeline that must admit each (user, type) once."""
+    stream = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        query = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+        .orderBy("event_type")
+    )

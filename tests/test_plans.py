@@ -91,6 +91,7 @@ def test_no_row_python_udfs_anywhere(spark):
         "streaming_events_hourly",
         "streaming_sliding_counts",
         "streaming_stateful_sessions",
+        "streaming_dedup_counts",
         "hive_roundtrip",
     }
     for name, fn in entry_mod.queries().items():
