@@ -211,6 +211,38 @@ class HiveDataset:
         self._check_partition_columns(df)
         self._writer(df).mode("append").parquet(self.url.spark_url)
 
+    def compact(
+        self, partition_values: Optional[dict[str, str]] = None
+    ) -> None:
+        """Rewrite fragments at target size — the small-files lifecycle op
+        (net-new; the reference accumulates fragments forever on append,
+        /root/reference/polario/hive_dataset.py:232-245).
+
+        Reads the targeted partition (or the whole dataset), clusters rows
+        by partition key so each partition is written by one task, and
+        dynamic-overwrites in place: fragments become
+        ceil(rows / max_rows_per_fragment) per partition. At scale this is
+        the maintenance job that keeps scan task counts proportional to
+        data, not to append history; run it per-partition to bound the
+        rewrite to hot partitions.
+        """
+        if partition_values is not None:
+            df = self.read_partition(partition_values)
+            if df is None:
+                return
+        else:
+            df = self.scan()
+            if df is None:
+                return
+        if self.partition_columns:
+            df = df.repartition(*[F.col(c) for c in self.partition_columns])
+        else:
+            df = df.coalesce(1)
+        # the rewrite overwrites the very files being read: cut lineage by
+        # materializing first (executor-local checkpoint), the in-place
+        # analog of the write-new-then-swap a table format would do
+        self.write(df.localCheckpoint(eager=True))
+
     # ------------------------------------------------------------------
     # partition discovery (/root/reference/polario/hive_dataset.py:267-305)
     # ------------------------------------------------------------------

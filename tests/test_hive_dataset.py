@@ -222,3 +222,32 @@ def test_unwrap():
     assert unwrap(5) == 5
     with pytest.raises(ValueError):
         unwrap(None)
+
+
+def test_compact_merges_fragments(spark, tmp_path, example_df_1):
+    url = str(tmp_path / "compact_ds")
+    ds = HiveDataset(spark, url, ["p1", "p2"], max_rows_per_fragment=1)
+    ds.write(example_df_1)
+    before = sorted(map(tuple, ds.scan().collect()))
+    frag_counts = {
+        rel: len(ds.url.list_parquet_files(ds.url.join(rel)))
+        for rel in ds._partition_paths()
+    }
+    assert any(n > 1 for n in frag_counts.values())  # forced multi-fragment
+    big = HiveDataset(spark, url, ["p1", "p2"])  # default 1M rows/fragment
+    big.compact()
+    after = sorted(map(tuple, big.scan().collect()))
+    assert after == before
+    for rel in big._partition_paths():
+        assert len(big.url.list_parquet_files(big.url.join(rel))) == 1
+
+
+def test_compact_single_partition(spark, tmp_path, example_df_1):
+    url = str(tmp_path / "compact_one")
+    ds = HiveDataset(spark, url, ["p1", "p2"], max_rows_per_fragment=1)
+    ds.write(example_df_1)
+    before = sorted(map(tuple, ds.scan().collect()))
+    big = HiveDataset(spark, url, ["p1", "p2"])
+    big.compact({"p1": "1", "p2": "a"})
+    assert sorted(map(tuple, big.scan().collect())) == before
+    assert len(big.url.list_parquet_files(big.url.join("p1=1/p2=a"))) == 1
