@@ -87,32 +87,68 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
-    """LSH banding: equi-join signatures on each band, union, distinct.
+    """LSH banding as ONE join: explode each signature into its band rows
+    (band_idx, band values), self-equi-join on the band, distinct the
+    pairs, then join the signature table back twice for the agreement
+    estimate.
 
     Returns (id_a, id_b, est_sim): est_sim = fraction of the k minhashes
     that agree — an unbiased estimate of Jaccard similarity.
+
+    Scale: the naive formulation (union of per-band self-joins) recomputes
+    the signature pipeline 2 x bands times; this shape computes it once
+    for the band explode and twice for the estimate join-back, and the
+    only shuffled objects are (id, band) rows and the candidate id pairs.
+    Band buckets are the skew risk (boilerplate-identical docs); AQE
+    skew-join splits hot buckets.
     """
-    pairs = None
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("bidx"),
+                *[
+                    F.col(f"mh{band * MINHASH_ROWS + r}").alias(f"v{r}")
+                    for r in range(MINHASH_ROWS)
+                ],
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select(F.col(id_col), F.explode(band_structs).alias("__b"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(MINHASH_K)],
+    )
     est = (
         sum(
-            F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+            F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
             for i in range(MINHASH_K)
         )
         / F.lit(float(MINHASH_K))
     ).alias("est_sim")
-    for band in range(MINHASH_BANDS):
-        cols = [f"mh{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
-        a, b = sig.alias("a"), sig.alias("b")
-        cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in cols] + [
-            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        ]
-        band_pairs = a.join(b, cond).select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            est,
-        )
-        pairs = band_pairs if pairs is None else pairs.union(band_pairs)
-    return pairs.filter(F.col("est_sim") >= MINHASH_MIN_EST_SIM).distinct()
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est)
+        .filter(F.col("est_sim") >= MINHASH_MIN_EST_SIM)
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
