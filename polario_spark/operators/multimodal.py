@@ -76,3 +76,48 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "image decoding requires codec libraries not present in this "
         "container; see extract_binary_features for the exercised plumbing"
     )
+
+
+FRAME_CHUNK = 64
+FRAME_STRIDE = 4  # keep every 4th chunk
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id long, chunk_idx long, chunk_len long, checksum long"
+)
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling plumbing over a binary column: split each payload
+    into fixed ``FRAME_CHUNK``-byte chunks, keep every ``FRAME_STRIDE``-th
+    chunk, emit per-chunk metadata + a deterministic checksum.
+
+    The video/audio pattern at scale: one Arrow batch in, many frame rows
+    out (1:N mapInPandas), with the decoder swapped for a real codec on a
+    cluster. Row counts stay bounded by stride; partitioning is inherited
+    from the payload table, so frames of one document stay co-located for
+    any downstream per-doc aggregation.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n = len(payload)
+                for ci in range(0, (n + FRAME_CHUNK - 1) // FRAME_CHUNK, FRAME_STRIDE):
+                    chunk = payload[ci * FRAME_CHUNK : (ci + 1) * FRAME_CHUNK]
+                    ids.append(doc_id)
+                    idxs.append(ci)
+                    lens.append(len(chunk))
+                    sums.append(sum(chunk) % 65536)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_idx": idxs,
+                    "chunk_len": lens,
+                    "checksum": sums,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        _sample, schema=FRAME_SAMPLE_SCHEMA
+    )

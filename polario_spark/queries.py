@@ -34,6 +34,7 @@ from polario_spark.hive_dataset import HiveDataset
 from polario_spark.operators import dedup, similarity, text_analysis
 from polario_spark.operators.multimodal import (
     extract_binary_features,
+    frame_sample,
     with_binary_payload,
 )
 from polario_spark.sources.tables import load_table
@@ -1991,6 +1992,149 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         )
         .orderBy("event_type")
+    )
+
+
+@_register(
+    "q8_market_share",
+    """
+SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT extract(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_type = 'ECONOMY'
+)
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly volume in a product
+    segment — conditional / total sum ratio per year over a 5-way join
+    (all dims broadcast, one lineitem->orders shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol,
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(0.0)
+                )
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "q9_profit_by_nation_year",
+    """
+SELECT nation, o_year, round(sum(amount), 2)::DOUBLE AS profit
+FROM (
+  SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
+         (l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity)::DECIMAL(18,4) AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%gear%'
+)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus synthetic supply cost) per
+    supplier nation per year, parts filtered by a LIKE pattern that cannot
+    be pushed as a range — it still prunes at the broadcast build side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    # exact decimal accumulation: double summation order differs between
+    # engines and flips round(x, 2) on half-cent boundaries
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)").alias("amount")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount)
+    )
+    return (
+        joined.groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    f"""
+WITH payloads AS (
+  SELECT doc_id, to_hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 50 = 0
+),
+chunks AS (
+  SELECT doc_id, unnest(range(0, (n + 63) // 64, 4)) AS chunk_idx, hx
+  FROM payloads
+),
+per AS (
+  SELECT doc_id, substring(hx, chunk_idx * 128 + 1, 128) AS chex
+  FROM chunks
+)
+SELECT doc_id, count(*) AS n_chunks, sum(length(chex) // 2) AS sampled_bytes,
+       sum(list_sum(list_transform(range(0, length(chex) // 2),
+             i -> ('0x' || substring(chex, 2 * i + 1, 2))::INT)) % 65536) AS checksum_total
+FROM per
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (every 4th 64-byte chunk) via
+    1:N mapInPandas, aggregated per document."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    frames = frame_sample(with_binary_payload(docs, "text"), "doc_id")
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("sampled_bytes"),
+            F.sum("checksum").alias("checksum_total"),
+        )
+        .orderBy("doc_id")
     )
 
 
