@@ -347,7 +347,7 @@ WITH ordered AS (
 SELECT user_id,
        sum(new_session) AS n_sessions,
        count(*) AS n_events,
-       round(avg(value), 4) AS avg_value
+       round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
 FROM flagged
 GROUP BY user_id
 ORDER BY user_id
@@ -371,7 +371,11 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("new_session").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # exact decimal accumulation; double sums are order-dependent
+            # and flip round() at sf>=0.1
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .orderBy("user_id")
     )
@@ -1438,10 +1442,10 @@ def dedup_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_running_totals",
     """
 SELECT c_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-       round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg3,
+       round(sum(o_totalprice::DECIMAL(18,6)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS running_total,
+       round(sum(o_totalprice::DECIMAL(18,6)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)::DOUBLE AS moving_sum3,
        round(coalesce(lead(o_totalprice) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey), -1), 2) AS next_price
 FROM orders JOIN customer ON c_custkey = o_custkey
@@ -1461,16 +1465,21 @@ def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey",
             "o_orderkey",
+            # decimal window sums at scale 6 (exact for these doubles):
+            # double accumulation order differs between engines and flips
+            # round(.,2) on half-cent boundaries at sf>=0.1
             F.round(
-                F.sum("o_totalprice").over(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(
                     base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 ),
                 2,
-            ).alias("running_total"),
+            ).cast("double").alias("running_total"),
             F.round(
-                F.avg("o_totalprice").over(base.rowsBetween(-2, Window.currentRow)),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(
+                    base.rowsBetween(-2, Window.currentRow)
+                ),
                 2,
-            ).alias("moving_avg3"),
+            ).cast("double").alias("moving_sum3"),
             F.round(
                 F.coalesce(F.lead("o_totalprice").over(base), F.lit(-1)), 2
             ).alias("next_price"),
