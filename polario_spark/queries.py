@@ -2147,6 +2147,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GPT-2-style pre-tokenizer, reduced to a dialect-portable class pattern:
+#: letter runs, digit runs, or single non-alphanumeric marks.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@_register(
+    "bpe_token_stats",
+    f"""
+SELECT source,
+       count(*) AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))) AS total_tokens,
+       round(avg(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))), 4) AS avg_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counting: a GPT-2-ish pre-tokenizer regex (letter
+    runs / digit runs / punctuation marks) — the fast proxy for real BPE
+    token counts in corpus budgeting. Pure regexp_extract_all, JVM-side."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.expr(f"size(regexp_extract_all(lower(text), '{BPE_PATTERN}', 0))"),
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
