@@ -1766,14 +1766,16 @@ def sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier — count-distinct HAVING replaces the EXISTS/NOT EXISTS pair,
     one shuffle on orderkey instead of two correlated probes."""
     li = _t(spark, sf_dir, "lineitem")
+    # "exactly one distinct supplier" == min(supp) = max(supp): avoids
+    # count-distinct's expand + second shuffle; one hash agg total
     sole = (
         li.groupBy("l_orderkey")
         .agg(
             F.min("l_suppkey").alias("the_supp"),
-            F.countDistinct("l_suppkey").alias("__nsupp"),
+            F.max("l_suppkey").alias("__mx"),
             F.count(F.lit(1)).alias("__nlines"),
         )
-        .filter((F.col("__nsupp") == 1) & (F.col("__nlines") > 1))
+        .filter((F.col("the_supp") == F.col("__mx")) & (F.col("__nlines") > 1))
     )
     sup = _t(spark, sf_dir, "supplier")
     return (
@@ -2180,6 +2182,38 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
         )
         .orderBy("source")
+    )
+
+
+@_register(
+    "events_rolling_hour_rate",
+    """
+SELECT user_id, event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS events_last_hour
+FROM events
+WHERE user_id % 100 = 0
+ORDER BY user_id, event_id
+""",
+)
+def events_rolling_hour_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: per event, how many of the
+    user's events fall in the trailing hour — the rate-limit / burst
+    detection shape. RANGE frames bound by VALUE, so the frame follows the
+    timestamps regardless of row density; one shuffle+sort per user."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("events_last_hour"),
+        )
+        .orderBy("user_id", "event_id")
     )
 
 
