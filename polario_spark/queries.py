@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polario_spark.hive_dataset import HiveDataset
+from polario_spark.functions import text as TXT
 from polario_spark.operators import dedup, similarity, text_analysis
 from polario_spark.operators.multimodal import (
     extract_binary_features,
@@ -2214,6 +2215,44 @@ def events_rolling_hour_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("events_last_hour"),
         )
         .orderBy("user_id", "event_id")
+    )
+
+
+@_register(
+    "top_bigrams_per_lang",
+    """
+WITH grams AS (
+  SELECT lang, unnest("""
+    + TXT.word_bigrams(TXT.tokens("text", "duckdb"), "duckdb")
+    + """) AS bigram FROM documents
+)
+SELECT lang, bigram, n FROM (
+  SELECT lang, bigram, count(*) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, bigram ASC) AS rn
+  FROM grams GROUP BY lang, bigram
+) WHERE rn <= 5
+ORDER BY lang, n DESC, bigram
+""",
+)
+def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-5 bigrams per language. Explode ->
+    count (map-side combinable) -> per-group top-k window riding the same
+    (lang) shuffle. The shape of vocabulary/frequency tables over a
+    training corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang",
+        F.explode(
+            F.expr(TXT.word_bigrams(TXT.tokens("text", "spark"), "spark"))
+        ).alias("bigram"),
+    )
+    counts = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bigram", "n")
+        .orderBy("lang", F.col("n").desc(), "bigram")
     )
 
 
