@@ -2256,6 +2256,87 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q16_supplier_diversity",
+    """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type NOT IN ('PROMO', 'ECONOMY')
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 30
+""",
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN filters on the dim, exact distinct-count of
+    suppliers per (brand, type). The distinct lands on the join shuffle's
+    own key prefix; filters prune the broadcast build side."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_type"))
+        .limit(30)
+    )
+
+
+@_register(
+    "q20_heavy_gear_suppliers",
+    """
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%gear%'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 400
+)
+ORDER BY s_name
+""",
+)
+def q20_heavy_gear_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN-subquery over a filtered aggregate -> left-semi
+    join. Only qualifying suppkeys cross the shuffle; supplier rows are
+    never duplicated."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 400)
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@_register(
+    "streaming_click_attribution",
+    """
+SELECT strftime(date_trunc('hour', p.ts), '%Y-%m-%d %H:%M:%S') AS purchase_hour,
+       count(*) AS n_attributed_clicks,
+       count(DISTINCT p.event_id) AS n_purchases
+FROM events p JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked range join (click->purchase attribution
+    within 1 hour), aggregated per purchase hour; equals the batch join."""
+    return streaming_events.click_purchase_join(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

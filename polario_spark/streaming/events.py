@@ -227,3 +227,64 @@ def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
         .orderBy("event_type")
     )
+
+
+def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    purchase joined to the same user's clicks in the preceding hour.
+
+    Both sides carry watermarks so the join state is bounded — Spark keeps
+    clicks only until no purchase can still match them (watermark + range
+    upper bound), the canonical funnel/attribution join shape. Results are
+    drained append-mode and aggregated per event-hour; must equal the
+    batch join with the identical predicate.
+    """
+    base = _event_stream(spark, sf_dir)
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    return (
+        spark.table(name)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", "purchase_ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("purchase_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed_clicks"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+        )
+        .orderBy("purchase_hour")
+    )

@@ -92,6 +92,7 @@ def test_no_row_python_udfs_anywhere(spark):
         "streaming_sliding_counts",
         "streaming_stateful_sessions",
         "streaming_dedup_counts",
+        "streaming_click_attribution",
         "hive_roundtrip",
     }
     for name, fn in entry_mod.queries().items():

@@ -17,7 +17,7 @@ from polario_spark import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
 SKIP = {"streaming_events_hourly", "streaming_sliding_counts",
-        "streaming_stateful_sessions", "streaming_dedup_counts", "hive_roundtrip"}  # plans built inside
+        "streaming_stateful_sessions", "streaming_dedup_counts", "streaming_click_attribution", "hive_roundtrip"}  # plans built inside
 
 def main():
     spark = get_spark("plan_audit")
