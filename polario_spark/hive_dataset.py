@@ -186,14 +186,25 @@ class HiveDataset:
     # ------------------------------------------------------------------
     # writes
     # ------------------------------------------------------------------
-    def _writer(self, df: DataFrame):
+    def _writer(self, df: DataFrame, sort_by: Optional[list[str]] = None):
         ordered = df.select(*self._data_columns(df), *self.partition_columns)
+        if sort_by:
+            # cluster rows per hive partition, then order within each task
+            # by the sort key: every fragment comes out sorted, so its
+            # parquet row-group min/max stats are tight and range filters
+            # skip whole fragments at scan time
+            if self.partition_columns:
+                ordered = ordered.repartition(
+                    *[F.col(c) for c in self.partition_columns]
+                ).sortWithinPartitions(*self.partition_columns, *sort_by)
+            else:
+                ordered = ordered.sortWithinPartitions(*sort_by)
         writer = ordered.write.option("maxRecordsPerFile", self.max_rows_per_fragment)
         if self.partition_columns:
             writer = writer.partitionBy(*self.partition_columns)
         return writer
 
-    def write(self, df: DataFrame) -> None:
+    def write(self, df: DataFrame, sort_by: Optional[list[str]] = None) -> None:
         """Dynamic partition overwrite: replace exactly the partitions
         present in ``df``, leave all others intact
         (/root/reference/polario/hive_dataset.py:412-415).
@@ -201,9 +212,14 @@ class HiveDataset:
         One Spark job; the per-partition split the reference does serially
         on the driver (/root/reference/polario/hive_dataset.py:372-410) is
         a parallel shuffle here.
+
+        ``sort_by`` (net-new): order rows within each fragment by these
+        columns so parquet min/max statistics enable row-group/file
+        skipping on range predicates — the clustering lever for 100 TB
+        scans.
         """
         self._check_partition_columns(df)
-        self._writer(df).mode("overwrite").parquet(self.url.spark_url)
+        self._writer(df, sort_by).mode("overwrite").parquet(self.url.spark_url)
 
     def append(self, df: DataFrame) -> None:
         """Append fragments to each touched partition

@@ -251,3 +251,21 @@ def test_compact_single_partition(spark, tmp_path, example_df_1):
     big.compact({"p1": "1", "p2": "a"})
     assert sorted(map(tuple, big.scan().collect())) == before
     assert len(big.url.list_parquet_files(big.url.join("p1=1/p2=a"))) == 1
+
+
+def test_sorted_write_fragments(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    url = str(tmp_path / "sorted_ds")
+    df = spark.range(0, 1000).selectExpr(
+        "cast(id % 3 as string) AS p1",
+        "cast((id * 7919) % 1000 as long) AS v",  # scrambled order
+    )
+    ds = HiveDataset(spark, url, ["p1"])
+    ds.write(df, sort_by=["v"])
+    for rel in ds._partition_paths():
+        for frag in ds.url.list_parquet_files(ds.url.join(rel)):
+            vals = pq.read_table(frag, columns=["v"])["v"].to_pylist()
+            assert vals == sorted(vals), frag
+    # data intact
+    assert ds.scan().count() == 1000
