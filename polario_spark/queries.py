@@ -2337,6 +2337,68 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_events.click_purchase_join(spark, sf_dir)
 
 
+@_register(
+    "events_props_map",
+    """
+SELECT key, count(*) AS n, min(val) AS min_val, max(val) AS max_val, sum(val) AS sum_val
+FROM (
+  SELECT key, json_extract(props, '$.' || key)::BIGINT AS val
+  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+)
+GROUP BY key
+ORDER BY key
+""",
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured map handling: from_json into map<string,bigint>,
+    explode to (key, value) rows, aggregate per key — the generic
+    properties-bag shape. All JVM-side (from_json + explode)."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "val")
+    )
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.sum("val").alias("sum_val"),
+        )
+        .orderBy("key")
+    )
+
+
+@_register(
+    "orders_seasonality",
+    """
+SELECT extract(month FROM o_orderdate) AS mo, isodow(o_orderdate) AS dow,
+       count(*) AS n_orders, round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS total
+FROM orders
+GROUP BY mo, dow
+ORDER BY mo, dow
+""",
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar decomposition: order volume by (month, ISO weekday).
+    Spark's dayofweek is 1=Sunday; remapped to ISO (1=Monday) to match
+    the oracle. Decimal sum keeps the totals boundary-stable."""
+    orders = _t(spark, sf_dir, "orders")
+    isodow = ((F.dayofweek("o_orderdate") + 5) % 7) + 1
+    return (
+        orders.groupBy(
+            F.month("o_orderdate").alias("mo"), isodow.alias("dow")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("mo", "dow")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
