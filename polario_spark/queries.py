@@ -2399,6 +2399,95 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q11_important_parts",
+    """
+WITH nv AS (
+  SELECT l_partkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS value
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(value, 2)::DOUBLE AS value
+FROM nv
+WHERE value > (SELECT sum(value) * 0.001 FROM nv)
+ORDER BY value DESC, l_partkey
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp table, lineitem value stands in
+    for ps_supplycost*ps_availqty; cf. reference's absent-operator list,
+    SURVEY.md §2): per-part value within a nation group, kept only when
+    above a fraction of the group-total — a HAVING against a scalar
+    subquery. The scalar total is one extra reduction over the already
+    aggregated per-part frame (tiny), broadcast back as a 1-row join; the
+    big lineitem scan is aggregated exactly once and reused for both sides
+    of the comparison. Decimal accumulation keeps the threshold comparison
+    boundary-stable across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    value_expr = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    per_part = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(value_expr).alias("value"))
+    )
+    total = per_part.agg((F.sum("value") * F.lit(0.001)).alias("__threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("__threshold"))
+        .select(
+            "l_partkey", F.round("value", 2).cast("double").alias("value")
+        )
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@_register(
+    "q12_priority_by_linestatus",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: fixtures lack l_shipmode/l_receiptdate, so
+    (returnflag, linestatus) stands in for shipmode and shipdate for the
+    receipt window): join + conditional counting via CASE inside SUM.
+    The shipdate range filter is pushed to the parquet scan (row-group
+    min/max skip); only (orderkey, flags) survive projection pruning, and
+    the priority CASE folds into the map-side partial agg — the shuffle
+    carries 6 groups, not rows."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(is_high).alias("high_line_count"),
+            F.sum(1 - is_high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

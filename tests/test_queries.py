@@ -30,6 +30,8 @@ SUBSET = [
     "ann_ivf_topk",
     "dedup_rolling_windows",
     "geomean_brand_price",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
 ]
 
 
