@@ -217,6 +217,81 @@ def rolling_window_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Dedup-cluster assignment: connected components over a near-dup pair
+    graph via iterative min-label propagation.
+
+    ``pairs`` is any (id_a, id_b) candidate-pair frame (MinHash, SimHash,
+    rolling-window, ...). Returns (node, component) where component is the
+    smallest doc id reachable through the pair graph — the canonical
+    representative every duplicate collapses to.
+
+    Each iteration is one join + one map-side-combinable min-agg; labels
+    are localCheckpoint()ed so lineage (and the replayed shuffle DAG)
+    stays O(1) instead of O(iterations). Converges in diameter(G) rounds;
+    near-dup clusters are shallow (dup groups are cliques-ish), so 3-5
+    rounds in practice. At 100 TB the same loop holds — the per-round
+    shuffle is |E|, never the transitive closure, and the early-exit
+    count() touches only the label frame. (The production-hardened
+    variant of this loop is the large-star/small-star algorithm of
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — same primitive rounds, provably fewer of them on
+    high-diameter graphs.)
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iterations):
+        propagated = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.union(propagated)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_sql(pairs_sql: str) -> str:
+    """Transitive-closure oracle for :func:`connected_components`:
+    (node, component) per node of the pair graph. Recursive-CTE closure is
+    O(sum of component sizes squared) — fine for an oracle at test scale,
+    exactly what the iterative Spark loop avoids at corpus scale."""
+    return f"""
+WITH RECURSIVE __cc_pairs AS ({pairs_sql}),
+__cc_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM __cc_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM __cc_pairs
+),
+__cc_reach(node, label) AS (
+  SELECT src, src FROM __cc_edges
+  UNION
+  SELECT e.src, r.label FROM __cc_edges e JOIN __cc_reach r ON r.node = e.dst
+)
+SELECT node, min(label) AS component FROM __cc_reach GROUP BY node
+"""
+
+
 def rolling_window_pairs_sql(table: str, id_col: str, text_col: str) -> str:
     wins = f"list_distinct({TXT.window_hashes(text_col, ROLLING_WINDOW, 'duckdb')})"
     return f"""

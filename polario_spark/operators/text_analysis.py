@@ -73,6 +73,49 @@ def predicted_lang_expr(text_col: str, dialect: str) -> str:
     return f"(CASE WHEN ({any_marker}) = 0 THEN 'und' {cases} END)"
 
 
+def filter_flag_exprs(text_col: str, dialect: str) -> dict[str, str]:
+    """Corpus-cleaning filter flags (Gopher-rule style, Rae et al. '21,
+    adapted to single-line fixture docs), each a 0/1 integer expression.
+
+    All thresholds are compared in integer arithmetic (ratio r >= t
+    rewritten as n*den >= t_num*num) so Spark and the SQL oracle can never
+    disagree on a float boundary:
+
+    - ``pass_len``: 10 <= n_tokens <= 1000;
+    - ``pass_diversity``: distinct/total token ratio >= 0.3;
+    - ``pass_top_freq``: most frequent token <= 20% of tokens (the
+      single-token analog of Gopher's duplicate-line fraction);
+    - ``pass_word_len``: mean token length in [3, 10] chars.
+    """
+    toks = TXT.tokens(text_col, dialect)
+    dtoks = TXT.distinct_tokens(text_col, dialect)
+    n_tokens = TXT.array_size(toks, dialect)
+    n_distinct = TXT.array_size(dtoks, dialect)
+    if dialect == "spark":
+        top_freq = (
+            f"array_max(transform({dtoks}, "
+            f"t -> size(filter({toks}, x -> x = t))))"
+        )
+        n_chars = f"length(replace({TXT.array_join(toks, ' ', 'spark')}, ' ', ''))"
+    else:
+        top_freq = (
+            f"list_max(list_transform({dtoks}, "
+            f"t -> len(list_filter({toks}, x -> x = t))))"
+        )
+        n_chars = f"length(replace(array_to_string({toks}, ' '), ' ', ''))"
+    as_int = (lambda e: f"({e})::INT") if dialect == "duckdb" else (
+        lambda e: f"cast(({e}) as int)"
+    )
+    return {
+        "pass_len": as_int(f"{n_tokens} BETWEEN 10 AND 1000"),
+        "pass_diversity": as_int(f"{n_distinct} * 10 >= {n_tokens} * 3"),
+        "pass_top_freq": as_int(f"({top_freq}) * 5 <= {n_tokens}"),
+        "pass_word_len": as_int(
+            f"{n_chars} >= 3 * {n_tokens} AND {n_chars} <= 10 * {n_tokens}"
+        ),
+    }
+
+
 def fingerprint_expr(text_col: str, dialect: str) -> str:
     """Content fingerprint: md5 of the sorted distinct token set (word-order
     independent document identity)."""

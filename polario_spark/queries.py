@@ -2488,6 +2488,122 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "stratified_sample_split",
+    f"""
+WITH b AS (
+  SELECT lang,
+         {TXT.md5_int32("doc_id::VARCHAR", "duckdb")} % 100 AS bucket,
+         {TXT.array_size(TXT.tokens("text", "duckdb"), "duckdb")} AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens
+FROM b GROUP BY lang, split
+ORDER BY lang, split
+""",
+)
+def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test corpus split: md5(doc_id) % 100 ->
+    80/10/10 buckets, reported per language stratum. Content-addressed
+    hashing (not rand()) means the split is reproducible run-to-run and
+    machine-to-machine, survives repartitioning, and needs no stored
+    assignment table — the property a 100 TB corpus split must have.
+    Pure narrow map + one tiny shuffle of (lang, split) partials."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.expr(TXT.md5_int32("cast(doc_id as string)", "spark")) % 100
+    return (
+        docs.select(
+            "lang",
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.expr(TXT.array_size(TXT.tokens("text", "spark"), "spark")).alias(
+                "n_tokens"
+            ),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+_FILTER_FLAGS = ["pass_len", "pass_diversity", "pass_top_freq", "pass_word_len"]
+
+@_register(
+    "quality_filter_funnel",
+    f"""
+WITH f AS (
+  SELECT source,
+         {", ".join(f"{expr} AS {name}" for name, expr in text_analysis.filter_flag_exprs("text", "duckdb").items())}
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       {", ".join(f"sum({n}) AS n_{n}" for n in _FILTER_FLAGS)},
+       sum({" * ".join(_FILTER_FLAGS)}) AS n_pass_all
+FROM f GROUP BY source
+ORDER BY source
+""",
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning funnel: per-source document counts passing each
+    Gopher-style quality filter (token count, lexical diversity, top-token
+    frequency, mean word length) and all four together. Flags are integer
+    expressions evaluated inside the scan's codegen stage; the only
+    shuffle is |sources| partial-sum rows."""
+    docs = _t(spark, sf_dir, "documents")
+    flags = text_analysis.filter_flag_exprs("text", "spark")
+    flagged = docs.select(
+        "source", *[F.expr(expr).alias(name) for name, expr in flags.items()]
+    )
+    all_pass = F.expr(" * ".join(_FILTER_FLAGS))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum(n).alias(f"n_{n}") for n in _FILTER_FLAGS],
+            F.sum(all_pass).alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "dedup_clusters",
+    f"""
+SELECT cluster_size, count(*) AS n_clusters FROM (
+  SELECT component, count(*) AS cluster_size FROM (
+    {dedup.connected_components_sql(dedup.rolling_window_pairs_sql("documents", "doc_id", "text"))}
+  ) GROUP BY component
+) GROUP BY cluster_size
+ORDER BY cluster_size
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram: rolling-window fingerprint pairs ->
+    connected components (iterative min-label propagation, the one
+    genuinely iterative algorithm in the registry) -> component sizes.
+    The oracle computes the same components by recursive-CTE transitive
+    closure; the Spark loop does it in diameter-many |E|-sized rounds."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.rolling_window_pairs(docs, "doc_id", "text")
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -118,3 +118,32 @@ def test_multimodal_feature_plumbing(docs):
 def test_decode_image_is_stubbed(docs):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(docs)
+
+
+def test_connected_components(spark):
+    # two components: {1,2,3,4} via a chain (diameter 3, needs >1 round)
+    # and {10, 11}; min-id labels expected
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_quality_filter_flags(spark):
+    short_doc = "one two three"  # fails pass_len (3 tokens)
+    repetitive = " ".join(["spam"] * 40)  # fails diversity + top_freq
+    good = " ".join(f"word{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short_doc), (2, repetitive), (3, good)], "doc_id long, text string"
+    )
+    flags = text_analysis.filter_flag_exprs("text", "spark")
+    out = df.select(
+        "doc_id", *[F.expr(e).alias(n) for n, e in flags.items()]
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].pass_len == 0
+    assert rows[2].pass_diversity == 0 and rows[2].pass_top_freq == 0
+    assert all(
+        getattr(rows[3], n) == 1 for n in flags
+    )

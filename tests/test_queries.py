@@ -32,6 +32,9 @@ SUBSET = [
     "geomean_brand_price",
     "q11_important_parts",
     "q12_priority_by_linestatus",
+    "stratified_sample_split",
+    "quality_filter_funnel",
+    "dedup_clusters",
 ]
 
 
