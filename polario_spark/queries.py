@@ -2439,6 +2439,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(value_expr).alias("value"))
+        # both the threshold scalar and the filtered output consume this
+        # aggregate; Catalyst's ReuseExchange can't fire (the subtrees
+        # differ past the agg), so without materialization the lineitem
+        # scan+join+agg runs twice — checkpoint the ~|parts|-row frame once
+        .localCheckpoint()
     )
     total = per_part.agg((F.sum("value") * F.lit(0.001)).alias("__threshold"))
     return (
