@@ -2299,8 +2299,9 @@ ORDER BY s_name
 )
 def q20_heavy_gear_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: IN-subquery over a filtered aggregate -> left-semi
-    join. Only qualifying suppkeys cross the shuffle; supplier rows are
-    never duplicated."""
+    join. The qualifying-suppkey set is bounded by |supplier| after its
+    HAVING, so it broadcasts (semi-join build side); supplier never
+    shuffles and rows are never duplicated."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     heavy = (
@@ -2311,7 +2312,7 @@ def q20_heavy_gear_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = _t(spark, sf_dir, "supplier")
     return (
-        sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        sup.join(F.broadcast(heavy), sup.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
