@@ -2610,6 +2610,95 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "session_window_stats",
+    """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT n_events, count(*) AS n_sessions FROM (
+  SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid
+) GROUP BY n_events
+ORDER BY n_events
+""",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with Spark's native ``session_window`` (the
+    same operator the streaming path uses), summarized as a session-size
+    histogram. Session merge rule is half-open ([start, last+gap)): events
+    exactly gap apart start a new session — the oracle's gaps-and-islands
+    uses >= to match. One shuffle on user_id builds sessions; the
+    histogram shuffles |distinct sizes| partials."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        sessions.groupBy("n_events")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
+@_register(
+    "udtf_repeated_tokens",
+    f"""
+WITH rt AS (
+  SELECT doc_id, tok AS token, count(*) AS n
+  FROM (SELECT doc_id, unnest({TXT.tokens("text", "duckdb")}) AS tok FROM documents)
+  GROUP BY doc_id, tok HAVING count(*) >= 3
+)
+SELECT token, count(*) AS n_docs, sum(n) AS total_occurrences
+FROM rt GROUP BY token
+ORDER BY total_occurrences DESC, token
+LIMIT 20
+""",
+)
+def udtf_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4, Arrow-optimized): a lateral
+    table-function expands each document into its within-doc repeated
+    tokens (count >= 3), then a plain agg ranks tokens by total repeated
+    occurrences. The UDTF is embarrassingly parallel over document rows
+    and Arrow-batched (never row-pickled); everything after it is
+    codegen. Demonstrates UDTF registration + SQL LATERAL — for pure
+    token math the built-in explode path (see token_stats) is still the
+    preferred plan."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string, n int", useArrow=True)
+    class RepeatedTokens:
+        def eval(self, doc_id, text):
+            import re
+            from collections import Counter
+
+            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+            for tok, cnt in Counter(toks).items():
+                if cnt >= 3:
+                    yield doc_id, tok, cnt
+
+    spark.udtf.register("repeated_tokens", RepeatedTokens)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT token, count(*) AS n_docs, sum(n) AS total_occurrences
+        FROM __udtf_docs, LATERAL repeated_tokens(doc_id, text)
+        GROUP BY token
+        ORDER BY total_occurrences DESC, token
+        LIMIT 20
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
