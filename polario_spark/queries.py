@@ -2699,6 +2699,141 @@ def udtf_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "streaming_static_enrich",
+    """
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: events stream enriched with a broadcast
+    customer dimension, summarized per market segment. Must equal the
+    batch join exactly. See ``streaming.events.static_enrich`` for the
+    state/scale discussion (no state store; dim broadcast per trigger)."""
+    return streaming_events.static_enrich(spark, sf_dir)
+
+
+@_register(
+    "orc_roundtrip",
+    """
+SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip: write a lineitem projection to ORC
+    (Spark's second native columnar format — same vectorized reader,
+    predicate pushdown, and maxRecordsPerFile controls as Parquet), read
+    it back and aggregate. Proves format interchange preserves values
+    exactly; the write is a narrow projection so only 4 columns hit disk."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="polario_spark_orc_")
+    li.write.mode("overwrite").orc(f"{tmp}/lineitem")
+    back = spark.read.orc(f"{tmp}/lineitem")
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_register(
+    "ntile_price_deciles",
+    """
+SELECT o_orderpriority, decile, count(*) AS n,
+       round(avg(o_totalprice), 2) AS avg_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+GROUP BY o_orderpriority, decile
+ORDER BY o_orderpriority, decile
+""",
+)
+def ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile(10) deciles of order value within each
+    priority class. The window partitions by priority so no key funnels
+    the whole table into one task; a GLOBAL quantile at 100 TB would use
+    approx_percentile (t-digest, map-side combinable) instead of a
+    single-partition ranking window — that rule is the point of this
+    entry. Tie-broken on o_orderkey for a total order."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "decile")
+    )
+
+
+@_register(
+    "range_join_value_buckets",
+    """
+SELECT band, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+JOIN (VALUES ('000-050', 0.0, 50.0), ('050-100', 50.0, 100.0),
+             ('100-200', 100.0, 200.0), ('200-300', 200.0, 300.0),
+             ('300-500', 300.0, 500.0)) AS b(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+ORDER BY band
+""",
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: events banded against an interval dimension
+    via value >= lo AND value < hi. With a tiny broadcast dim this plans
+    as BroadcastNestedLoopJoin — O(rows x bands) comparisons inside each
+    task, no shuffle of the fact side, which is the right physical shape
+    for any dim that fits in memory. For large interval tables the
+    scalable rewrite is bin-and-equi-join: explode each interval into
+    fixed-width bins, join on floor(value/width), re-check the exact
+    bounds — turning the range join into a shuffle-free broadcast
+    equi-join on an integer key."""
+    bands = spark.createDataFrame(
+        [
+            ("000-050", 0.0, 50.0),
+            ("050-100", 50.0, 100.0),
+            ("100-200", 100.0, 200.0),
+            ("200-300", 200.0, 300.0),
+            ("300-500", 300.0, 500.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    ev = _t(spark, sf_dir, "events").select("value")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("band")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

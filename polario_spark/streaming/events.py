@@ -229,6 +229,49 @@ def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched with a static
+    customer dimension (user_id = c_custkey), summarized per market
+    segment.
+
+    The static side is a plain batch DataFrame broadcast into every
+    micro-batch — no state store is involved, so the join costs nothing
+    beyond the hash table and re-reads the dimension per trigger (picking
+    up dimension updates for free). This is the canonical streaming
+    enrichment shape; at 100 TB/day the dim stays broadcast as long as it
+    fits (~10s of MB), otherwise it becomes a shuffled stream-static join
+    on the same code.
+    """
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = _event_stream(spark, sf_dir).join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "inner"
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with an event-time range condition: each
     purchase joined to the same user's clicks in the preceding hour.

@@ -35,6 +35,9 @@ SUBSET = [
     "stratified_sample_split",
     "quality_filter_funnel",
     "dedup_clusters",
+    "orc_roundtrip",
+    "range_join_value_buckets",
+    "ntile_price_deciles",
 ]
 
 
