@@ -2834,6 +2834,200 @@ def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ols_price_per_brand",
+    """
+SELECT p_brand,
+       round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def ols_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map numerical kernel: per-brand ordinary-least-squares fit
+    of extendedprice on quantity via ``applyInPandas`` (closed-form
+    slope/intercept in numpy, one Arrow batch per brand). The oracle is
+    DuckDB's regr_slope/regr_intercept — proving the Python kernel matches
+    the SQL aggregate bit-for-bit after 2dp rounding. The join broadcasts
+    part's 2 needed columns; the grouped map shuffles only (brand, x, y)
+    triples. At 100 TB the same kernel holds as long as no single group
+    exceeds task memory — else rewrite as the map-side-combinable
+    sum-of-moments aggregate (which is exactly what regr_slope is)."""
+    import numpy as np
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy(dtype=np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        mx, my = x.mean(), y.mean()
+        cov = ((x - mx) * (y - my)).sum()
+        var = ((x - mx) ** 2).sum()
+        slope = cov / var
+        return pd.DataFrame(
+            {
+                "p_brand": [pdf["p_brand"].iloc[0]],
+                "slope": [round(slope, 2)],
+                "intercept": [round(my - slope * mx, 2)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return (
+        joined.groupBy("p_brand")
+        .applyInPandas(ols, "p_brand string, slope double, intercept double, n long")
+        .orderBy("p_brand")
+    )
+
+
+@_register(
+    "full_outer_nation_presence",
+    """
+SELECT coalesce(a.c_nationkey, b.s_nationkey) AS nationkey,
+       coalesce(a.n_customers, 0) AS n_customers,
+       coalesce(b.n_suppliers, 0) AS n_suppliers,
+       CASE WHEN a.c_nationkey IS NULL THEN 'supplier_only'
+            WHEN b.s_nationkey IS NULL THEN 'customer_only'
+            ELSE 'both' END AS presence
+FROM (SELECT c_nationkey, count(*) AS n_customers
+      FROM customer WHERE c_nationkey <= 14 GROUP BY c_nationkey) a
+FULL OUTER JOIN
+     (SELECT s_nationkey, count(*) AS n_suppliers
+      FROM supplier WHERE s_nationkey >= 10 GROUP BY s_nationkey) b
+  ON a.c_nationkey = b.s_nationkey
+ORDER BY nationkey
+""",
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with both null sides exercised (customer side
+    covers nations 0-14, supplier side 10-24 — disjoint tails by
+    construction), coalesced into a presence classification. Both inputs
+    are pre-aggregated to ~25 rows, so the outer join itself is a
+    broadcast-size hash join; the pattern scales because the shuffle is
+    on the already-reduced aggregates, never the base tables."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") <= 14)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 10)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    j = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.when(F.col("c_nationkey").isNull(), "supplier_only")
+        .when(F.col("s_nationkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("presence"),
+    ).orderBy("nationkey")
+
+
+@_register(
+    "upsert_roundtrip",
+    """
+WITH updates AS (
+  SELECT o_orderkey, o_totalprice + 1000 AS new_price
+  FROM orders WHERE o_orderkey % 10 = 0
+), inserts AS (
+  SELECT -o_orderkey AS o_orderkey, 'N' AS o_orderstatus,
+         o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey > 0
+), merged AS (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         coalesce(u.new_price, o.o_totalprice) AS o_totalprice
+  FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+  UNION ALL
+  SELECT * FROM inserts
+)
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (MERGE) on plain parquet: apply an updates set (fixed price
+    adjustment — exactly representable, so no engine-rounding drift) and
+    an inserts set (synthetic negative-key rows) to the orders
+    table with the left-join + coalesce + union rewrite, write the merged
+    table to parquet, read it back, and aggregate. This is the
+    transactionless shape of what Delta's MERGE INTO executes under a
+    transaction log (see DeltaDataset); on a partitioned target the
+    rewrite joins only the touched partitions (dynamic overwrite scopes
+    the commit). Updates join on the primary key — broadcastable while
+    the changeset is small, shuffle-hash beyond that."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000).alias("new_price")
+    )
+    inserts = orders.filter(
+        (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") > 0)
+    ).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    merged = (
+        orders.join(F.broadcast(updates), "o_orderkey", "left_outer")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+        )
+        .unionByName(inserts)
+    )
+    tmp = tempfile.mkdtemp(prefix="polario_spark_upsert_")
+    merged.write.mode("overwrite").parquet(f"{tmp}/orders")
+    back = spark.read.parquet(f"{tmp}/orders")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@_register("approx_price_quantiles", None)
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles: approx_percentile (Greenwald-Khanna) of
+    order value per priority class — the map-side-combinable path for
+    global/grouped quantiles at 100 TB, where an exact sort-based
+    percentile would shuffle the full table. Approximate by contract, so
+    this entry is rows-only checked (like approx_distinct_users); the
+    exact-percentile counterpart `price_percentiles` is hash-gated."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000
+            ).alias("price_quantiles"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

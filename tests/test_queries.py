@@ -38,6 +38,9 @@ SUBSET = [
     "orc_roundtrip",
     "range_join_value_buckets",
     "ntile_price_deciles",
+    "ols_price_per_brand",
+    "full_outer_nation_presence",
+    "upsert_roundtrip",
 ]
 
 
@@ -86,6 +89,6 @@ def test_every_query_has_oracle_or_reason():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     missing = set(qs) - set(oracles)
     # only genuinely non-value-matchable ops may omit the oracle:
-    # approx_count_distinct is an engine-specific HLL sketch (Spark HLL++
-    # vs DuckDB approx give different estimates for identical input)
-    assert missing == {"approx_distinct_users"}
+    # engine-specific sketches (Spark HLL++ vs DuckDB approx; Spark GK
+    # percentile sketch) give different estimates for identical input
+    assert missing == {"approx_distinct_users", "approx_price_quantiles"}
