@@ -59,6 +59,32 @@ def test_hive_dataset_partition_pruning(spark, tmp_path, example_df_1):
     assert "PartitionFilters" in plan and "p1" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_hive_dataset_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a partitioned fact on its partition column against a
+    filtered dim must trigger dynamic partition pruning: the fact scan's
+    PartitionFilters gains a dynamicpruning expression fed by the dim's
+    broadcast, so only the dim-selected partitions are ever read — the
+    mechanism that keeps star joins over a 100 TB partitioned table from
+    scanning every partition."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderstatus").cast("string").alias("status"),
+    )
+    ds = HiveDataset(spark, str(tmp_path / "fact"), ["status"])
+    ds.write(orders)
+    dim = spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    ).filter(F.col("label") == "open")
+    fact = unwrap(ds.scan())
+    joined = fact.join(dim, "status").groupBy("label").agg(
+        F.sum("o_totalprice").alias("total")
+    )
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_dedup_minhash_single_agg_pass(spark):
     """The signature computation must be ONE aggregate over the exploded
     shingles, not k passes."""
