@@ -1,3 +1,3 @@
-from polario_spark.functions import text, vector
+from polario_spark.functions import text, vector, zorder
 
-__all__ = ["text", "vector"]
+__all__ = ["text", "vector", "zorder"]

@@ -147,3 +147,51 @@ def test_quality_filter_flags(spark):
     assert all(
         getattr(rows[3], n) == 1 for n in flags
     )
+
+
+def test_zorder_tightens_file_ranges(spark, tmp_path):
+    """Z-order layout: writing lineitem clustered by the Morton key of
+    (l_orderkey, l_partkey) must shrink the average per-file min/max span
+    on BOTH columns versus round-robin layout — the property parquet
+    min/max skipping prunes on. A single-column sort could only tighten
+    one of the two."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from polario_spark.functions.zorder import zorder_frame
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+    def avg_spans(path: str) -> dict[str, float]:
+        spans = {"l_orderkey": [], "l_partkey": []}
+        for f in Path(path).glob("*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            lo = {c: None for c in spans}
+            hi = {c: None for c in spans}
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                for i in range(group.num_columns):
+                    col = group.column(i)
+                    name = col.path_in_schema
+                    if name in spans:
+                        st = col.statistics
+                        lo[name] = st.min if lo[name] is None else min(lo[name], st.min)
+                        hi[name] = st.max if hi[name] is None else max(hi[name], st.max)
+            for c in spans:
+                spans[c].append(hi[c] - lo[c])
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    base = str(tmp_path / "plain")
+    # round-robin spread: every file sees the full key range
+    li.repartition(8).write.parquet(base)
+    zdf = zorder_frame(li, ["l_orderkey", "l_partkey"])
+    zpath = str(tmp_path / "zorder")
+    zdf.repartitionByRange(8, "__zkey").sortWithinPartitions("__zkey").drop(
+        "__zkey"
+    ).write.parquet(zpath)
+
+    plain, z = avg_spans(base), avg_spans(zpath)
+    assert z["l_orderkey"] < plain["l_orderkey"] * 0.6, (plain, z)
+    assert z["l_partkey"] < plain["l_partkey"] * 0.6, (plain, z)
