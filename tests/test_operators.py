@@ -195,3 +195,31 @@ def test_zorder_tightens_file_ranges(spark, tmp_path):
     plain, z = avg_spans(base), avg_spans(zpath)
     assert z["l_orderkey"] < plain["l_orderkey"] * 0.6, (plain, z)
     assert z["l_partkey"] < plain["l_partkey"] * 0.6, (plain, z)
+
+
+def test_null_and_empty_text_robustness(spark):
+    """Real corpora carry null/empty/short documents; every text operator
+    must stay total over them. Contract: docs with no extractable
+    shingles/windows simply produce no dedup candidates (they can never
+    be near-dups); fingerprint propagates null (consistent with SQL md5
+    semantics, so oracle parity holds); per-doc metrics stay one row per
+    input doc."""
+    df = spark.createDataFrame(
+        [
+            (1, "hello world foo bar baz", "en"),
+            (2, None, "en"),
+            (3, "", "de"),
+            (4, "short", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    sigs = dedup.minhash_signatures(df, "doc_id", "text")
+    assert sigs.count() == 1  # only the real document signs
+    fp = dedup.content_fingerprint(df, "text")
+    assert fp.count() == 4
+    assert fp.filter("doc_id = 2").first()["fingerprint"] is None
+    sh = dedup.simhash(df, "doc_id", "text")
+    assert sh.filter(F.col("doc_id").isNull()).count() == 0
+    assert dedup.rolling_window_pairs(df, "doc_id", "text").count() == 0
+    metrics = text_analysis.doc_metrics(df)
+    assert metrics.count() == 4
