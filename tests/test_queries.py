@@ -42,6 +42,7 @@ SUBSET = [
     "full_outer_nation_presence",
     "upsert_roundtrip",
     "events_gapfill",
+    "incremental_rollup",
 ]
 
 
