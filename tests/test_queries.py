@@ -43,6 +43,7 @@ SUBSET = [
     "upsert_roundtrip",
     "events_gapfill",
     "incremental_rollup",
+    "events_variant_extract",
 ]
 
 
