@@ -3195,6 +3195,57 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "compact_roundtrip",
+    """
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction in the gate: write orders partitioned by
+    status with tiny fragments (append-history simulation), ``compact()``
+    down to target-size fragments, and prove the data survives byte-exact.
+    Fragment count must strictly drop — asserted here so the gate fails
+    if compaction ever stops compacting. See HiveDataset.compact for the
+    per-partition scoping that bounds the rewrite at scale."""
+    from polario_spark import unwrap
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderstatus").cast("string").alias("status"),
+    )
+    tmp = tempfile.mkdtemp(prefix="polario_spark_compact_")
+    ds = HiveDataset(
+        spark, f"{tmp}/orders", ["status"], max_rows_per_fragment=500
+    )
+    ds.write(orders)
+    before = sum(
+        len(ds.url.list_parquet_files(ds.url.join(p)))
+        for p in ds._partition_paths()  # noqa: SLF001
+    )
+    ds.max_rows_per_fragment = 1_000_000
+    ds.compact()
+    after = sum(
+        len(ds.url.list_parquet_files(ds.url.join(p)))
+        for p in ds._partition_paths()  # noqa: SLF001
+    )
+    if after >= before:
+        raise AssertionError(f"compact did not reduce fragments: {before}->{after}")
+    return (
+        unwrap(ds.scan())
+        .groupBy(F.col("status").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 
