@@ -3246,6 +3246,80 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_dim_stats",
+    """
+SELECT i AS dim, round(avg(embedding[i + 1]), 4) AS avg_val,
+       round(stddev_samp(embedding[i + 1]), 4) AS std_val,
+       round(min(embedding[i + 1]), 4) AS min_val,
+       round(max(embedding[i + 1]), 4) AS max_val
+FROM embeddings, range(0, 64) t(i)
+GROUP BY 1
+ORDER BY dim
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution statistics over the embedding column via
+    ``posexplode`` — the feature-drift / normalization profile a vector
+    pipeline computes before indexing. The explode emits (dim, val) pairs
+    — O(n x d) narrow rows that partial-aggregate map-side down to d rows
+    before the shuffle, so the exchange carries 64 rows per task no
+    matter the corpus size. (The DuckDB oracle indexes the array against
+    a range table — same arithmetic, no ordinality needed.)"""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "val")
+    )
+    return (
+        emb.groupBy("dim")
+        .agg(
+            F.round(F.avg("val"), 4).alias("avg_val"),
+            F.round(F.stddev_samp("val"), 4).alias("std_val"),
+            F.round(F.min("val"), 4).alias("min_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
+
+
+@_register(
+    "unpivot_lineitem_measures",
+    """
+WITH wide AS (
+  SELECT l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, measure, value FROM (
+  SELECT l_linestatus, 'sum_qty' AS measure, sum_qty AS value FROM wide
+  UNION ALL
+  SELECT l_linestatus, 'sum_base', sum_base FROM wide
+  UNION ALL
+  SELECT l_linestatus, 'sum_disc', sum_disc FROM wide
+)
+ORDER BY l_linestatus, measure
+""",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): a wide per-status aggregate turned long with
+    ``DataFrame.unpivot`` — pivot's inverse (see pivot_returnflag for the
+    other direction). Unpivot is a narrow per-row expansion (no shuffle);
+    the only exchange is the upstream aggregation's. The measures are
+    rounded before melting so both engines stringify identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_linestatus"], ["sum_qty", "sum_base", "sum_disc"], "measure", "value"
+    ).orderBy("l_linestatus", "measure")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -44,6 +44,8 @@ SUBSET = [
     "events_gapfill",
     "incremental_rollup",
     "events_variant_extract",
+    "embedding_dim_stats",
+    "unpivot_lineitem_measures",
 ]
 
 
