@@ -3320,6 +3320,76 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_linestatus", "measure")
 
 
+@_register(
+    "set_ops_all",
+    """
+WITH heavy AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 45),
+     returned AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM heavy INTERSECT ALL SELECT * FROM returned)) AS n_intersect_all,
+  (SELECT count(*) FROM (SELECT * FROM heavy EXCEPT ALL SELECT * FROM returned)) AS n_except_all,
+  (SELECT count(*) FROM (SELECT * FROM heavy INTERSECT SELECT * FROM returned)) AS n_intersect,
+  (SELECT count(*) FROM (SELECT * FROM heavy EXCEPT SELECT * FROM returned)) AS n_except
+""",
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL preserve
+    multiplicity (min / saturating difference of per-value counts) vs the
+    distinct variants — the duplicate-aware contrast `parts_set_ops`
+    doesn't cover. Spark plans ALL-variants as an aggregate of per-side
+    counts joined on value (one shuffle each) — no row-pair explosion at
+    any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    heavy = li.filter(F.col("l_quantity") > 45).select("l_partkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+
+    def n(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(alias))
+
+    # one declarative plan (cross joins of 1-row aggregates), no driver
+    # round-trips — the scalar-subquery shape of the oracle
+    return (
+        n(heavy.intersectAll(returned), "n_intersect_all")
+        .crossJoin(n(heavy.exceptAll(returned), "n_except_all"))
+        .crossJoin(n(heavy.intersect(returned), "n_intersect"))
+        .crossJoin(n(heavy.subtract(returned), "n_except"))
+    )
+
+
+@_register(
+    "region_nation_list",
+    """
+SELECT r_name, count(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+)
+def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect_list is order-nondeterministic
+    under parallel merge, so every list-valued aggregate must be sorted
+    (sort_array) before presentation/hashing — here flattened with
+    array_join to match SQL string_agg(ORDER BY). The rule that makes
+    array results reproducible on any cluster."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -46,6 +46,8 @@ SUBSET = [
     "events_variant_extract",
     "embedding_dim_stats",
     "unpivot_lineitem_measures",
+    "set_ops_all",
+    "region_nation_list",
 ]
 
 
