@@ -3390,6 +3390,58 @@ def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dq_violations",
+    """
+SELECT
+  count(*) AS n_rows,
+  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_keys,
+  sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS nonpositive_qty,
+  sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS negative_price,
+  sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+    AS discount_out_of_range,
+  sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+             OR l_shipdate >= TIMESTAMP '2005-01-01' THEN 1 ELSE 0 END)
+    AS shipdate_out_of_range,
+  sum(CASE WHEN l_tax < 0 OR l_tax > 0.08 THEN 1 ELSE 0 END)
+    AS tax_out_of_range,
+  sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+    AS bad_returnflag
+FROM lineitem
+""",
+)
+def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: every expectation (null keys, non-positive
+    quantities, out-of-range discounts/taxes/dates, enum domain)
+    evaluated as a conditional sum in ONE scan pass — the cheap
+    always-on gate a 100 TB ingest runs before committing a batch, in
+    contrast to one-query-per-rule frameworks that rescan per check. All
+    expressions live in the scan's codegen stage; the exchange carries a
+    single partial-sums row per task."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def viol(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("l_orderkey").isNull(), "null_keys"),
+        viol(F.col("l_quantity") <= 0, "nonpositive_qty"),
+        viol(F.col("l_extendedprice") < 0, "negative_price"),
+        viol(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+            "discount_out_of_range",
+        ),
+        viol(
+            (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("l_shipdate") >= F.lit("2005-01-01").cast("timestamp")),
+            "shipdate_out_of_range",
+        ),
+        viol((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08), "tax_out_of_range"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R"), "bad_returnflag"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -48,6 +48,7 @@ SUBSET = [
     "unpivot_lineitem_measures",
     "set_ops_all",
     "region_nation_list",
+    "dq_violations",
 ]
 
 
