@@ -3442,6 +3442,56 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "recursive_month_spine",
+    """
+WITH RECURSIVE months(m) AS (
+  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months
+  WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+), per_month AS (
+  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+  FROM orders GROUP BY 1
+)
+SELECT strftime(months.m, '%Y-%m') AS month,
+       coalesce(per_month.n, 0) AS n_orders,
+       coalesce(per_month.total, 0.0) AS total_price
+FROM months LEFT JOIN per_month ON months.m = per_month.m
+ORDER BY month
+""",
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a month spine grown
+    recursively from the observed order-date bounds, left-joined to
+    per-month aggregates so empty months surface as zero rows. The same
+    dense-spine semantics as events_gapfill but expressed in pure SQL
+    recursion — each iteration is one tiny row-append, the fact table is
+    aggregated exactly once. (For deep recursions prefer the closed-form
+    sequence()+explode; recursion depth here is O(months).)"""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__rec_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT date_trunc('month', (SELECT min(o_orderdate) FROM __rec_orders))
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM __rec_orders))
+        ), per_month AS (
+          SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
+                 round(sum(o_totalprice), 2) AS total
+          FROM __rec_orders GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               coalesce(per_month.n, 0) AS n_orders,
+               coalesce(per_month.total, 0.0) AS total_price
+        FROM months LEFT JOIN per_month ON months.m = per_month.m
+        ORDER BY month
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -49,6 +49,7 @@ SUBSET = [
     "set_ops_all",
     "region_nation_list",
     "dq_violations",
+    "recursive_month_spine",
 ]
 
 
