@@ -3492,6 +3492,60 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "order_value_extremes_window",
+    """
+SELECT o_orderpriority, top_key, third_key, bottom_key, n FROM (
+  SELECT o_orderpriority,
+         first_value(o_orderkey) OVER w AS top_key,
+         nth_value(o_orderkey, 3) OVER w AS third_key,
+         last_value(o_orderkey) OVER w AS bottom_key,
+         count(*) OVER w AS n,
+         row_number() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+WHERE rn = 1
+ORDER BY o_orderpriority
+""",
+)
+def order_value_extremes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions over an explicit full frame:
+    first_value / nth_value / last_value identify the highest, 3rd, and
+    lowest-value order per priority in one windowed pass (tie-broken on
+    the key for a total order). last_value is only meaningful with the
+    UNBOUNDED FOLLOWING frame — the default frame stops at CURRENT ROW,
+    the classic silent-wrong-answer; pinning it explicitly is the point
+    of this entry."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.first("o_orderkey").over(w).alias("top_key"),
+            F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+            F.last("o_orderkey").over(w).alias("bottom_key"),
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.row_number()
+            .over(
+                Window.partitionBy("o_orderpriority").orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey")
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_orderpriority")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

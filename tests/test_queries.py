@@ -50,6 +50,7 @@ SUBSET = [
     "region_nation_list",
     "dq_violations",
     "recursive_month_spine",
+    "order_value_extremes_window",
 ]
 
 
