@@ -3546,6 +3546,56 @@ def order_value_extremes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "zipwith_consecutive_dot",
+    """
+SELECT a.label,
+       count(*) AS n_pairs,
+       round(avg(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
+         AS avg_dot,
+       round(min(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
+         AS min_dot,
+       round(max(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
+         AS max_dot
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+GROUP BY a.label
+ORDER BY a.label
+""",
+)
+def zipwith_consecutive_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on vector pairs: ``zip_with`` multiplies
+    two embedding columns element-wise and ``aggregate`` sums in DOUBLE —
+    the expression-only dot product (no UDF, no explode) between each
+    vector and its successor, summarized per label. Fine for per-row pair
+    arithmetic; bulk pairwise scoring goes through the tiled GEMM path
+    (dedup_embedding_cosine) because higher-order fns are interpreted,
+    not codegen'd — that boundary is the point of this entry."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "vec_id", "label", F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "vec_id")
+        .select("label", dot.alias("dot"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("dot"), 4).alias("avg_dot"),
+            F.round(F.min("dot"), 4).alias("min_dot"),
+            F.round(F.max("dot"), 4).alias("max_dot"),
+        )
+        .orderBy("label")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -51,6 +51,7 @@ SUBSET = [
     "dq_violations",
     "recursive_month_spine",
     "order_value_extremes_window",
+    "zipwith_consecutive_dot",
 ]
 
 
