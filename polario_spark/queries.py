@@ -3445,11 +3445,12 @@ def dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "recursive_month_spine",
     """
-WITH RECURSIVE months(m) AS (
-  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+WITH RECURSIVE months(m, hi) AS (
+  SELECT date_trunc('month', min(o_orderdate)),
+         date_trunc('month', max(o_orderdate))
+  FROM orders
   UNION ALL
-  SELECT m + INTERVAL 1 MONTH FROM months
-  WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+  SELECT m + INTERVAL 1 MONTH, hi FROM months WHERE m < hi
 ), per_month AS (
   SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
          round(sum(o_totalprice), 2) AS total
@@ -3467,17 +3468,20 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursively from the observed order-date bounds, left-joined to
     per-month aggregates so empty months surface as zero rows. The same
     dense-spine semantics as events_gapfill but expressed in pure SQL
-    recursion — each iteration is one tiny row-append, the fact table is
-    aggregated exactly once. (For deep recursions prefer the closed-form
-    sequence()+explode; recursion depth here is O(months).)"""
+    recursion. The date bounds ride ALONG the recursion as a carried
+    column — an anchor-only scan; putting the max-date subquery in the
+    recursive step's WHERE would rescan the fact table once per
+    iteration (measured 10.5s -> ~1s at sf0.1). For deep recursions
+    prefer the closed-form sequence()+explode; depth here is O(months)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("__rec_orders")
     return spark.sql(
         """
-        WITH RECURSIVE months(m) AS (
-          SELECT date_trunc('month', (SELECT min(o_orderdate) FROM __rec_orders))
+        WITH RECURSIVE months(m, hi) AS (
+          SELECT date_trunc('month', min(o_orderdate)),
+                 date_trunc('month', max(o_orderdate))
+          FROM __rec_orders
           UNION ALL
-          SELECT m + INTERVAL '1' MONTH FROM months
-          WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM __rec_orders))
+          SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi
         ), per_month AS (
           SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n,
                  round(sum(o_totalprice), 2) AS total
