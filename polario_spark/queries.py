@@ -3338,7 +3338,12 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct variants — the duplicate-aware contrast `parts_set_ops`
     doesn't cover. Spark plans ALL-variants as an aggregate of per-side
     counts joined on value (one shuffle each) — no row-pair explosion at
-    any scale."""
+    any scale. Note this entry deliberately exercises the four operators,
+    which costs one scan pair per op (8 scans total, no subplan CSE); a
+    production job computing several set measures at once should instead
+    aggregate per-value counts ONCE and derive all four as
+    sum(least(c1,c2)) / sum(greatest(c1-c2,0)) / count_if(c1>0 AND c2>0)
+    / count_if(c1>0 AND c2=0) — one scan, one shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     heavy = li.filter(F.col("l_quantity") > 45).select("l_partkey")
     returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
