@@ -3605,6 +3605,46 @@ def zipwith_consecutive_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "argmax_supplier_per_nation",
+    """
+SELECT n_name,
+       arg_max(s_name, printf('%012.2f|%s', s_acctbal + 10000, s_name))
+         AS best_supplier,
+       round(max(s_acctbal), 2) AS best_bal,
+       count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+)
+def argmax_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregates: ``max_by`` picks each nation's richest supplier
+    in ONE map-side-combinable aggregation — no window, no self-join
+    (contrast cheapest_supplier_per_part, which shows the window form).
+    Ties are broken deterministically by maximizing over a fixed-width
+    composed key (offset-padded balance | name) so both engines agree on
+    any cluster; bare max_by on a tied ordinal is nondeterministic under
+    parallel merge — same trap as unsorted collect_list."""
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_name", "s_acctbal"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    key = F.format_string(
+        "%012.2f|%s", F.col("s_acctbal") + 10000, F.col("s_name")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("s_name", key).alias("best_supplier"),
+            F.round(F.max("s_acctbal"), 2).alias("best_bal"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -52,6 +52,7 @@ SUBSET = [
     "recursive_month_spine",
     "order_value_extremes_window",
     "zipwith_consecutive_dot",
+    "argmax_supplier_per_nation",
 ]
 
 
