@@ -3645,6 +3645,53 @@ def argmax_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "federated_three_formats",
+    """
+SELECT c_mktsegment, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federation across source formats in one plan: the customer dim is
+    re-materialized as JSON-lines, orders as headered CSV, lineitem stays
+    parquet — then a single three-way join aggregates across all three.
+    Catalyst treats every source uniformly (pushdown/pruning per format
+    capability), so heterogeneous lakes don't force a conversion pass;
+    the join strategy (broadcast dims, fact stationary) is format-blind."""
+    tmp = tempfile.mkdtemp(prefix="polario_spark_fed_")
+    _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").write.mode(
+        "overwrite"
+    ).json(f"{tmp}/customer")
+    _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).write.mode("overwrite").option("header", "true").csv(f"{tmp}/orders")
+    cust = spark.read.json(f"{tmp}/customer")
+    orders = spark.read.option("header", "true").csv(f"{tmp}/orders").select(
+        F.col("o_orderkey").cast("long"), F.col("o_custkey").cast("long")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

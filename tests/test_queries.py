@@ -53,6 +53,7 @@ SUBSET = [
     "order_value_extremes_window",
     "zipwith_consecutive_dot",
     "argmax_supplier_per_nation",
+    "federated_three_formats",
 ]
 
 
