@@ -1,7 +1,13 @@
 """Benchmark runner: times every registry query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+SHORT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ... top-10 slowest only}, "sf": ..., "n_queries": N,
+"n_errors": E}.
+
+Round-1 lesson: the full 100-entry per-query map exceeded the driver's
+line-capture and BENCH_r01.json recorded "parsed": null. The stdout line
+is now kept compact (top-10 slowest queries only); the complete per-query
+map is written to bench_full.json next to this script.
 
 Each query is timed end-to-end (plan build + execution to a driver-side
 collect) in a shared session, after one tiny warm-up action so JVM/codegen
@@ -47,14 +53,28 @@ def main() -> None:
             print(f"ERROR {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    n_errors = sum(1 for t in timings.values() if t < 0)
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(sidecar, "w") as fh:
+        json.dump(
+            {"sf": sf, "total_sec": total, "n_errors": n_errors, "queries": timings},
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": top10,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "n_errors": n_errors,
             }
         )
     )

@@ -23,9 +23,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: bits per dimension; 16 bits x up to 4 dims fits a signed 64-bit key
+#: max bits per dimension. The interleaved key must stay clear of the
+#: sign bit of a signed 64-bit long: the top bit of dim i lands at
+#: position (bits-1)*ndim + i, so ndim * bits <= 63 is required (16 x 4
+#: = 64 would push dim 3's top bit to position 63 and produce NEGATIVE
+#: keys that sort before all positive ones, breaking Morton order).
+#: _effective_bits() caps accordingly: 16 for 2-3 dims, 15 for 4.
 BITS = 16
-_MAX_BUCKET = (1 << BITS) - 1
+
+
+def _effective_bits(ndim: int) -> int:
+    return min(BITS, 63 // ndim)
 
 # magic-number bit spreads: 16 relevant bits -> 64 with (ndim-1)-zero gaps.
 # Standard morton-code constants for 2-way interleave; the 3/4-way cases
@@ -45,13 +53,13 @@ def _spread_2way(c: Column) -> Column:
     return c
 
 
-def _spread_nway(c: Column, ndim: int) -> Column:
+def _spread_nway(c: Column, ndim: int, bits: int) -> Column:
     """Generic bit spread: bit i of c moves to position i*ndim."""
     parts = [
         F.shiftleft(
             F.shiftright(c, i).bitwiseAND(F.lit(1)), i * ndim
         )
-        for i in range(BITS)
+        for i in range(bits)
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -59,17 +67,18 @@ def _spread_nway(c: Column, ndim: int) -> Column:
     return out
 
 
-def _bucket(col: Column, lo: Column, hi: Column) -> Column:
-    """Normalize a numeric column into [0, 2^BITS) using per-dataset
+def _bucket(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Normalize a numeric column into [0, 2^bits) using per-dataset
     bounds. Constant columns (hi == lo) map to bucket 0."""
+    max_bucket = (1 << bits) - 1
     span = hi - lo
     scaled = F.when(
         span > 0,
-        ((col.cast("double") - lo) / span * _MAX_BUCKET),
+        ((col.cast("double") - lo) / span * max_bucket),
     ).otherwise(F.lit(0.0))
     return F.least(
         F.greatest(F.floor(scaled).cast("long"), F.lit(0)),
-        F.lit(_MAX_BUCKET),
+        F.lit(max_bucket),
     )
 
 
@@ -82,10 +91,13 @@ def morton_key(cols: list[Column], bounds: list[tuple[Column, Column]]) -> Colum
     ndim = len(cols)
     if not 2 <= ndim <= 4:
         raise ValueError("morton_key supports 2-4 dimensions")
-    spread = _spread_2way if ndim == 2 else (lambda c: _spread_nway(c, ndim))
+    bits = _effective_bits(ndim)
+    spread = (
+        _spread_2way if ndim == 2 else (lambda c: _spread_nway(c, ndim, bits))
+    )
     key = None
     for i, (col, (lo, hi)) in enumerate(zip(cols, bounds)):
-        part = F.shiftleft(spread(_bucket(col, lo, hi)), i)
+        part = F.shiftleft(spread(_bucket(col, lo, hi, bits)), i)
         key = part if key is None else key.bitwiseOR(part)
     return key
 

@@ -201,6 +201,13 @@ class HiveDataset:
                 ordered = ordered.sortWithinPartitions(*sort_by)
         writer = ordered.write.option("maxRecordsPerFile", self.max_rows_per_fragment)
         if self.partition_columns:
+            # force DYNAMIC overwrite at the writer level, not just via the
+            # session conf (which the driver may own and refuse to set): a
+            # session defaulting to STATIC would otherwise delete every
+            # partition absent from df — data loss vs the reference's
+            # replace-only-touched-partitions contract
+            # (/root/reference/polario/hive_dataset.py:412-415)
+            writer = writer.option("partitionOverwriteMode", "dynamic")
             writer = writer.partitionBy(*self.partition_columns)
         return writer
 

@@ -284,9 +284,9 @@ def foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically). Appending map-side partials and aggregating at
     read keeps the per-batch work tiny; the ledger compaction is the same
     partial->final pattern every distributed agg uses."""
-    import tempfile
+    from polario_spark.workdir import work_dir
 
-    out = tempfile.mkdtemp(prefix="polario_spark_feb_") + "/partials"
+    out = work_dir(spark, "foreachbatch_totals") + "/partials"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (

@@ -1,0 +1,38 @@
+"""Per-session scratch directories for queries that materialize data.
+
+Round-1 lesson: roundtrip/bucketed/federated registry entries called
+``tempfile.mkdtemp`` per invocation and never cleaned up, so repeated
+gate + bench runs accumulated orphaned directories under /tmp. Every
+scratch path now lives under one root keyed by the Spark applicationId:
+
+- re-invoking the same query in one session WIPES and reuses its dir
+  (no growth within a run);
+- the whole per-app root is removed at interpreter exit (no growth
+  across runs);
+- concurrent sessions never collide (distinct applicationIds).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_WORK_ROOT = os.path.join(tempfile.gettempdir(), "polario_spark_work")
+_cleanup_registered: set[str] = set()
+
+
+def work_dir(spark: SparkSession, kind: str) -> str:
+    """A fresh, empty scratch dir for ``kind``, stable within a session."""
+    app_root = os.path.join(_WORK_ROOT, spark.sparkContext.applicationId)
+    path = os.path.join(app_root, kind)
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    if app_root not in _cleanup_registered:
+        _cleanup_registered.add(app_root)
+        atexit.register(shutil.rmtree, app_root, True)
+    return path

@@ -1,6 +1,15 @@
 """Local mirror of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() on DuckDB, compare row count, column names,
-and order-insensitive values.
+Arrow-level column TYPES, and order-insensitive values.
+
+The round-1 driver hash check is type-sensitive: DuckDB typing a bare
+integer sum() as HUGEINT (Arrow decimal128(38,0)) while Spark returns
+int64 fails the hash even when every value compares equal. The previous
+version of this gate stringified values (str(Decimal(5)) == str(5)) and
+was blind to exactly that class. Now both result sets go through Arrow
+and column types must match up to a small allowlist of equivalences the
+driver demonstrably accepts (timestamp tz annotation, string vs
+large_string), which value-hash identically.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
@@ -11,12 +20,41 @@ import math
 import sys
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from polario_spark import get_spark  # noqa: E402
 from polario_spark.sources.tables import TABLES  # noqa: E402
+
+
+def _canon_type(t: pa.DataType) -> str:
+    """Canonical type name; collapses ONLY equivalences that hash the same.
+
+    Spark exports timestamps as timestamp[us, tz=UTC] (session tz) where
+    DuckDB yields timestamp[us]; both render the same wall-clock value once
+    collected, and round-1 driver runs accepted them (events_hourly et al.
+    passed hash). Integer WIDTHS are likewise driver-equivalent — round 1
+    green rows include int8-vs-int64 (cube_sales grouping flags) and
+    int32-vs-int64 (order_rank_window rn, ann_topk rank): Python ints hash
+    identically whatever the Arrow width. What the driver does NOT accept
+    is a kind change — decimal vs int (HUGEINT sums, the round-1 failure
+    class), decimal vs float, int vs float — so those stay strict.
+    """
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    if pa.types.is_integer(t):
+        return "int"
+    return str(t)
+
+
+def _type_map(tbl: pa.Table) -> dict[str, str]:
+    return {f.name: _canon_type(f.type) for f in tbl.schema}
 
 
 def normalize(rows, columns):
@@ -51,6 +89,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stbl = sdf.toArrow()
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             failures.append(name)
@@ -61,8 +100,11 @@ def main() -> int:
             continue
         try:
             rel = con.sql(oracles[name])
-            dcols = list(rel.columns)
-            drows = rel.fetchall()
+            dtbl = rel.arrow()
+            dcols = list(dtbl.schema.names)
+            drows = [
+                tuple(d[c] for c in dcols) for d in dtbl.to_pylist()
+            ]
         except Exception as exc:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {str(exc)[:200]}")
@@ -70,6 +112,14 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             failures.append(name)
             print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            continue
+        stypes, dtypes = _type_map(stbl), _type_map(dtbl)
+        mistyped = {
+            c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]
+        }
+        if mistyped:
+            failures.append(name)
+            print(f"FAIL  {name}: column types differ (spark, duck): {mistyped}")
             continue
         sn, dn = normalize(srows, scols), normalize(drows, dcols)
         if len(sn) != len(dn):
