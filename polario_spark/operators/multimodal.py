@@ -44,17 +44,35 @@ def extract_binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads = pdf["payload"]
+            # one flat uint8 view of the whole Arrow batch; per-row stats
+            # fall out of cumulative sums over row-boundary offsets — no
+            # per-byte (or even per-row) Python
+            lens = np.fromiter((len(b) for b in payloads), np.int64, len(payloads))
+            buf = np.frombuffer(b"".join(payloads), np.uint8)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            ascii_cum = np.concatenate(([0], np.cumsum(buf < 128, dtype=np.int64)))
+            ascii_counts = ascii_cum[ends] - ascii_cum[starts]
+            nonempty = lens > 0
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "byte_len": payloads.map(len),
-                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
-                    "ascii_ratio": payloads.map(
-                        lambda b: round(sum(x < 128 for x in b) / len(b), 4)
-                        if len(b)
-                        else 0.0
+                    "byte_len": lens,
+                    "first_byte": (
+                        np.where(
+                            nonempty, buf[np.minimum(starts, len(buf) - 1)], -1
+                        ).astype(np.int64)
+                        if len(buf)
+                        else np.full(len(lens), -1, np.int64)
+                    ),
+                    "ascii_ratio": np.where(
+                        nonempty,
+                        np.round(ascii_counts / np.maximum(lens, 1), 4),
+                        0.0,
                     ),
                 }
             )
@@ -99,22 +117,34 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, idxs, lens, sums = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 n = len(payload)
-                for ci in range(0, (n + FRAME_CHUNK - 1) // FRAME_CHUNK, FRAME_STRIDE):
-                    chunk = payload[ci * FRAME_CHUNK : (ci + 1) * FRAME_CHUNK]
-                    ids.append(doc_id)
-                    idxs.append(ci)
-                    lens.append(len(chunk))
-                    sums.append(sum(chunk) % 65536)
+                if n == 0:
+                    continue
+                # chunk checksums via one cumulative sum over the payload
+                # view — the only Python loop left is per-document
+                arr = np.frombuffer(payload, np.uint8)
+                n_chunks = (n + FRAME_CHUNK - 1) // FRAME_CHUNK
+                kept = np.arange(0, n_chunks, FRAME_STRIDE)
+                starts = kept * FRAME_CHUNK
+                ends = np.minimum(starts + FRAME_CHUNK, n)
+                cum = np.concatenate(([0], np.cumsum(arr, dtype=np.int64)))
+                ids.append(np.full(len(kept), doc_id, np.int64))
+                idxs.append(kept)
+                lens.append(ends - starts)
+                sums.append((cum[ends] - cum[starts]) % 65536)
+            if not ids:
+                continue
             yield pd.DataFrame(
                 {
-                    "doc_id": ids,
-                    "chunk_idx": idxs,
-                    "chunk_len": lens,
-                    "checksum": sums,
+                    "doc_id": np.concatenate(ids),
+                    "chunk_idx": np.concatenate(idxs),
+                    "chunk_len": np.concatenate(lens),
+                    "checksum": np.concatenate(sums),
                 }
             )
 

@@ -334,6 +334,16 @@ def cosine_pairs_bucketed(
     exact cosine. Deterministic: hyperplanes derive from LSH_SEED, so
     results are stable run-to-run and match the DuckDB oracle built by
     ``cosine_pairs_bucketed_sql``.
+
+    The verify step is each bucket's pairwise-cosine block as ONE BLAS
+    matmul inside applyInPandas — not a per-pair cosine expression:
+    Spark's higher-order array functions are interpreted (no codegen),
+    so scoring candidate pairs one-by-one costs ~100x the same FLOPs in
+    a GEMM, and the bucket rows are already co-located by the (band,
+    sig) shuffle the candidate join needs anyway. A pair colliding in
+    several bands is scored in each — dedup'd by the final groupBy —
+    and buckets are small by construction (that is what bits-per-band
+    buys), so the duplicate work is bounded by L tiny GEMMs.
     """
     corpus = ensure_parallelism(corpus)
     sig_structs = ", ".join(
@@ -352,23 +362,38 @@ def cosine_pairs_bucketed(
             F.col("__bs.sig").alias("sig"),
         )
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    sim = F.round(F.expr(VEC.cosine("a.__v", "b.__v", "spark")), 4).alias("sim")
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": np.array([], np.int64),
+                    "id_b": np.array([], np.int64),
+                    "sim": np.array([], np.float64),
+                }
+            )
+        ids = pdf["__id"].to_numpy()
+        mat = np.stack(pdf["__v"].to_numpy())
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sim = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+        ia, ib = np.nonzero(sim >= threshold)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia][keep],
+                "id_b": ids[ib][keep],
+                "sim": sim[ia, ib][keep],
+            }
+        )
+
     return (
-        a.join(
-            b,
-            [
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.sig") == F.col("b.sig"),
-                F.col("a.__id") < F.col("b.__id"),
-            ],
-        )
-        .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), sim
-        )
+        sigs.groupBy("band", "sig")
+        .applyInPandas(bucket_pairs, schema="id_a long, id_b long, sim double")
         .groupBy("id_a", "id_b")
-        .agg(F.first("sim").alias("sim"))
-        .filter(F.col("sim") >= threshold)
+        .agg(F.min("sim").alias("sim"))
     )
 
 

@@ -27,8 +27,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: Optional[int] = None) -> D
 
     Identity on inputs that are already parallel enough — the common case
     on a cluster — so operators can call it unconditionally.
+
+    The partition-count probe (``df.rdd.getNumPartitions()``) forces a
+    physical plan conversion per call — milliseconds, but pure overhead on
+    clusters whose inputs are always wide. Set
+    ``spark.polario.ensureParallelism=off`` there to make this a true
+    no-op; the default ``auto`` keeps the guard for small/fixture inputs.
     """
     spark = df.sparkSession
+    if spark.conf.get("spark.polario.ensureParallelism", "auto") == "off":
+        return df
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

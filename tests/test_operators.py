@@ -223,3 +223,60 @@ def test_null_and_empty_text_robustness(spark):
     assert dedup.rolling_window_pairs(df, "doc_id", "text").count() == 0
     metrics = text_analysis.doc_metrics(df)
     assert metrics.count() == 4
+
+
+def test_morton_key_3_and_4_dims_ordering(spark):
+    """Morton keys must stay in [0, 2^63) for every supported ndim (a
+    16-bit-per-dim interleave at ndim=4 would spill bucket bit 15 of the
+    4th column into the sign bit, producing negative keys that sort
+    before all positive ones), and must be monotone under coordinate
+    dominance: a row <= another in EVERY dimension never gets the larger
+    key. Exercises the 3- and 4-dim generic spread path the 2-dim
+    magic-constant test misses."""
+    from polario_spark.functions.zorder import zorder_frame
+
+    rows = [
+        (i, float(a), float(b), float(c), float(d))
+        for i, (a, b, c, d) in enumerate(
+            (a, b, c, d)
+            for a in (0, 9, 99)
+            for b in (0, 50, 99)
+            for c in (0, 99)
+            for d in (0, 99)
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a double, b double, c double, d double"
+    )
+    for cols in (["a", "b", "c"], ["a", "b", "c", "d"]):
+        keyed = {
+            r["id"]: r["__zkey"]
+            for r in zorder_frame(df, cols).select("id", "__zkey").collect()
+        }
+        assert all(0 <= k < 2**63 for k in keyed.values()), cols
+        coords = {t[0]: t[1 : 1 + len(cols)] for t in rows}
+        for i, ci in coords.items():
+            for j, cj in coords.items():
+                if i != j and all(x <= y for x, y in zip(ci, cj)):
+                    assert keyed[i] <= keyed[j], (cols, ci, cj)
+
+
+def test_cosine_pairs_bucketed_subset_and_recall(spark):
+    """LSH-bucketed near-dup pairs must be a subset of the exact all-pairs
+    result at the same threshold (approximation lives in candidate
+    generation only; every emitted sim is exact), with recall >= 0.8 at
+    the registry's operating point, and the plan must be a bucket
+    equi-join - no cartesian / nested-loop pair enumeration anywhere."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(emb, "vec_id", "embedding", 0.45).collect()
+    }
+    bucketed_df = similarity.cosine_pairs_bucketed(emb, "vec_id", "embedding", 0.45)
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    bucketed = {(r.id_a, r.id_b) for r in bucketed_df.collect()}
+    assert bucketed <= exact
+    assert len(exact) > 0
+    assert len(bucketed) / len(exact) >= 0.8, (len(bucketed), len(exact))
