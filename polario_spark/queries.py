@@ -676,6 +676,143 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: documents with doc_id % DECONTAM_STRIDE == 0 stand in for a held-out
+#: evaluation set; everything else is training corpus.
+DECONTAM_STRIDE = 97
+DECONTAM_MIN_OVERLAP = 0.4
+
+
+@_register(
+    "decontamination_overlap",
+    f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct({TXT.word_bigrams(TXT.tokens('text', 'duckdb'), 'duckdb')})) AS g
+  FROM documents WHERE doc_id % {DECONTAM_STRIDE} != 0
+),
+b AS (
+  SELECT DISTINCT unnest(list_distinct({TXT.word_bigrams(TXT.tokens('text', 'duckdb'), 'duckdb')})) AS g
+  FROM documents WHERE doc_id % {DECONTAM_STRIDE} = 0
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+hit AS (SELECT g.doc_id, count(*) AS n_hit FROM g JOIN b USING (g) GROUP BY g.doc_id)
+SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+       round(coalesce(h.n_hit, 0)::DOUBLE / t.n_grams, 4) AS overlap
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+WHERE round(coalesce(h.n_hit, 0)::DOUBLE / t.n_grams, 4) >= {DECONTAM_MIN_OVERLAP}
+ORDER BY t.doc_id
+""",
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose n-gram
+    shingles overlap a held-out evaluation set — the standard guard
+    against test-set leakage in LLM training corpora (here word bigrams;
+    production pipelines use 8-13-gram shingles, same plan).
+
+    Plan shape: the eval set's distinct shingles are aggregated once and
+    BROADCAST (eval sets are millions of grams, not billions) so the
+    training corpus — the 100 TB side — is never shuffled: each doc's
+    grams stream through a broadcast-hash semi-join and a per-doc count.
+    Overlap = |doc grams ∩ eval grams| / |doc grams|; only flagged docs
+    (>= 40% overlap — the fixture's bigram vocabulary is small, so the
+    cut sits above its p95 background overlap; real shingle sizes of
+    8-13 make near-zero background and a much lower cut) leave the
+    executor."""
+    grams = F.expr(
+        f"array_distinct({TXT.word_bigrams(TXT.tokens('text', 'spark'), 'spark')})"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", grams.alias("__g"))
+    is_bench = F.col("doc_id") % DECONTAM_STRIDE == 0
+    corpus = docs.filter(~is_bench).select(
+        "doc_id", F.explode("__g").alias("g")
+    )
+    bench = F.broadcast(
+        docs.filter(is_bench).select(F.explode("__g").alias("g")).distinct()
+    )
+    tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        corpus.join(bench, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    overlap = F.round(
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_grams"), 4
+    ).alias("overlap")
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            overlap,
+        )
+        .filter(F.col("overlap") >= DECONTAM_MIN_OVERLAP)
+        .orderBy("doc_id")
+    )
+
+
+#: context-window budget for sequence packing (tokens per packed sequence)
+PACKING_BUDGET = 512
+
+
+@_register(
+    "token_budget_packing",
+    f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         {text_analysis.doc_metrics_sql_exprs('text')['n_tokens']} AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start_off
+  FROM t
+)
+SELECT lang, start_off // {PACKING_BUDGET} AS seq_id,
+       count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS seq_tokens
+FROM c
+GROUP BY lang, start_off // {PACKING_BUDGET}
+ORDER BY lang, seq_id
+""",
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (concat-and-chunk): assign documents
+    to fixed-budget context windows by their running token offset — the
+    deterministic packing step that turns a cleaned corpus into training
+    sequences. A doc belongs to the window its START offset falls in.
+
+    Plan shape: one window cumsum per packing stream (here lang; real
+    pipelines key by (shard, lang) so no stream outgrows one task's
+    sort), then a plain aggregate — both map-side combinable after the
+    single per-stream shuffle. Content order is doc_id, so the packing
+    is reproducible run-to-run regardless of partitioning."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.expr(
+            text_analysis._metrics_exprs("text", "spark")["n_tokens"]  # noqa: SLF001
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    return (
+        docs.select("lang", "doc_id", "n_tokens", start_off)
+        .withColumn(
+            "seq_id", F.floor(F.col("start_off") / PACKING_BUDGET)
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing (mapInPandas over binary payloads)
 # ===========================================================================

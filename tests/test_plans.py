@@ -129,3 +129,27 @@ def test_no_row_python_udfs_anywhere(spark):
         with redirect_stdout(buf):
             df.explain("formatted")
         assert "BatchEvalPython" not in buf.getvalue(), name
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    """The eval-set gram table must be the broadcast side so the training
+    corpus (the 100 TB side at scale) is never shuffled for the semi-join;
+    and the corpus side must never appear in a cartesian/NLJ pair."""
+    df = Q.decontamination_overlap(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_packing_single_stream_shuffle(spark):
+    """Packing is one per-stream (lang) sort window plus an aggregate that
+    reuses the same partitioning — no second full-data exchange between
+    the window and the groupBy."""
+    df = Q.token_budget_packing(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    # exchanges: one hashpartitioning(lang) for the window; the final
+    # orderBy adds a rangepartitioning; the groupBy must NOT add a third
+    # full shuffle because (lang, seq_id) is a refinement produced after
+    # the window's partitioning
+    assert plan.count("hashpartitioning") <= 2, plan
