@@ -34,14 +34,25 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
 
 
-def extract_binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def extract_binary_features(
+    df: DataFrame, id_col: str = "doc_id", carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Arrow-batched feature extraction over a binary column.
 
     Real mapInPandas plumbing: batches arrive as pandas DataFrames with the
     payload as bytes objects; output schema is declared up front so Spark
     plans around the Python stage. Deterministic features stand in for a
     decoder.
+
+    ``carry_cols`` pass through the Python stage untouched (types copied
+    from the input schema). At scale this is how downstream consumers get
+    metadata next to the features WITHOUT a features-back-to-source
+    self-join — carrying a column through the Arrow batch costs a copy;
+    the join it replaces costs two full shuffles of the corpus.
     """
+    carry_ddl = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in carry_cols
+    )
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -58,7 +69,7 @@ def extract_binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ascii_cum = np.concatenate(([0], np.cumsum(buf < 128, dtype=np.int64)))
             ascii_counts = ascii_cum[ends] - ascii_cum[starts]
             nonempty = lens > 0
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "byte_len": lens,
@@ -76,9 +87,12 @@ def extract_binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     ),
                 }
             )
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield out
 
-    return df.select(id_col, "payload").mapInPandas(
-        _features, schema=BINARY_FEATURE_SCHEMA
+    return df.select(id_col, "payload", *carry_cols).mapInPandas(
+        _features, schema=BINARY_FEATURE_SCHEMA + carry_ddl
     )
 
 

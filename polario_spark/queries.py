@@ -834,10 +834,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature extraction -> join metadata -> aggregate. The decode step is a
     deterministic stand-in (container has no codecs); the plumbing is real."""
     docs = _t(spark, sf_dir, "documents")
-    feats = extract_binary_features(with_binary_payload(docs, "text"), "doc_id")
-    joined = feats.join(docs.select("doc_id", "source"), "doc_id")
+    # `source` rides through the Arrow stage (carry_cols) instead of a
+    # features-back-to-docs self-join — one Arrow column copy replaces
+    # two full shuffles of the corpus
+    feats = extract_binary_features(
+        with_binary_payload(docs, "text"), "doc_id", carry_cols=("source",)
+    )
     return (
-        joined.groupBy("source")
+        feats.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("byte_len").alias("total_bytes"),
