@@ -276,16 +276,27 @@ LSH_N_BANDS = 16
 
 
 def _lsh_index_pairs(dim: int, n_bits: int, seed: int = LSH_SEED):
-    """Deterministic (a, b) coordinate pairs defining sign-test hyperplanes."""
+    """Deterministic (a, b) coordinate pairs defining sign-test hyperplanes.
+
+    Uniqueness is enforced WITHIN each band only (a repeated plane inside
+    one band would waste a bit of its signature); across bands reuse is
+    statistically harmless and keeps the construction total for low-dim
+    vectors, where dim*(dim-1) global pairs may be fewer than the
+    n_bits = r*L planes requested (requires dim*(dim-1) > bits-per-band).
+    """
     import random
 
+    if dim * (dim - 1) <= LSH_BITS_PER_BAND:
+        raise ValueError(f"dim {dim} too small for {LSH_BITS_PER_BAND}-bit bands")
     rnd = random.Random(seed)
     pairs: list[tuple[int, int]] = []
-    seen: set[tuple[int, int]] = set()
+    band_seen: set[tuple[int, int]] = set()
     while len(pairs) < n_bits:
+        if len(pairs) % LSH_BITS_PER_BAND == 0:
+            band_seen = set()
         a, b = rnd.randrange(dim), rnd.randrange(dim)
-        if a != b and (a, b) not in seen:
-            seen.add((a, b))
+        if a != b and (a, b) not in band_seen:
+            band_seen.add((a, b))
             pairs.append((a, b))
     return pairs
 

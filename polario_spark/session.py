@@ -68,7 +68,13 @@ def get_spark(
         # in polario_spark.sources.tables.load_events
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs 32 concurrent tasks inside the driver JVM; at 8g
+        # each task slot gets ~75 MB of execution memory and heavy queries
+        # pay GC instead of spilling usefully. The container has 128 GiB;
+        # 32g keeps per-slot memory (~300 MB) comfortably above every
+        # operator's working set at bench scale. Cluster deployments size
+        # executor memory externally and never hit this default.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
