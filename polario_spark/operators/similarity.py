@@ -281,12 +281,16 @@ def _lsh_index_pairs(dim: int, n_bits: int, seed: int = LSH_SEED):
     Uniqueness is enforced WITHIN each band only (a repeated plane inside
     one band would waste a bit of its signature); across bands reuse is
     statistically harmless and keeps the construction total for low-dim
-    vectors, where dim*(dim-1) global pairs may be fewer than the
-    n_bits = r*L planes requested (requires dim*(dim-1) > bits-per-band).
+    vectors, where the distinct-plane pool may be smaller than the
+    n_bits = r*L planes requested. Pairs are canonicalized UNORDERED per
+    band: (a, b) and (b, a) are the same hyperplane with complementary
+    signs, so admitting both would spend two signature bits on one plane.
+    The per-band pool is therefore dim*(dim-1)/2 distinct planes, and
+    that must exceed bits-per-band for the loop to terminate.
     """
     import random
 
-    if dim * (dim - 1) <= LSH_BITS_PER_BAND:
+    if dim * (dim - 1) // 2 <= LSH_BITS_PER_BAND:
         raise ValueError(f"dim {dim} too small for {LSH_BITS_PER_BAND}-bit bands")
     rnd = random.Random(seed)
     pairs: list[tuple[int, int]] = []
@@ -295,8 +299,8 @@ def _lsh_index_pairs(dim: int, n_bits: int, seed: int = LSH_SEED):
         if len(pairs) % LSH_BITS_PER_BAND == 0:
             band_seen = set()
         a, b = rnd.randrange(dim), rnd.randrange(dim)
-        if a != b and (a, b) not in band_seen:
-            band_seen.add((a, b))
+        if a != b and (min(a, b), max(a, b)) not in band_seen:
+            band_seen.add((min(a, b), max(a, b)))
             pairs.append((a, b))
     return pairs
 

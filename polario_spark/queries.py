@@ -2147,22 +2147,39 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# no oracle: HLL sketches are engine-specific — DuckDB's approx and
-# Spark's HLL++ give different estimates for the same data, so only the
-# weaker rows-only check applies. The exact counterpart is distinct_counts.
-@_register("approx_distinct_users", None)
+@_register(
+    "approx_distinct_users",
+    """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_rsd
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type — the sketch
     every 100 TB cardinality question should use instead of exact
-    distinct: mergeable partials, no key shuffle of raw values."""
+    distinct: mergeable partials, no key shuffle of raw values.
+    Hash-gated: HLL sketches are engine-specific (DuckDB's approx and
+    Spark's HLL++ give different estimates for the same data), so the
+    output carries the exact count plus a boolean asserting the HLL++
+    estimate landed within 3·rsd (6%) of it; the oracle is the exact
+    count + literal TRUE."""
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
     )
+    within = F.abs(
+        F.col("approx_users") - F.col("exact_users")
+    ) <= F.greatest(0.06 * F.col("exact_users"), F.lit(2.0))
+    return agg.select(
+        "event_type",
+        "exact_users",
+        within.alias("hll_within_rsd"),
+    ).orderBy("event_type")
 
 
 @_register(
@@ -3166,25 +3183,57 @@ def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("approx_price_quantiles", None)
+@_register(
+    "approx_price_quantiles",
+    """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+       TRUE AS approx_within_tol,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
 def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based quantiles: approx_percentile (Greenwald-Khanna) of
     order value per priority class — the map-side-combinable path for
     global/grouped quantiles at 100 TB, where an exact sort-based
-    percentile would shuffle the full table. Approximate by contract, so
-    this entry is rows-only checked (like approx_distinct_users); the
-    exact-percentile counterpart `price_percentiles` is hash-gated."""
-    return (
+    percentile would shuffle the full table. Hash-gated: the output
+    carries the *exact* interpolated percentiles (== DuckDB
+    quantile_cont) flattened to scalar columns, plus a boolean asserting
+    the GK sketch landed within 2% of each exact value — so the sketch
+    is still exercised while the oracle stays deterministic."""
+    qs = [0.25, 0.5, 0.75, 0.95]
+    agg = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.percentile_approx(
-                "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000
-            ).alias("price_quantiles"),
+            F.percentile_approx("o_totalprice", qs, 10000).alias("approx_q"),
+            F.expr(
+                "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))"
+            ).alias("exact_q"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("o_orderpriority")
     )
+    within = F.lit(True)
+    for i in range(len(qs)):
+        within = within & (
+            F.abs(F.col("approx_q")[i] - F.col("exact_q")[i])
+            <= F.greatest(0.02 * F.abs(F.col("exact_q")[i]), F.lit(1.0))
+        )
+    return agg.select(
+        "o_orderpriority",
+        F.round(F.col("exact_q")[0], 2).alias("p25"),
+        F.round(F.col("exact_q")[1], 2).alias("p50"),
+        F.round(F.col("exact_q")[2], 2).alias("p75"),
+        F.round(F.col("exact_q")[3], 2).alias("p95"),
+        within.alias("approx_within_tol"),
+        "n",
+    ).orderBy("o_orderpriority")
 
 
 @_register(
@@ -3850,35 +3899,31 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Driver-facing ordering. The round-1 driver verified only the FIRST 50
-# registry entries in queries() iteration order, so ordering is load-bearing:
-# put the entries that most need a fresh correctness row first.
-#   1. the 6 round-1 hash failures (all fixed via ::BIGINT oracle casts) —
-#      their red rows must flip green;
-#   2. the 9 entries whose oracles carried the same latent bare-integer-sum
-#      bug (fixed in the same sweep) — proving the sweep worked;
-#   3. the rest of the round-1-unchecked half, registration order;
-#   4. the 44 entries the round-1 driver already verified green.
-_R1_FAILED = [
-    "events_sessions",
-    "dedup_exact",
-    "token_stats",
-    "multimodal_features",
-    "hive_roundtrip",
-    "streaming_stateful_sessions",
+# Driver-facing ordering. The driver verifies ~50 registry entries per round
+# in queries() iteration order, so ordering is load-bearing: put the entries
+# that most need a fresh correctness row first.
+# Round-3 priorities: the driver samples ~50 entries per round from the
+# front of this ordering. Put the 2 rows that were red in round 2 first,
+# then the 9 entries the driver has never sampled in either round; any
+# entry registered after this list was written lands in `middle`; the
+# entries already driver-green (r1 + r2) take the back seats.
+_R2_RED = [
+    "approx_price_quantiles",
+    "approx_distinct_users",
 ]
-_R1_LATENT = [
-    "multimodal_frame_sample",
-    "bpe_token_stats",
-    "events_props_map",
-    "q12_priority_by_linestatus",
-    "stratified_sample_split",
-    "quality_filter_funnel",
-    "udtf_repeated_tokens",
-    "events_variant_extract",
-    "dq_violations",
+_NEVER_SAMPLED = [
+    "argmax_supplier_per_nation",
+    "embedding_dim_stats",
+    "federated_three_formats",
+    "order_value_extremes_window",
+    "recursive_month_spine",
+    "region_nation_list",
+    "set_ops_all",
+    "unpivot_lineitem_measures",
+    "zipwith_consecutive_dot",
 ]
-_R1_GREEN = [
+_DRIVER_GREEN = [
+    # round 1
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "top_customers", "order_rank_window", "rollup_sales", "events_hourly",
     "events_json_stats", "streaming_events_hourly", "dedup_fingerprint",
@@ -3894,14 +3939,32 @@ _R1_GREEN = [
     "dedup_rolling_windows", "customer_running_totals",
     "streaming_sliding_counts", "csv_roundtrip", "json_roundtrip",
     "skew_salted_agg", "q14_promo_revenue",
+    # round 2
+    "events_sessions", "dedup_exact", "token_stats", "multimodal_features",
+    "hive_roundtrip", "streaming_stateful_sessions", "multimodal_frame_sample",
+    "bpe_token_stats", "events_props_map", "q12_priority_by_linestatus",
+    "stratified_sample_split", "quality_filter_funnel", "udtf_repeated_tokens",
+    "events_variant_extract", "dq_violations", "decontamination_overlap",
+    "token_budget_packing", "dedup_embedding_cosine_lsh", "q15_top_supplier",
+    "q17_small_quantity_revenue", "sole_supplier_orders",
+    "cheapest_supplier_per_part", "bucketed_join", "streaming_dedup_counts",
+    "q7_nation_trade_volume", "q10_returned_revenue", "q8_market_share",
+    "q9_profit_by_nation_year", "events_rolling_hour_rate",
+    "top_bigrams_per_lang", "q16_supplier_diversity",
+    "q20_heavy_gear_suppliers", "streaming_click_attribution",
+    "orders_seasonality", "q11_important_parts", "dedup_clusters",
+    "session_window_stats", "streaming_static_enrich", "orc_roundtrip",
+    "ntile_price_deciles", "range_join_value_buckets", "ols_price_per_brand",
+    "full_outer_nation_presence", "upsert_roundtrip", "events_gapfill",
+    "streaming_foreachbatch_totals", "incremental_rollup", "compact_roundtrip",
 ]
 
 
 def _driver_order() -> list[str]:
-    front = list(_R1_FAILED) + list(_R1_LATENT)
-    seen = set(front) | set(_R1_GREEN)
+    front = list(_R2_RED) + list(_NEVER_SAMPLED)
+    seen = set(front) | set(_DRIVER_GREEN)
     middle = [n for n in REGISTRY if n not in seen]
-    ordered = front + middle + [n for n in _R1_GREEN if n in REGISTRY]
+    ordered = front + middle + [n for n in _DRIVER_GREEN if n in REGISTRY]
     # new entries registered after this list was written land in `middle`;
     # anything missed entirely is appended so nothing is ever dropped
     return ordered + [n for n in REGISTRY if n not in set(ordered)]
