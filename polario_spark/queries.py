@@ -3902,25 +3902,22 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-facing ordering. The driver verifies ~50 registry entries per round
 # in queries() iteration order, so ordering is load-bearing: put the entries
 # that most need a fresh correctness row first.
-# Round-3 priorities: the driver samples ~50 entries per round from the
-# front of this ordering. Put the 2 rows that were red in round 2 first,
-# then the 9 entries the driver has never sampled in either round; any
-# entry registered after this list was written lands in `middle`; the
-# entries already driver-green (r1 + r2) take the back seats.
-_R2_RED = [
-    "approx_price_quantiles",
-    "approx_distinct_users",
-]
-_NEVER_SAMPLED = [
-    "argmax_supplier_per_nation",
-    "embedding_dim_stats",
-    "federated_three_formats",
-    "order_value_extremes_window",
-    "recursive_month_spine",
-    "region_nation_list",
-    "set_ops_all",
-    "unpivot_lineitem_measures",
-    "zipwith_consecutive_dot",
+#
+# Two stable lists drive the ordering (stable NAMES — contents change each
+# round, tests assert the invariant, never the contents):
+#   _PRIORITY     — entries whose implementation the current round touched
+#                   (their latest green row pre-dates the code change) or
+#                   that are brand new; these jump the queue.
+#   _DRIVER_GREEN — entries with a driver-green row for their current code;
+#                   they take the back seats. Unlisted entries (never
+#                   sampled / registered after this list) land in between.
+_PRIORITY = [
+    # round 4 touched the LSH verify path (bucket cap + zero-norm clamp) and
+    # the multimodal kernel (numpy-2 promotion fix); their green rows
+    # pre-date those changes.
+    "dedup_embedding_cosine_lsh",
+    "multimodal_features",
+    "multimodal_frame_sample",
 ]
 _DRIVER_GREEN = [
     # round 1
@@ -3957,14 +3954,21 @@ _DRIVER_GREEN = [
     "ntile_price_deciles", "range_join_value_buckets", "ols_price_per_brand",
     "full_outer_nation_presence", "upsert_roundtrip", "events_gapfill",
     "streaming_foreachbatch_totals", "incremental_rollup", "compact_roundtrip",
+    # round 3
+    "approx_price_quantiles", "approx_distinct_users",
+    "argmax_supplier_per_nation", "embedding_dim_stats",
+    "federated_three_formats", "order_value_extremes_window",
+    "recursive_month_spine", "region_nation_list", "set_ops_all",
+    "unpivot_lineitem_measures", "zipwith_consecutive_dot",
 ]
 
 
 def _driver_order() -> list[str]:
-    front = list(_R2_RED) + list(_NEVER_SAMPLED)
+    front = [n for n in _PRIORITY if n in REGISTRY]
     seen = set(front) | set(_DRIVER_GREEN)
     middle = [n for n in REGISTRY if n not in seen]
-    ordered = front + middle + [n for n in _DRIVER_GREEN if n in REGISTRY]
+    back = [n for n in _DRIVER_GREEN if n in REGISTRY and n not in set(front)]
+    ordered = front + middle + back
     # new entries registered after this list was written land in `middle`;
     # anything missed entirely is appended so nothing is ever dropped
     return ordered + [n for n in REGISTRY if n not in set(ordered)]

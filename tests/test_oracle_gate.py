@@ -50,18 +50,19 @@ def test_driver_equivalent_widths_collapse():
 
 def test_driver_ordering_puts_unverified_entries_first():
     """queries() iteration order is load-bearing: the driver verifies only
-    a prefix of the registry, so previously-unverified entries must come
-    before the round-1-green ones, with the 6 round-1 hash failures at
-    the very front."""
+    a prefix of the registry per round. Assert the *invariant*, not any
+    round-specific list contents: explicitly re-prioritized entries come
+    first, then every entry lacking a driver-green row, and only then the
+    entries already green for their current code."""
     from polario_spark import queries as Q
 
     order = list(Q.queries())
     assert set(order) == set(Q.REGISTRY), "ordering must drop/duplicate nothing"
-    assert order[: len(Q._R1_FAILED)] == Q._R1_FAILED
-    n_front = len(Q._R1_FAILED) + len(Q._R1_LATENT)
-    assert order[len(Q._R1_FAILED) : n_front] == Q._R1_LATENT
-    green_positions = [order.index(n) for n in Q._R1_GREEN]
-    nongreen_positions = [
-        order.index(n) for n in order if n not in set(Q._R1_GREEN)
-    ]
-    assert min(green_positions) > max(nongreen_positions)
+    assert len(order) == len(set(order)), "ordering must not duplicate entries"
+    priority = [n for n in Q._PRIORITY if n in Q.REGISTRY]
+    assert order[: len(priority)] == priority
+    green = set(Q._DRIVER_GREEN) - set(priority)
+    pos = {n: i for i, n in enumerate(order)}
+    nongreen = [n for n in order[len(priority):] if n not in green]
+    if nongreen and green:
+        assert max(pos[n] for n in nongreen) < min(pos[n] for n in green)

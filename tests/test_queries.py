@@ -101,7 +101,8 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle_or_reason():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     missing = set(qs) - set(oracles)
-    # only genuinely non-value-matchable ops may omit the oracle:
-    # engine-specific sketches (Spark HLL++ vs DuckDB approx; Spark GK
-    # percentile sketch) give different estimates for identical input
-    assert missing == {"approx_distinct_users", "approx_price_quantiles"}
+    # round 3 closed the last exemptions: the two sketch entries
+    # (approx_distinct_users, approx_price_quantiles) now expose
+    # exact values plus a tolerance boolean, so they hash-gate too.
+    # Every registry entry must ship an oracle.
+    assert missing == set()
