@@ -43,6 +43,10 @@ def _apply_session_conf(spark: SparkSession) -> None:
     (ns-timestamp handling, UTC, dynamic partition overwrite)."""
     for key, value in {
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # untagged parquet TIMESTAMP(MICROS) must read as TIMESTAMP, not
+        # TIMESTAMP_NTZ (unix_micros/withWatermark reject NTZ); with the
+        # UTC session tz the instant is identical either way
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.sql.sources.partitionColumnTypeInference.enabled": "false",

@@ -60,15 +60,29 @@ def main() -> None:
         except Exception:
             pass
 
+    # Each query runs REPEATS times and records the MIN: single-run times
+    # in a shared 100-query session are inflated 2-10x by order effects
+    # (GC pressure, state-store residue from earlier streaming queries) —
+    # rounds 2 and 3 both reported phantom regressions on untouched code
+    # until the affected queries were re-timed in isolation. min-of-N is
+    # the standard noise floor estimator for that failure mode.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, fn in entry_mod.queries().items():
-        start = time.perf_counter()
-        try:
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - start, 3)
-        except Exception as exc:  # a failing query must not hide the rest
-            timings[name] = -1.0
-            print(f"ERROR {name}: {exc}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(repeats):
+            start = time.perf_counter()
+            try:
+                fn(spark, sf_dir).collect()
+                runs.append(round(time.perf_counter() - start, 3))
+            except Exception as exc:  # a failing query must not hide the rest
+                runs.append(-1.0)
+                print(f"ERROR {name}: {exc}", file=sys.stderr)
+                break
+        all_runs[name] = runs
+        ok = [t for t in runs if t >= 0]
+        timings[name] = min(ok) if ok and len(ok) == len(runs) else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     n_errors = sum(1 for t in timings.values() if t < 0)
@@ -84,6 +98,7 @@ def main() -> None:
                 "calib_sec": calib_sec,
                 "n_errors": n_errors,
                 "queries": timings,
+                "runs": all_runs,
             },
             fh,
             indent=1,

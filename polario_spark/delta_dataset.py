@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.errors import AnalysisException
 
-from polario_spark.hive_dataset import DatasetUrl
+from polario_spark.hive_dataset import DatasetUrl, materialize_if_self_read
 
 try:  # delta-spark is optional; the container may not ship the jars
     from delta.tables import DeltaTable  # noqa: F401
@@ -83,6 +83,11 @@ class _TableDatasetBase:
         — unlike HiveDataset.write, untouched partitions are dropped too, so
         force static overwrite regardless of the session's dynamic default."""
         self._check(df)
+        if self.format == "parquet":
+            # delta overwrites are transactional (new files + log commit,
+            # old snapshot stays readable); plain parquet is not — guard
+            # the self-overwrite case like HiveDataset.write does
+            df = materialize_if_self_read(df, self.url)
         self._writer(df, "overwrite").option(
             "partitionOverwriteMode", "static"
         ).option("overwriteSchema", "true").save(self.url.spark_url)

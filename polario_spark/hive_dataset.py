@@ -129,6 +129,31 @@ class DatasetUrl:
         )
 
 
+def materialize_if_self_read(df: DataFrame, url: DatasetUrl) -> DataFrame:
+    """Barrier a frame that reads from the dataset it is about to
+    overwrite.
+
+    The reference reads eagerly (Polars), so ``ds.write(ds.read_partition(
+    ...))`` is always safe there. A lazy Spark scan written over its own
+    source path fails mid-commit (FAILED_READ_FILE: the overwrite deletes
+    files the still-running scan needs). Detect the overlap via the public
+    ``inputFiles()`` listing and cut lineage with an eager localCheckpoint
+    — the distributed equivalent of the reference's eager read (blocks
+    stay on executors; no driver collect). Frames not reading from this
+    dataset pass through untouched, keeping the normal write path lazy and
+    pushdown-friendly.
+    """
+    prefix = "file://" + url.fs_path.rstrip("/") + "/"
+    alt_prefix = url.spark_url.rstrip("/") + "/"
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-based plans (rare); stay conservative
+        return df.localCheckpoint(eager=True)
+    if any(f.startswith(prefix) or f.startswith(alt_prefix) for f in files):
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 class HiveDataset:
     """A Hive-partitioned Parquet dataset with the reference's lifecycle
     semantics, executing on Spark.
@@ -226,6 +251,7 @@ class HiveDataset:
         scans.
         """
         self._check_partition_columns(df)
+        df = materialize_if_self_read(df, self.url)
         self._writer(df, sort_by).mode("overwrite").parquet(self.url.spark_url)
 
     def append(self, df: DataFrame) -> None:

@@ -74,9 +74,17 @@ def extract_binary_features(
                     "doc_id": pdf[id_col],
                     "byte_len": lens,
                     "first_byte": (
+                        # gather as int64 BEFORE np.where: under numpy-2
+                        # NEP-50 promotion, mixing a uint8 array with the
+                        # Python literal -1 raises OverflowError (-1 does
+                        # not fit uint8); on numpy 1.x it silently upcast
                         np.where(
-                            nonempty, buf[np.minimum(starts, len(buf) - 1)], -1
-                        ).astype(np.int64)
+                            nonempty,
+                            buf[np.minimum(starts, len(buf) - 1)].astype(
+                                np.int64
+                            ),
+                            -1,
+                        )
                         if len(buf)
                         else np.full(len(lens), -1, np.int64)
                     ),

@@ -238,8 +238,10 @@ def cosine_pairs(
                 mat_a = np.stack([np.asarray(r["__v"]) for r in rows_a])
                 ids_b = np.array([r["__id"] for r in rows_b])
                 mat_b = np.stack([np.asarray(r["__v"]) for r in rows_b])
-                na = np.sqrt((mat_a * mat_a).sum(axis=1))
-                nb = np.sqrt((mat_b * mat_b).sum(axis=1))
+                # zero-norm clamp, same rationale as bucket_pairs: zero
+                # vectors score 0 (never pair) instead of NaN
+                na = np.maximum(np.sqrt((mat_a * mat_a).sum(axis=1)), 1e-12)
+                nb = np.maximum(np.sqrt((mat_b * mat_b).sum(axis=1)), 1e-12)
                 sim = np.round(
                     (mat_a @ mat_b.T) / np.outer(na, nb), 4
                 )
@@ -340,9 +342,13 @@ def cosine_pairs_bucketed(
     are verified with the exact cosine expression; a groupBy dedups pairs
     colliding in several bands before the verify runs, so each candidate
     pair is scored once. Shuffle volume is L rows per vector (linear);
-    the pair space is never enumerated. Skewed buckets (e.g. zero
-    vectors) are handled by AQE skew-join; raising LSH_BITS_PER_BAND
-    splits buckets geometrically for denser corpora.
+    the pair space is never enumerated. Degenerate buckets (boilerplate
+    corpora collapsing many vectors into one (band, sig)) cannot blow a
+    task: the per-bucket verify sub-tiles its GEMM at ``COSINE_TILE``
+    (see ``bucket_pairs``), so peak memory per task is one tile pair
+    regardless of bucket size. (AQE skew-join does NOT help here — it
+    splits join/shuffle partitions, not applyInPandas groups.) Raising
+    LSH_BITS_PER_BAND splits buckets geometrically for denser corpora.
 
     Approximation is in CANDIDATE GENERATION only (a >= threshold pair
     colliding in no band is missed); every returned pair carries its
@@ -382,27 +388,56 @@ def cosine_pairs_bucketed(
         import numpy as np
         import pandas as pd
 
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {
-                    "id_a": np.array([], np.int64),
-                    "id_b": np.array([], np.int64),
-                    "sim": np.array([], np.float64),
-                }
-            )
-        ids = pdf["__id"].to_numpy()
-        mat = np.stack(pdf["__v"].to_numpy())
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        sim = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
-        ia, ib = np.nonzero(sim >= threshold)
-        keep = ids[ia] < ids[ib]
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "id_a": ids[ia][keep],
-                "id_b": ids[ib][keep],
-                "sim": sim[ia, ib][keep],
+                "id_a": np.array([], np.int64),
+                "id_b": np.array([], np.int64),
+                "sim": np.array([], np.float64),
             }
         )
+        if len(pdf) < 2:
+            return empty
+        # Sort by id so the tile loop below can walk the upper triangle
+        # of tile pairs only (i0 <= j0) and still see every id_a < id_b
+        # pair exactly once.
+        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        ids = pdf["__id"].to_numpy()[order]
+        mat = np.stack(pdf["__v"].to_numpy()[order])
+        # Zero-norm clamp: an all-zero embedding gets sim = 0/(1e-12)^2 = 0
+        # (< any positive threshold, so it never pairs) instead of NaN.
+        # The DuckDB oracle's list_cosine_similarity yields NaN there and
+        # `sim >= threshold` is false in SQL — identical exclusion, but
+        # this side is now deterministic and warning-free.
+        norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+        # Cap the verify GEMM per degenerate bucket: sub-tile at
+        # COSINE_TILE so peak memory is one T x T block + the bucket's
+        # vectors, never the bucket-squared matrix. Same arithmetic as
+        # the untiled version ((a . b) / (|a||b|), rounded at 4), so
+        # oracle values are bit-identical.
+        out = []
+        n = len(ids)
+        for i0 in range(0, n, COSINE_TILE):
+            i1 = min(i0 + COSINE_TILE, n)
+            for j0 in range(i0, n, COSINE_TILE):
+                j1 = min(j0 + COSINE_TILE, n)
+                sim = np.round(
+                    (mat[i0:i1] @ mat[j0:j1].T)
+                    / np.outer(norms[i0:i1], norms[j0:j1]),
+                    4,
+                )
+                ia, ib = np.nonzero(sim >= threshold)
+                keep = ids[i0:i1][ia] < ids[j0:j1][ib]
+                if keep.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[i0:i1][ia][keep],
+                                "id_b": ids[j0:j1][ib][keep],
+                                "sim": sim[ia, ib][keep],
+                            }
+                        )
+                    )
+        return pd.concat(out, ignore_index=True) if out else empty
 
     return (
         sigs.groupBy("band", "sig")

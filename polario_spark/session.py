@@ -67,6 +67,11 @@ def get_spark(
         # reader rejects by default; read as ns-since-epoch longs and convert
         # in polario_spark.sources.tables.load_events
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # driver-regenerated testdata carries untagged TIMESTAMP(MICROS);
+        # Spark 4 infers TIMESTAMP_NTZ for those by default, which
+        # unix_micros/withWatermark reject. Read them as TIMESTAMP (UTC
+        # session tz makes the instant identical to the old ns-long path).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         # local[32] runs 32 concurrent tasks inside the driver JVM; at 8g
         # each task slot gets ~75 MB of execution memory and heavy queries

@@ -39,6 +39,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ns-since-epoch -> timestamp (µs, floored like DuckDB's ns handling)
         # integer div, not /: float division loses ulps on large ns values
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Fallback for sessions where spark.sql.parquet.inferTimestampNTZ.enabled
+    # couldn't be flipped (it is runtime-settable, but the driver owns the
+    # session): untagged TIMESTAMP(MICROS) then arrives as TIMESTAMP_NTZ,
+    # which unix_micros/withWatermark reject. Under the UTC session timezone
+    # this cast is a pure type retag — same instant, no value change — and
+    # Catalyst folds it into the scan projection, so pushdown still works.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

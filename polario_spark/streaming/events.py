@@ -18,6 +18,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 #: shuffle/state partition count for the streaming drains. Stateful
@@ -47,6 +48,18 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with a glob filter selecting only the events file
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
+    # withWatermark requires TIMESTAMP; if the batch read inferred
+    # TIMESTAMP_NTZ for the untagged µs column (inferTimestampNTZ on),
+    # override it in the user-specified stream schema — the reader honors
+    # the requested type and the UTC session tz keeps the instant identical
+    schema = T.StructType(
+        [
+            T.StructField(f.name, T.TimestampType(), f.nullable)
+            if isinstance(f.dataType, T.TimestampNTZType)
+            else f
+            for f in schema.fields
+        ]
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")

@@ -23,13 +23,26 @@ from pyspark.sql import SparkSession
 
 _WORK_ROOT = os.path.join(tempfile.gettempdir(), "polario_spark_work")
 _cleanup_registered: set[str] = set()
+_invocation_counter: dict[tuple[str, str], int] = {}
 
 
 def work_dir(spark: SparkSession, kind: str) -> str:
-    """A fresh, empty scratch dir for ``kind``, stable within a session."""
+    """A fresh, empty scratch dir for ``kind``.
+
+    Each invocation gets its own numbered dir (``kind-0``, ``kind-1``,
+    ...): re-invoking the same registry entry within a session (bench
+    min-of-N, repeated gate runs) must not wipe the path a previous
+    call's still-uncollected DataFrame reads from. All invocation dirs
+    fall under one per-app root that is removed at interpreter exit, so
+    within-session growth is bounded by invocation count and nothing
+    survives the process.
+    """
     app_root = os.path.join(_WORK_ROOT, spark.sparkContext.applicationId)
-    path = os.path.join(app_root, kind)
-    if os.path.exists(path):
+    key = (app_root, kind)
+    n = _invocation_counter.get(key, 0)
+    _invocation_counter[key] = n + 1
+    path = os.path.join(app_root, f"{kind}-{n}")
+    if os.path.exists(path):  # stale leftover from a recycled appId
         shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     if app_root not in _cleanup_registered:

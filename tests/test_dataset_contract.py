@@ -85,3 +85,28 @@ def test_full_vs_dynamic_overwrite_semantics(spark, tmp_path, example_df_1):
     table.write(example_df_1)
     table.write(update)
     assert unwrap(table.scan()).count() == 1  # full overwrite
+
+
+def test_write_back_partitions_contract(dataset, spark, example_df_1):
+    """Write-back stability (reference tests/test_dataset.py:118-129):
+    re-writing a dataset from its own read must reproduce the same rows.
+    HiveDataset writes each partition frame back individually (dynamic
+    overwrite makes per-partition write-back stable); full-overwrite table
+    datasets write back the whole scan in one call — the stability
+    property each backend actually guarantees."""
+    dataset.write(example_df_1)
+    before = comparable_rows(unwrap(dataset.scan()).select("p1", "p2", "v"))
+    # The reference's read_partitions yields EAGER Polars frames, so its
+    # write-back never reads the files it is overwriting. Lazy Spark
+    # frames would hit the classic self-overwrite failure here
+    # (FAILED_READ_FILE mid-commit) — write() detects the overlap via
+    # inputFiles() and inserts the materialization barrier itself
+    # (hive_dataset.materialize_if_self_read), so plain write-back of a
+    # frame read from the same dataset must just work.
+    if isinstance(dataset, HiveDataset):
+        for partition in dataset.read_partitions():
+            dataset.write(partition)
+    else:
+        dataset.write(unwrap(dataset.scan()))
+    after = comparable_rows(unwrap(dataset.scan()).select("p1", "p2", "v"))
+    assert after == before

@@ -261,6 +261,35 @@ def test_morton_key_3_and_4_dims_ordering(spark):
                     assert keyed[i] <= keyed[j], (cols, ci, cj)
 
 
+def test_cosine_pairs_bucketed_degenerate_bucket_is_tiled(spark, monkeypatch):
+    """A boilerplate corpus collapsing into ONE (band, sig) bucket — the
+    known LSH worst case — must still verify correctly with the per-task
+    GEMM bounded at COSINE_TILE: shrink the tile so the bucket spans
+    several tiles and assert every id_a < id_b pair is emitted exactly
+    once with its exact cosine. Two all-zero vectors ride along to pin
+    the zero-norm clamp (they must pair with nothing, not NaN)."""
+    monkeypatch.setattr(similarity, "COSINE_TILE", 64)
+    n = 200
+    base = [1.0] + [0.0] * 63
+    rows = [(i, base) for i in range(n)]
+    rows += [(n, [0.0] * 64), (n + 1, [0.0] * 64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = (
+        similarity.cosine_pairs_bucketed(emb, "vec_id", "embedding", 0.45)
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("id_a", "id_b").alias("n_distinct"),
+            F.min("sim").alias("min_sim"),
+            F.max("sim").alias("max_sim"),
+        )
+        .collect()[0]
+    )
+    assert got.n_pairs == n * (n - 1) // 2, got
+    assert got.n_distinct == got.n_pairs, "pair emitted more than once"
+    assert got.min_sim == got.max_sim == 1.0, got
+
+
 def test_cosine_pairs_bucketed_subset_and_recall(spark):
     """LSH-bucketed near-dup pairs must be a subset of the exact all-pairs
     result at the same threshold (approximation lives in candidate

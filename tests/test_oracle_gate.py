@@ -61,7 +61,7 @@ def test_driver_ordering_puts_unverified_entries_first():
     assert len(order) == len(set(order)), "ordering must not duplicate entries"
     priority = [n for n in Q._PRIORITY if n in Q.REGISTRY]
     assert order[: len(priority)] == priority
-    green = set(Q._DRIVER_GREEN) - set(priority)
+    green = {n for n in Q._DRIVER_GREEN if n in Q.REGISTRY} - set(priority)
     pos = {n: i for i, n in enumerate(order)}
     nongreen = [n for n in order[len(priority):] if n not in green]
     if nongreen and green:
