@@ -19,6 +19,8 @@ All math is built-in higher-order functions — JVM-side, no Python.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -498,11 +500,74 @@ IVF_NPROBE = 2
 IVF_QUERY_STRIDE = 97
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd refinement of IVF centroids: (cid, __cent).
+
+    Initialization is the same deterministic stride subset ``ivf_topk``
+    uses by default (no RNG — results are reproducible run-to-run, which
+    is why the registry oracle stays on the un-refined stride path), then
+    ``iters`` rounds of assign + recompute-means tighten the cells.
+
+    Scale shape per round: assignment is the broadcast-join + map-side
+    ``max_by`` argmax from ivf_topk (one row per corpus vector crosses
+    the wire); the mean recompute posexplodes members to (cell, pos)
+    partial sums — map-side combine collapses them to |cells| x dim rows
+    per task before the exchange — and reassembles the centroid array
+    with a sorted transform. The corpus is scanned once per round and
+    never shuffled whole; each round's centroid set is localCheckpointed
+    so lineage stays O(1) like dedup_clusters' label loop.
+    """
+    corpus = ensure_parallelism(corpus)
+    vecs = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    )
+    cent = vecs.filter(F.col("nid") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("nid").alias("cid"), F.col("__v").alias("__cent")
+    )
+    csim = F.expr(VEC.cosine("__v", "__cent", "spark"))
+    for _ in range(iters):
+        assigned = (
+            vecs.join(F.broadcast(cent))
+            .groupBy("nid")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cid"), F.col("__v")),
+                    F.struct(csim.alias("s"), (-F.col("cid")).alias("c")),
+                ).alias("__best")
+            )
+            .select(
+                F.col("__best.cid").alias("cid"),
+                F.col("__best.__v").alias("__v"),
+            )
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm")
+            )
+            .select(
+                "cid", F.expr("transform(__pm, p -> p.m)").alias("__cent")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
 def ivf_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    centroids: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF-style approximate top-k cosine search — the 100 TB scale path.
 
@@ -510,18 +575,24 @@ def ivf_topk(
     corpus into cells (each vector assigned to its nearest centroid);
     a query scans only its ``IVF_NPROBE`` nearest cells instead of the
     whole corpus, cutting work by ~|cells|/nprobe at some recall cost.
-    Centroids here are the deterministic subset vec_id % stride == 0
-    (k-means training is out of scope and non-deterministic); on a real
-    cluster the assignment step is a broadcast of the centroid set and
-    the probe step a cell-key equi-join — no corpus shuffle, and the
-    cell column is the natural partition key for a materialized index.
+    Default centroids are the deterministic subset vec_id % stride == 0
+    (reproducible, oracle-friendly); pass ``centroids=kmeans_centroids(
+    corpus)`` for Lloyd-refined cells (still deterministic — the
+    refinement starts from the same stride subset and uses no RNG, but
+    the oracle stays on the un-refined path because replaying three
+    Lloyd rounds in SQL is impractical). On a real cluster the
+    assignment step is a broadcast of the centroid set and the probe
+    step a cell-key equi-join — no corpus shuffle, and the cell column
+    is the natural partition key for a materialized index.
 
     Returns (qid, nid, sim, rank) — the same shape as brute_force_topk,
     so callers can swap exact for approximate.
     """
     corpus = ensure_parallelism(corpus)
     cent = F.broadcast(
-        corpus.filter(F.col(id_col) % IVF_CENTROID_STRIDE == 0).select(
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) % IVF_CENTROID_STRIDE == 0).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
         )
     )

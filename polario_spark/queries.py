@@ -1565,6 +1565,23 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_embedding_cosine_lsh_loose",
+    similarity.cosine_pairs_bucketed_sql("embeddings", "vec_id", "embedding", 0.35)
+    + "\nORDER BY id_a, id_b",
+)
+def dedup_embedding_cosine_lsh_loose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second operating point for LSH cosine dedup (threshold 0.35): pins
+    the candidate-generation recall behavior away from the default 0.45 —
+    looser thresholds admit pairs that collide in fewer bands, so the
+    identical-banding oracle must agree on exactly which candidates exist,
+    not just the easy high-sim ones."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_bucketed(
+        emb, "vec_id", "embedding", 0.35
+    ).orderBy("id_a", "id_b")
+
+
+@_register(
     "ann_ivf_topk",
     similarity.ivf_topk_sql("embeddings", "vec_id", "embedding", 5)
     + "\nORDER BY qid, rank",
@@ -1576,6 +1593,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, "vec_id", "embedding", 5).orderBy(
         "qid", "rank"
     )
+
+
+@_register("ann_ivf_kmeans_topk", None)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with Lloyd-refined centroids: three deterministic k-means
+    rounds (stride init, no RNG) tighten the cells before the same
+    broadcast-probe search. No SQL oracle — replaying an iterative
+    refinement in one SQL statement is impractical (rows-only check);
+    tests/test_operators.py pins determinism and recall >= the stride
+    path against the exact scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=3)
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", 5, centroids=cent
+    ).orderBy("qid", "rank")
 
 
 @_register(
@@ -3933,6 +3965,9 @@ _PRIORITY = [
     "dedup_embedding_cosine_lsh",
     "multimodal_features",
     "multimodal_frame_sample",
+    # brand-new round-5 entries (never sampled)
+    "dedup_embedding_cosine_lsh_loose",
+    "ann_ivf_kmeans_topk",
 ]
 _DRIVER_GREEN = [
     # round 1

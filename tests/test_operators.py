@@ -290,6 +290,53 @@ def test_cosine_pairs_bucketed_degenerate_bucket_is_tiled(spark, monkeypatch):
     assert got.min_sim == got.max_sim == 1.0, got
 
 
+def test_ivf_kmeans_centroids_deterministic_and_recall(spark):
+    """Lloyd-refined IVF must be reproducible (stride init, no RNG) and
+    at least match the un-refined stride path's recall against the exact
+    top-k scan — refinement may only tighten cells, never degrade below
+    the baseline it initializes from (on this fixture)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.qid, r.nid)
+        for r in similarity.brute_force_topk(
+            emb,
+            emb.filter(F.col("vec_id") % similarity.IVF_QUERY_STRIDE == 0),
+            "vec_id",
+            "embedding",
+            5,
+        ).collect()
+    }
+    cent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=2)
+    run1 = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk(
+            emb, "vec_id", "embedding", 5, centroids=cent
+        ).collect()
+    )
+    run2 = sorted(
+        tuple(r)
+        for r in similarity.ivf_topk(
+            emb,
+            "vec_id",
+            "embedding",
+            5,
+            centroids=similarity.kmeans_centroids(
+                emb, "vec_id", "embedding", iters=2
+            ),
+        ).collect()
+    )
+    assert run1 == run2, "k-means IVF must be deterministic run-to-run"
+    stride = {
+        (r.qid, r.nid)
+        for r in similarity.ivf_topk(emb, "vec_id", "embedding", 5).collect()
+    }
+    km = {(q, n) for q, n, _, _ in run1}
+    assert exact, "fixture must produce exact pairs"
+    recall_km = len(km & exact) / len(exact)
+    recall_stride = len(stride & exact) / len(exact)
+    assert recall_km >= recall_stride - 1e-9, (recall_km, recall_stride)
+
+
 def test_cosine_pairs_bucketed_subset_and_recall(spark):
     """LSH-bucketed near-dup pairs must be a subset of the exact all-pairs
     result at the same threshold (approximation lives in candidate
