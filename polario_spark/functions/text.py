@@ -96,6 +96,40 @@ def word_bigrams(tokens_expr: str, dialect: str) -> str:
     )
 
 
+def word_ngrams(tokens_expr: str, n: int, dialect: str) -> str:
+    """Consecutive n-token shingles as 'w1 .. wn' strings (generalizes
+    word_bigrams); a doc with fewer than n tokens yields no shingles."""
+    if dialect == "spark":
+        win = f"array_join(slice({tokens_expr}, i, {n}), ' ')"
+        # guard short docs explicitly: sequence(1, 0) in Spark counts DOWN
+        # ([1, 0]), it does not produce an empty array
+        return (
+            f"case when size({tokens_expr}) < {n} "
+            f"then cast(array() as array<string>) "
+            f"else transform(sequence(1, size({tokens_expr}) - {n} + 1), "
+            f"i -> {win}) end"
+        )
+    win = f"array_to_string(({tokens_expr})[i:i+{n - 1}], ' ')"
+    # duckdb range(a, b) is end-exclusive: b <= a yields [] as wanted
+    return (
+        f"list_transform(range(1, greatest(len({tokens_expr}) - {n} + 1, 0) + 1), "
+        f"i -> {win})"
+    )
+
+
+def lines(col: str, dialect: str) -> str:
+    """Non-empty trimmed lines of a text column (newline-delimited)."""
+    if dialect == "spark":
+        return (
+            f"filter(transform(split({col}, chr(10)), x -> trim(x)), "
+            f"x -> x != '')"
+        )
+    return (
+        f"list_filter(list_transform(string_split({col}, chr(10)), "
+        f"x -> trim(x)), x -> x != '')"
+    )
+
+
 def window_hashes(col: str, w: int, dialect: str) -> str:
     """Rolling w-token window fingerprints: md5-int32 of each consecutive
     w-token window of the document (Rabin-Karp/winnowing-style chunk

@@ -116,6 +116,40 @@ def filter_flag_exprs(text_col: str, dialect: str) -> dict[str, str]:
     }
 
 
+def repetition_exprs(text_col: str, dialect: str) -> dict[str, str]:
+    """Intra-document repetition signals (Gopher repetition rules, Rae et
+    al. '21 §A1.1: duplicate line / n-gram fractions), one pure expression
+    per signal so the whole set rides the scan's codegen stage — no
+    explode, no shuffle, embarrassingly parallel at any corpus size.
+
+    Fractions are count-weighted duplicate shares: 1 - distinct/total,
+    0 for empty denominators. Ratios round at 4 after double division;
+    numerators/denominators are exact integers in both dialects, so the
+    only float op is the final divide — cross-engine stable.
+    """
+    toks = TXT.tokens(text_col, dialect)
+    lns = TXT.lines(text_col, dialect)
+    distinct = "array_distinct" if dialect == "spark" else "list_distinct"
+    size = lambda e: TXT.array_size(e, dialect)  # noqa: E731
+
+    def dup_frac(arr: str) -> str:
+        total, uniq = size(arr), size(f"{distinct}({arr})")
+        ratio = (
+            f"({total} - {uniq})::DOUBLE / {total}"
+            if dialect == "duckdb"
+            else f"cast({total} - {uniq} as double) / {total}"
+        )
+        return f"round(case when {total} = 0 then 0.0 else {ratio} end, 4)"
+
+    return {
+        "n_lines": size(lns),
+        "dup_line_frac": dup_frac(lns),
+        "dup_token_frac": dup_frac(toks),
+        "dup_bigram_frac": dup_frac(TXT.word_ngrams(toks, 2, dialect)),
+        "dup_trigram_frac": dup_frac(TXT.word_ngrams(toks, 3, dialect)),
+    }
+
+
 def fingerprint_expr(text_col: str, dialect: str) -> str:
     """Content fingerprint: md5 of the sorted distinct token set (word-order
     independent document identity)."""

@@ -676,6 +676,92 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _repetition_oracle() -> str:
+    ex = text_analysis.repetition_exprs("text", "duckdb")
+    cols = ",\n       ".join(f"{expr} AS {name}" for name, expr in ex.items())
+    return f"""
+SELECT doc_id,
+       {cols}
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@_register("repetition_signals", _repetition_oracle())
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (Gopher repetition rules):
+    duplicate line / token / bigram / trigram fractions per document.
+    Every signal is a pure codegen expression over the scan — no explode,
+    no shuffle, so the operator costs one corpus pass at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = text_analysis.repetition_exprs("text", "spark")
+    return docs.select(
+        "doc_id", *[F.expr(expr).alias(name) for name, expr in ex.items()]
+    ).orderBy("doc_id")
+
+
+@_register(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TXT.tokens('text', 'duckdb')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n::DOUBLE / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT scored.*,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic relevance/keyword
+    extraction pass over a corpus.
+
+    Scale shape: the token explode shuffles (doc, term) pairs once; both
+    the tf and df aggregations are map-side combinable, the df side joins
+    back on the term key (dictionary-sized, not corpus-sized), and the
+    corpus row count N arrives as a broadcast single-row cross join —
+    standard distributed inverted-index construction. Ranking happens on
+    the ROUNDED score (4 dp) with a term tiebreak in both dialects, so
+    the oracle can never disagree on near-tie ordering."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(TXT.tokens("text", "spark"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
+
+
 #: documents with doc_id % DECONTAM_STRIDE == 0 stand in for a held-out
 #: evaluation set; everything else is training corpus.
 DECONTAM_STRIDE = 97
@@ -3968,6 +4054,8 @@ _PRIORITY = [
     # brand-new round-5 entries (never sampled)
     "dedup_embedding_cosine_lsh_loose",
     "ann_ivf_kmeans_topk",
+    "repetition_signals",
+    "tfidf_top_terms",
 ]
 _DRIVER_GREEN = [
     # round 1

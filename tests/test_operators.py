@@ -290,6 +290,34 @@ def test_cosine_pairs_bucketed_degenerate_bucket_is_tiled(spark, monkeypatch):
     assert got.min_sim == got.max_sim == 1.0, got
 
 
+def test_repetition_exprs_edge_cases(spark):
+    """Hand-computed repetition signals on edge docs: empty text (all
+    fractions 0, not NaN/divide-by-zero), a doc shorter than the n-gram
+    width (empty shingle set -> 0), and a fully repetitive doc."""
+    rows = [
+        (1, ""),  # empty: every denominator is 0
+        (2, "one two"),  # 2 tokens: no trigrams exist
+        (3, "spam spam spam spam"),  # 1 distinct token of 4
+        (4, "a b\na b\nc d"),  # 3 lines, one duplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = text_analysis.repetition_exprs("text", "spark")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id", *[F.expr(e).alias(n) for n, e in ex.items()]
+        ).collect()
+    }
+    assert got[1]["n_lines"] == 0 and got[1]["dup_line_frac"] == 0.0
+    assert got[1]["dup_trigram_frac"] == 0.0
+    assert got[2]["dup_trigram_frac"] == 0.0  # no trigrams, guarded
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[3]["dup_token_frac"] == 0.75  # 4 tokens, 1 distinct
+    assert got[3]["dup_bigram_frac"] == round(2 / 3, 4)  # 3 shingles, 1 kind
+    assert got[4]["n_lines"] == 3
+    assert got[4]["dup_line_frac"] == round(1 / 3, 4)
+
+
 def test_ivf_kmeans_centroids_deterministic_and_recall(spark):
     """Lloyd-refined IVF must be reproducible (stride init, no RNG) and
     at least match the un-refined stride path's recall against the exact
