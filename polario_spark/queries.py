@@ -1177,10 +1177,19 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderstatus")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            # one percentile(..., array(...)) buffers each group's values
+            # ONCE for both quantiles; two scalar percentile calls would
+            # maintain two independent full-group buffers
+            F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("__p"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.element_at("__p", 1), 2).alias("median_price"),
+            F.round(F.element_at("__p", 2), 2).alias("p90_price"),
+            "min_price",
+            "max_price",
         )
         .orderBy("o_orderstatus")
     )
