@@ -762,6 +762,98 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_keep_best",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         {text_analysis.fingerprint_expr('text', 'duckdb')} AS fp,
+         {text_analysis.doc_metrics_sql_exprs('text')['distinct_ratio']} AS score
+  FROM documents
+),
+r AS (
+  SELECT d.*,
+         row_number() OVER (PARTITION BY fp ORDER BY score DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY fp) AS n_copies
+  FROM d
+)
+SELECT doc_id AS survivor_id, n_copies, score
+FROM r WHERE rn = 1 AND n_copies > 1
+ORDER BY survivor_id
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: within each exact-content
+    cluster (word-order-independent fingerprint), keep the copy with the
+    highest lexical-diversity score (ties to the smallest doc_id) — the
+    'which duplicate do we keep' decision of a real corpus pipeline,
+    complementing dedup_exact's min-id survivor rule.
+
+    Scale shape: one fingerprint-key shuffle; the survivor falls out of a
+    map-side-combinable max_by argmax (no per-cluster sort, unlike the
+    oracle's row_number formulation — same result, better plan)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr(text_analysis.fingerprint_expr("text", "spark")).alias("fp"),
+        F.expr(
+            text_analysis._metrics_exprs("text", "spark")[  # noqa: SLF001
+                "distinct_ratio"
+            ]
+        ).alias("score"),
+    )
+    return (
+        d.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max_by(
+                F.struct("doc_id", "score"),
+                F.struct(F.col("score"), (-F.col("doc_id")).alias("neg")),
+            ).alias("best"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            F.col("best.doc_id").alias("survivor_id"),
+            "n_copies",
+            F.col("best.score").alias("score"),
+        )
+        .orderBy("survivor_id")
+    )
+
+
+@_register(
+    "stratified_topk_sample",
+    f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY {TXT.md5_int32('doc_id::VARCHAR', 'duckdb')} ASC,
+                    doc_id ASC) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 5
+ORDER BY lang, sample_rank
+""",
+)
+def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sample per stratum: 5 documents per language,
+    ranked by a content-addressed hash (md5 of the id) — reproducible
+    anywhere with no rand() and no assignment table, complementing
+    stratified_sample_split's ratio-based bucketing. Growing the corpus
+    only displaces ranks locally; a doc's hash never changes.
+
+    Scale shape: one shuffle on the stratum key; top-k per partition via
+    row_number, which AQE executes with partial per-task top-k pruning."""
+    docs = _t(spark, sf_dir, "documents")
+    hsh = F.expr(TXT.md5_int32("cast(doc_id as string)", "spark"))
+    w = Window.partitionBy("lang").orderBy(hsh.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+        .orderBy("lang", "sample_rank")
+    )
+
+
 #: documents with doc_id % DECONTAM_STRIDE == 0 stand in for a held-out
 #: evaluation set; everything else is training corpus.
 DECONTAM_STRIDE = 97
@@ -4065,6 +4157,8 @@ _PRIORITY = [
     "ann_ivf_kmeans_topk",
     "repetition_signals",
     "tfidf_top_terms",
+    "dedup_keep_best",
+    "stratified_topk_sample",
 ]
 _DRIVER_GREEN = [
     # round 1
