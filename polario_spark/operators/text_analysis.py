@@ -155,3 +155,69 @@ def fingerprint_expr(text_col: str, dialect: str) -> str:
     independent document identity)."""
     joined = TXT.array_join(TXT.sorted_distinct_tokens(text_col, dialect), " ", dialect)
     return f"md5({joined})"
+
+
+#: training-chunk geometry: CHUNK_TOKENS tokens per chunk, starts every
+#: CHUNK_STRIDE tokens (CHUNK_TOKENS - CHUNK_STRIDE tokens of overlap so no
+#: boundary context is lost). Requires CHUNK_STRIDE <= CHUNK_TOKENS.
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+
+def chunk_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Split documents into overlapping fixed-token training chunks:
+    (doc_id, chunk_id, n_chunk_tokens, chunk_hash) — the pre-tokenization
+    chunking step that feeds sequence packing.
+
+    Chunk count per doc is pure integer math (1 + ceil(max(n - C, 0)/S),
+    0 for empty docs) so Spark and the oracle can never disagree on
+    geometry; chunk content is carried as an md5 hash, not the text, to
+    keep the result narrow. Scale shape: one generate-and-posexplode over
+    the scan — per-row work linear in document length, no shuffle, no
+    Python; the output inherits the input partitioning."""
+    toks = TXT.tokens(text_col, "spark")
+    n = f"size({toks})"
+    n_chunks = (
+        f"case when {n} = 0 then 0 else "
+        f"1 + cast(floor((greatest({n} - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1) "
+        f"/ {CHUNK_STRIDE}) as int) end"
+    )
+    chunk = f"array_join(slice({toks}, 1 + k * {CHUNK_STRIDE}, {CHUNK_TOKENS}), ' ')"
+    gen = (
+        f"case when {n_chunks} = 0 then cast(array() as array<struct<chunk_id:int,"
+        f"n_chunk_tokens:int,chunk_hash:string>>) else "
+        f"transform(sequence(0, {n_chunks} - 1), k -> named_struct("
+        f"'chunk_id', k, "
+        f"'n_chunk_tokens', size(slice({toks}, 1 + k * {CHUNK_STRIDE}, {CHUNK_TOKENS})), "
+        f"'chunk_hash', md5({chunk}))) end"
+    )
+    return docs.select(
+        "doc_id", F.explode(F.expr(gen)).alias("__c")
+    ).select(
+        "doc_id",
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("__c.chunk_hash").alias("chunk_hash"),
+    )
+
+
+def chunk_documents_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of chunk_documents — identical integer geometry."""
+    toks = TXT.tokens(text_col, "duckdb")
+    n = f"len({toks})"
+    n_chunks = (
+        f"case when {n} = 0 then 0 else "
+        f"1 + ((greatest({n} - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1) "
+        f"// {CHUNK_STRIDE}) end"
+    )
+    chunk = (
+        f"array_to_string(({toks})[1 + k * {CHUNK_STRIDE}:"
+        f"{CHUNK_TOKENS} + k * {CHUNK_STRIDE}], ' ')"
+    )
+    return f"""
+SELECT doc_id,
+       k AS chunk_id,
+       len(({toks})[1 + k * {CHUNK_STRIDE}:{CHUNK_TOKENS} + k * {CHUNK_STRIDE}]) AS n_chunk_tokens,
+       md5({chunk}) AS chunk_hash
+FROM {table}, unnest(range(0, {n_chunks})) AS u(k)
+"""

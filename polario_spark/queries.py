@@ -854,6 +854,22 @@ def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "chunk_documents",
+    text_analysis.chunk_documents_sql("documents", "text")
+    + "\nORDER BY doc_id, chunk_id",
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token training chunks per document (50 tokens,
+    stride 40) — the chunking step that precedes sequence packing. Pure
+    generate-and-explode over the scan; chunk geometry is exact integer
+    math shared with the oracle, content carried as an md5 hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return text_analysis.chunk_documents(docs, "text").orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 #: documents with doc_id % DECONTAM_STRIDE == 0 stand in for a held-out
 #: evaluation set; everything else is training corpus.
 DECONTAM_STRIDE = 97
@@ -4159,6 +4175,7 @@ _PRIORITY = [
     "tfidf_top_terms",
     "dedup_keep_best",
     "stratified_topk_sample",
+    "chunk_documents",
 ]
 _DRIVER_GREEN = [
     # round 1

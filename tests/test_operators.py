@@ -318,6 +318,31 @@ def test_repetition_exprs_edge_cases(spark):
     assert got[4]["dup_line_frac"] == round(1 / 3, 4)
 
 
+def test_chunk_documents_geometry(spark):
+    """Chunk geometry edge cases: empty doc (0 chunks), short doc (1 chunk
+    of its own length), exact-chunk-size doc (1 chunk), and one chunk
+    past the boundary (overlap stride: second chunk starts at token 41
+    and holds the remaining tokens)."""
+    C, S = text_analysis.CHUNK_TOKENS, text_analysis.CHUNK_STRIDE
+    rows = [
+        (1, ""),
+        (2, "a b c"),
+        (3, " ".join(f"t{i}" for i in range(C))),
+        (4, " ".join(f"t{i}" for i in range(C + 1))),
+        (5, " ".join(f"t{i}" for i in range(2 * S + C))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in text_analysis.chunk_documents(df, "text").collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.n_chunk_tokens))
+    assert 1 not in got  # empty doc yields no chunks
+    assert got[2] == [(0, 3)]
+    assert got[3] == [(0, C)]
+    assert sorted(got[4]) == [(0, C), (1, C + 1 - S)]
+    # 2S + C tokens: starts 1, 1+S, 1+2S — each window still holds C tokens
+    assert sorted(got[5]) == [(0, C), (1, C), (2, C)]
+
+
 def test_ivf_kmeans_centroids_deterministic_and_recall(spark):
     """Lloyd-refined IVF must be reproducible (stride init, no RNG) and
     at least match the un-refined stride path's recall against the exact
