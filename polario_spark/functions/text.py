@@ -130,12 +130,20 @@ def lines(col: str, dialect: str) -> str:
     )
 
 
-def window_hashes(col: str, w: int, dialect: str) -> str:
+def window_hashes(
+    col: str, w: int, dialect: str, toks_col: str | None = None
+) -> str:
     """Rolling w-token window fingerprints: md5-int32 of each consecutive
     w-token window of the document (Rabin-Karp/winnowing-style chunk
     hashes; Schleimer et al., SIGMOD'03). Shorter docs yield one hash of
-    all their tokens."""
-    toks = tokens(col, dialect)
+    all their tokens.
+
+    Pass ``toks_col`` (a BOUND token-array column) on the hot path: the
+    window slice lives inside a transform lambda, and an inlined
+    tokenizer there re-evaluates per window position — quadratic in
+    document length (interpreted higher-order functions don't cache
+    inlined argument expressions)."""
+    toks = toks_col or tokens(col, dialect)
     if dialect == "spark":
         win = f"array_join(slice({toks}, i, {w}), ' ')"
         return (

@@ -199,8 +199,17 @@ def rolling_window_pairs(
     from polario_spark.plans.parallelism import ensure_parallelism
 
     df = ensure_parallelism(df)
-    wins = F.expr(f"array_distinct({TXT.window_hashes(text_col, ROLLING_WINDOW, 'spark')})")
-    postings = df.select(F.col(id_col), F.explode(wins).alias("__wh"))
+    # bind the token array: window_hashes slices it inside a transform
+    # lambda, which re-tokenizes per window position if inlined
+    bound = df.withColumns(
+        {"__toks": F.expr(TXT.tokens(text_col, "spark"))}
+    )
+    wins = F.expr(
+        "array_distinct("
+        + TXT.window_hashes(text_col, ROLLING_WINDOW, "spark", toks_col="__toks")
+        + ")"
+    )
+    postings = bound.select(F.col(id_col), F.explode(wins).alias("__wh"))
     a, b = postings.alias("a"), postings.alias("b")
     return (
         a.join(
@@ -293,9 +302,14 @@ SELECT node, min(label) AS component FROM __cc_reach GROUP BY node
 
 
 def rolling_window_pairs_sql(table: str, id_col: str, text_col: str) -> str:
-    wins = f"list_distinct({TXT.window_hashes(text_col, ROLLING_WINDOW, 'duckdb')})"
+    wins = (
+        "list_distinct("
+        + TXT.window_hashes(text_col, ROLLING_WINDOW, "duckdb", toks_col="__toks")
+        + ")"
+    )
     return f"""
-WITH p AS (SELECT {id_col}, unnest({wins}) AS __wh FROM {table})
+WITH b AS (SELECT {id_col}, {TXT.tokens(text_col, 'duckdb')} AS __toks FROM {table}),
+p AS (SELECT {id_col}, unnest({wins}) AS __wh FROM b)
 SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS shared_windows
 FROM p a JOIN p b ON a.__wh = b.__wh AND a.{id_col} < b.{id_col}
 GROUP BY 1, 2

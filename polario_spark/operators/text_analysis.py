@@ -73,7 +73,12 @@ def predicted_lang_expr(text_col: str, dialect: str) -> str:
     return f"(CASE WHEN ({any_marker}) = 0 THEN 'und' {cases} END)"
 
 
-def filter_flag_exprs(text_col: str, dialect: str) -> dict[str, str]:
+def filter_flag_exprs(
+    text_col: str,
+    dialect: str,
+    toks_col: str | None = None,
+    dtoks_col: str | None = None,
+) -> dict[str, str]:
     """Corpus-cleaning filter flags (Gopher-rule style, Rae et al. '21,
     adapted to single-line fixture docs), each a 0/1 integer expression.
 
@@ -86,9 +91,15 @@ def filter_flag_exprs(text_col: str, dialect: str) -> dict[str, str]:
     - ``pass_top_freq``: most frequent token <= 20% of tokens (the
       single-token analog of Gopher's duplicate-line fraction);
     - ``pass_word_len``: mean token length in [3, 10] chars.
+
+    Pass ``toks_col``/``dtoks_col`` (names of BOUND array columns) on the
+    hot path: the top-freq flag nests the token array inside a transform
+    lambda, and an inlined tokenizer there is re-evaluated per distinct
+    token — quadratic in document length (same trap repetition_frame
+    documents). The default inlined form remains for one-shot use.
     """
-    toks = TXT.tokens(text_col, dialect)
-    dtoks = TXT.distinct_tokens(text_col, dialect)
+    toks = toks_col or TXT.tokens(text_col, dialect)
+    dtoks = dtoks_col or TXT.distinct_tokens(text_col, dialect)
     n_tokens = TXT.array_size(toks, dialect)
     n_distinct = TXT.array_size(dtoks, dialect)
     if dialect == "spark":
@@ -116,38 +127,90 @@ def filter_flag_exprs(text_col: str, dialect: str) -> dict[str, str]:
     }
 
 
-def repetition_exprs(text_col: str, dialect: str) -> dict[str, str]:
-    """Intra-document repetition signals (Gopher repetition rules, Rae et
-    al. '21 §A1.1: duplicate line / n-gram fractions), one pure expression
-    per signal so the whole set rides the scan's codegen stage — no
-    explode, no shuffle, embarrassingly parallel at any corpus size.
-
-    Fractions are count-weighted duplicate shares: 1 - distinct/total,
-    0 for empty denominators. Ratios round at 4 after double division;
-    numerators/denominators are exact integers in both dialects, so the
-    only float op is the final divide — cross-engine stable.
-    """
-    toks = TXT.tokens(text_col, dialect)
-    lns = TXT.lines(text_col, dialect)
+def _dup_frac_expr(arr_col: str, dialect: str) -> str:
+    """Count-weighted duplicate share of a BOUND array column:
+    1 - distinct/total, 0 for empty arrays. Integer numerator and
+    denominator; the only float op is the final divide — cross-engine
+    stable at round(·, 4)."""
     distinct = "array_distinct" if dialect == "spark" else "list_distinct"
-    size = lambda e: TXT.array_size(e, dialect)  # noqa: E731
+    total = TXT.array_size(arr_col, dialect)
+    uniq = TXT.array_size(f"{distinct}({arr_col})", dialect)
+    ratio = (
+        f"({total} - {uniq})::DOUBLE / {total}"
+        if dialect == "duckdb"
+        else f"cast({total} - {uniq} as double) / {total}"
+    )
+    return f"round(case when {total} = 0 then 0.0 else {ratio} end, 4)"
 
-    def dup_frac(arr: str) -> str:
-        total, uniq = size(arr), size(f"{distinct}({arr})")
-        ratio = (
-            f"({total} - {uniq})::DOUBLE / {total}"
-            if dialect == "duckdb"
-            else f"cast({total} - {uniq} as double) / {total}"
-        )
-        return f"round(case when {total} = 0 then 0.0 else {ratio} end, 4)"
 
+def _repetition_signal_exprs(dialect: str) -> dict[str, str]:
+    """Signals over the bound helper columns __toks/__lines/__g2/__g3."""
     return {
-        "n_lines": size(lns),
-        "dup_line_frac": dup_frac(lns),
-        "dup_token_frac": dup_frac(toks),
-        "dup_bigram_frac": dup_frac(TXT.word_ngrams(toks, 2, dialect)),
-        "dup_trigram_frac": dup_frac(TXT.word_ngrams(toks, 3, dialect)),
+        "n_lines": TXT.array_size("__lines", dialect),
+        "dup_line_frac": _dup_frac_expr("__lines", dialect),
+        "dup_token_frac": _dup_frac_expr("__toks", dialect),
+        "dup_bigram_frac": _dup_frac_expr("__g2", dialect),
+        "dup_trigram_frac": _dup_frac_expr("__g3", dialect),
     }
+
+
+def repetition_frame(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (Gopher repetition rules, Rae et
+    al. '21 §A1.1): duplicate line / token / bigram / trigram fractions
+    as new columns. One corpus pass, no explode, no shuffle.
+
+    The token/line/n-gram arrays are BOUND as intermediate projection
+    columns, not inlined into each signal: Spark's higher-order array
+    functions are interpreted and re-evaluate an inlined argument
+    expression on every lambda element, so an inlined tokenizer inside
+    slice() turns n-gram construction quadratic in document length
+    (~12 ms/doc measured at sf0.1 — 60 s for the corpus; bound form runs
+    the whole table in <1 s). CollapseProject keeps the bindings: they
+    are non-cheap expressions referenced more than once downstream.
+    """
+    bound = docs.withColumns(
+        {
+            "__toks": F.expr(TXT.tokens(text_col, "spark")),
+            "__lines": F.expr(TXT.lines(text_col, "spark")),
+        }
+    ).withColumns(
+        {
+            "__g2": F.expr(TXT.word_ngrams("__toks", 2, "spark")),
+            "__g3": F.expr(TXT.word_ngrams("__toks", 3, "spark")),
+        }
+    )
+    out = bound.withColumns(
+        {
+            name: F.expr(expr)
+            for name, expr in _repetition_signal_exprs("spark").items()
+        }
+    )
+    return out.drop("__toks", "__lines", "__g2", "__g3")
+
+
+def repetition_signals_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of repetition_frame (doc_id + signals), same CTE-bound
+    arrays so both engines evaluate each helper array once per row."""
+    sig = _repetition_signal_exprs("duckdb")
+    cols = ",\n       ".join(f"{expr} AS {name}" for name, expr in sig.items())
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         {TXT.tokens(text_col, 'duckdb')} AS __toks,
+         {TXT.lines(text_col, 'duckdb')} AS __lines
+  FROM {table}
+),
+g AS (
+  SELECT doc_id, __toks, __lines,
+         {TXT.word_ngrams('__toks', 2, 'duckdb')} AS __g2,
+         {TXT.word_ngrams('__toks', 3, 'duckdb')} AS __g3
+  FROM b
+)
+SELECT doc_id,
+       {cols}
+FROM g
+ORDER BY doc_id
+"""
 
 
 def fingerprint_expr(text_col: str, dialect: str) -> str:
@@ -174,8 +237,12 @@ def chunk_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     geometry; chunk content is carried as an md5 hash, not the text, to
     keep the result narrow. Scale shape: one generate-and-posexplode over
     the scan — per-row work linear in document length, no shuffle, no
-    Python; the output inherits the input partitioning."""
-    toks = TXT.tokens(text_col, "spark")
+    Python; the output inherits the input partitioning. The token array
+    is a bound projection column (the chunk slice lives inside a
+    transform lambda — an inlined tokenizer there re-evaluates per chunk,
+    see repetition_frame)."""
+    docs = docs.withColumns({"__toks": F.expr(TXT.tokens(text_col, "spark"))})
+    toks = "__toks"
     n = f"size({toks})"
     n_chunks = (
         f"case when {n} = 0 then 0 else "
@@ -202,8 +269,9 @@ def chunk_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def chunk_documents_sql(table: str = "documents", text_col: str = "text") -> str:
-    """DuckDB twin of chunk_documents — identical integer geometry."""
-    toks = TXT.tokens(text_col, "duckdb")
+    """DuckDB twin of chunk_documents — identical integer geometry, same
+    CTE-bound token array."""
+    toks = "__toks"
     n = f"len({toks})"
     n_chunks = (
         f"case when {n} = 0 then 0 else "
@@ -215,9 +283,12 @@ def chunk_documents_sql(table: str = "documents", text_col: str = "text") -> str
         f"{CHUNK_TOKENS} + k * {CHUNK_STRIDE}], ' ')"
     )
     return f"""
+WITH b AS (
+  SELECT doc_id, {TXT.tokens(text_col, 'duckdb')} AS __toks FROM {table}
+)
 SELECT doc_id,
        k AS chunk_id,
        len(({toks})[1 + k * {CHUNK_STRIDE}:{CHUNK_TOKENS} + k * {CHUNK_STRIDE}]) AS n_chunk_tokens,
        md5({chunk}) AS chunk_hash
-FROM {table}, unnest(range(0, {n_chunks})) AS u(k)
+FROM b, unnest(range(0, {n_chunks})) AS u(k)
 """

@@ -676,28 +676,23 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _repetition_oracle() -> str:
-    ex = text_analysis.repetition_exprs("text", "duckdb")
-    cols = ",\n       ".join(f"{expr} AS {name}" for name, expr in ex.items())
-    return f"""
-SELECT doc_id,
-       {cols}
-FROM documents
-ORDER BY doc_id
-"""
-
-
-@_register("repetition_signals", _repetition_oracle())
+@_register(
+    "repetition_signals",
+    text_analysis.repetition_signals_sql("documents", "text"),
+)
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition signals (Gopher repetition rules):
     duplicate line / token / bigram / trigram fractions per document.
-    Every signal is a pure codegen expression over the scan — no explode,
-    no shuffle, so the operator costs one corpus pass at any scale."""
+    One corpus pass, no explode, no shuffle; the helper arrays are bound
+    projection columns (see text_analysis.repetition_frame for why
+    inlining them is quadratic in document length)."""
     docs = _t(spark, sf_dir, "documents")
-    ex = text_analysis.repetition_exprs("text", "spark")
-    return docs.select(
-        "doc_id", *[F.expr(expr).alias(name) for name, expr in ex.items()]
-    ).orderBy("doc_id")
+    sig = list(text_analysis._repetition_signal_exprs("spark"))  # noqa: SLF001
+    return (
+        text_analysis.repetition_frame(docs, "text")
+        .select("doc_id", *sig)
+        .orderBy("doc_id")
+    )
 
 
 @_register(
@@ -2957,10 +2952,16 @@ _FILTER_FLAGS = ["pass_len", "pass_diversity", "pass_top_freq", "pass_word_len"]
 @_register(
     "quality_filter_funnel",
     f"""
-WITH f AS (
+WITH b AS (
+  SELECT source, {TXT.tokens('text', 'duckdb')} AS __toks FROM documents
+),
+b2 AS (
+  SELECT source, __toks, list_distinct(__toks) AS __dtoks FROM b
+),
+f AS (
   SELECT source,
-         {", ".join(f"{expr} AS {name}" for name, expr in text_analysis.filter_flag_exprs("text", "duckdb").items())}
-  FROM documents
+         {", ".join(f"{expr} AS {name}" for name, expr in text_analysis.filter_flag_exprs("text", "duckdb", toks_col="__toks", dtoks_col="__dtoks").items())}
+  FROM b2
 )
 SELECT source, count(*) AS n_docs,
        {", ".join(f"sum({n})::BIGINT AS n_{n}" for n in _FILTER_FLAGS)},
@@ -2972,13 +2973,21 @@ ORDER BY source
 def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-cleaning funnel: per-source document counts passing each
     Gopher-style quality filter (token count, lexical diversity, top-token
-    frequency, mean word length) and all four together. Flags are integer
-    expressions evaluated inside the scan's codegen stage; the only
+    frequency, mean word length) and all four together. The token arrays
+    are bound projection columns (the top-freq flag would otherwise
+    re-tokenize per distinct token — see filter_flag_exprs); the only
     shuffle is |sources| partial-sum rows."""
     docs = _t(spark, sf_dir, "documents")
-    flags = text_analysis.filter_flag_exprs("text", "spark")
-    flagged = docs.select(
-        "source", *[F.expr(expr).alias(name) for name, expr in flags.items()]
+    flags = text_analysis.filter_flag_exprs(
+        "text", "spark", toks_col="__toks", dtoks_col="__dtoks"
+    )
+    flagged = (
+        docs.withColumns({"__toks": F.expr(TXT.tokens("text", "spark"))})
+        .withColumns({"__dtoks": F.expr("array_distinct(__toks)")})
+        .select(
+            "source",
+            *[F.expr(expr).alias(name) for name, expr in flags.items()],
+        )
     )
     all_pass = F.expr(" * ".join(_FILTER_FLAGS))
     return (
@@ -4176,6 +4185,14 @@ _PRIORITY = [
     "dedup_keep_best",
     "stratified_topk_sample",
     "chunk_documents",
+    # Round 5 re-bound the token arrays in these entries' expression
+    # pipelines (quadratic inlined-tokenizer fix); green rows must
+    # post-date that change. (repetition_signals is re-bound too — it is
+    # already listed above as brand-new.)
+    "quality_filter_funnel",
+    "dedup_rolling_windows",
+    "dedup_clusters",
+    "price_percentiles",
 ]
 _DRIVER_GREEN = [
     # round 1
@@ -4185,19 +4202,19 @@ _DRIVER_GREEN = [
     "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "ann_topk_cosine",
     "text_quality", "lang_id_confusion", "q4_order_priority",
     "customers_without_urgent_orders", "parts_set_ops", "pivot_returnflag",
-    "cube_sales", "grouping_sets_priority", "price_percentiles",
+    "cube_sales", "grouping_sets_priority",
     "price_above_brand_avg", "embedding_norm_stats", "distinct_counts",
     "q6_forecast_revenue", "q13_order_count_distribution", "q18_large_orders",
     "q19_discounted_revenue", "q22_idle_customers", "geomean_brand_price",
     "brand_price_zscore_top", "dedup_embedding_cosine", "ann_ivf_topk",
-    "dedup_rolling_windows", "customer_running_totals",
+    "customer_running_totals",
     "csv_roundtrip",
     "skew_salted_agg", "q14_promo_revenue",
     # round 2
     "dedup_exact", "token_stats",
     "hive_roundtrip", "streaming_stateful_sessions",
     "bpe_token_stats", "events_props_map", "q12_priority_by_linestatus",
-    "stratified_sample_split", "quality_filter_funnel", "udtf_repeated_tokens",
+    "stratified_sample_split", "udtf_repeated_tokens",
     "events_variant_extract", "dq_violations", "decontamination_overlap",
     "token_budget_packing", "q15_top_supplier",
     "q17_small_quantity_revenue", "sole_supplier_orders",
@@ -4206,7 +4223,7 @@ _DRIVER_GREEN = [
     "q9_profit_by_nation_year",
     "top_bigrams_per_lang", "q16_supplier_diversity",
     "q20_heavy_gear_suppliers",
-    "orders_seasonality", "q11_important_parts", "dedup_clusters",
+    "orders_seasonality", "q11_important_parts",
     "session_window_stats", "streaming_static_enrich", "orc_roundtrip",
     "ntile_price_deciles", "range_join_value_buckets", "ols_price_per_brand",
     "full_outer_nation_presence", "upsert_roundtrip", "events_gapfill",

@@ -91,3 +91,64 @@ def test_lsh_pairs_subset_of_exact_any_vectors(spark, vecs):
     assert set(bucketed) <= set(exact), (bucketed, exact)
     for pair, sim in bucketed.items():
         assert sim == exact[pair], (pair, sim, exact[pair])
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c\nd0!"),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=texts)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_repetition_and_chunk_exprs_match_python_reference(spark, docs):
+    """The codegen text builders (tokens / lines / n-grams / chunk
+    geometry) must agree with a plain-Python reference on arbitrary text,
+    including empty docs, runs of separators, and newline soup."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from polario_spark.operators import text_analysis
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in text_analysis.repetition_frame(df, "text").collect()
+    }
+    chunks = {}
+    for r in text_analysis.chunk_documents(df, "text").collect():
+        chunks.setdefault(r.doc_id, []).append(r.n_chunk_tokens)
+
+    C, S = text_analysis.CHUNK_TOKENS, text_analysis.CHUNK_STRIDE
+    for i, text in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+        grams2 = [" ".join(toks[k : k + 2]) for k in range(len(toks) - 1)]
+        grams3 = [" ".join(toks[k : k + 3]) for k in range(len(toks) - 2)]
+
+        def frac(arr):
+            return round((len(arr) - len(set(arr))) / len(arr), 4) if arr else 0.0
+
+        assert got[i]["n_lines"] == len(lines), text
+        assert got[i]["dup_line_frac"] == frac(lines), text
+        assert got[i]["dup_token_frac"] == frac(toks), text
+        assert got[i]["dup_bigram_frac"] == frac(grams2), text
+        assert got[i]["dup_trigram_frac"] == frac(grams3), text
+        if not toks:
+            assert i not in chunks, text
+        else:
+            n_chunks = 1 + max(0, (len(toks) - C + S - 1) // S)
+            expect = [
+                len(toks[k * S : k * S + C]) for k in range(n_chunks)
+            ]
+            assert sorted(chunks[i]) == sorted(expect), text

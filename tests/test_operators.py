@@ -301,12 +301,9 @@ def test_repetition_exprs_edge_cases(spark):
         (4, "a b\na b\nc d"),  # 3 lines, one duplicated
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    ex = text_analysis.repetition_exprs("text", "spark")
     got = {
         r["doc_id"]: r.asDict()
-        for r in df.select(
-            "doc_id", *[F.expr(e).alias(n) for n, e in ex.items()]
-        ).collect()
+        for r in text_analysis.repetition_frame(df, "text").collect()
     }
     assert got[1]["n_lines"] == 0 and got[1]["dup_line_frac"] == 0.0
     assert got[1]["dup_trigram_frac"] == 0.0

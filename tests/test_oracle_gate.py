@@ -59,6 +59,7 @@ def test_driver_ordering_puts_unverified_entries_first():
     order = list(Q.queries())
     assert set(order) == set(Q.REGISTRY), "ordering must drop/duplicate nothing"
     assert len(order) == len(set(order)), "ordering must not duplicate entries"
+    assert len(Q._PRIORITY) == len(set(Q._PRIORITY)), "duplicate _PRIORITY entries"
     priority = [n for n in Q._PRIORITY if n in Q.REGISTRY]
     assert order[: len(priority)] == priority
     green = {n for n in Q._DRIVER_GREEN if n in Q.REGISTRY} - set(priority)
