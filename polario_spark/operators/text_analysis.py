@@ -15,10 +15,16 @@ from pyspark.sql import functions as F
 from polario_spark.functions import text as TXT
 
 
-def _metrics_exprs(text_col: str, dialect: str) -> dict[str, str]:
-    toks = TXT.tokens(text_col, dialect)
+def _metrics_exprs(
+    text_col: str, dialect: str, toks_col: str | None = None
+) -> dict[str, str]:
+    """Per-doc lexical metric expressions. Pass ``toks_col`` (a bound
+    token-array column) on the hot path — the inlined form evaluates the
+    tokenizer ~6x per row across the metric set."""
+    toks = toks_col or TXT.tokens(text_col, dialect)
+    distinct = "array_distinct" if dialect == "spark" else "list_distinct"
     n_tokens = TXT.array_size(toks, dialect)
-    n_distinct = TXT.array_size(TXT.distinct_tokens(text_col, dialect), dialect)
+    n_distinct = TXT.array_size(f"{distinct}({toks})", dialect)
     n_stop = TXT.count_matching(toks, TXT.STOPWORDS, dialect)
     return {
         "n_tokens": n_tokens,
@@ -40,12 +46,15 @@ def _metrics_exprs(text_col: str, dialect: str) -> dict[str, str]:
 
 
 def doc_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality metrics as new columns."""
-    exprs = _metrics_exprs(text_col, "spark")
-    out = docs
-    for name, expr in exprs.items():
-        out = out.withColumn(name, F.expr(expr))
-    return out
+    """Per-document quality metrics as new columns. The token array is a
+    bound projection column so the tokenizer runs once per row, not once
+    per metric reference (values are identical either way, so the SQL
+    oracles built from the inlined doc_metrics_sql_exprs still match)."""
+    exprs = _metrics_exprs(text_col, "spark", toks_col="__mtoks")
+    out = docs.withColumns(
+        {"__mtoks": F.expr(TXT.tokens(text_col, "spark"))}
+    ).withColumns({name: F.expr(expr) for name, expr in exprs.items()})
+    return out.drop("__mtoks")
 
 
 def doc_metrics_sql_exprs(text_col: str = "text") -> dict[str, str]:

@@ -4193,6 +4193,7 @@ _PRIORITY = [
     "dedup_rolling_windows",
     "dedup_clusters",
     "price_percentiles",
+    "text_quality",
 ]
 _DRIVER_GREEN = [
     # round 1
@@ -4200,7 +4201,7 @@ _DRIVER_GREEN = [
     "top_customers", "order_rank_window", "rollup_sales", "events_hourly",
     "events_json_stats", "dedup_fingerprint",
     "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "ann_topk_cosine",
-    "text_quality", "lang_id_confusion", "q4_order_priority",
+    "lang_id_confusion", "q4_order_priority",
     "customers_without_urgent_orders", "parts_set_ops", "pivot_returnflag",
     "cube_sales", "grouping_sets_priority",
     "price_above_brand_avg", "embedding_norm_stats", "distinct_counts",
