@@ -153,3 +153,40 @@ def test_token_budget_packing_single_stream_shuffle(spark):
     # full shuffle because (lang, seq_id) is a refinement produced after
     # the window's partitioning
     assert plan.count("hashpartitioning") <= 2, plan
+
+
+def test_text_expression_pipelines_stay_narrow(spark):
+    """The expression-only text operators must stay single-pass: no join,
+    no Python, and no exchange beyond the final output sort (signals) /
+    the aggregation the operator is (funnel). Also pin the bound-array
+    shape: the plan must NOT contain a tokenizer call nested inside a
+    slice(), which is the quadratic inlining regression."""
+    for name in ["repetition_signals", "chunk_documents"]:
+        df = Q.REGISTRY[name].spark(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "slice(filter(split(" not in plan.replace(" ", ""), (
+            name,
+            "tokenizer re-inlined into a lambda slice",
+        )
+
+
+def test_dedup_keep_best_is_single_agg(spark):
+    """Survivor selection must be one hash aggregate on the fingerprint
+    key — no window sort (the oracle's row_number shape)."""
+    df = Q.REGISTRY["dedup_keep_best"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    # struct-keyed max_by compiles to SortAggregate (partial + final) —
+    # still a map-side-combinable aggregate, just not hash-based
+    assert "Aggregate" in plan
+
+
+def test_tfidf_joins_on_term_and_broadcasts_count(spark):
+    """TF-IDF: no cartesian pair enumeration; the corpus row count joins
+    in as a broadcast single-row side."""
+    df = Q.REGISTRY["tfidf_top_terms"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
