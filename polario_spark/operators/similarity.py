@@ -73,6 +73,107 @@ SELECT qid, nid, sim, rank FROM (
 """
 
 
+def _quantize_exprs(vec_col: str, dialect: str) -> tuple[str, str]:
+    """(scale expr over vec_col, int8 array expr over vec_col + bound
+    ``__qscale``): symmetric per-vector int8 quantization q_i =
+    round(x_i * 127 / max|x|). The scale column must be BOUND before the
+    quantize transform (an inlined array_max inside the lambda would
+    re-scan the vector per element — the HOF-inlining trap)."""
+    if dialect == "spark":
+        scale = (
+            f"greatest(array_max(transform({vec_col}, "
+            f"x -> abs(cast(x as double)))), 1e-30d)"
+        )
+        quant = (
+            f"transform({vec_col}, x -> cast(round(cast(x as double) "
+            f"* 127 / __qscale) as bigint))"
+        )
+    else:
+        scale = (
+            f"greatest(list_max(list_transform(({vec_col})::DOUBLE[], "
+            f"x -> abs(x))), 1e-30)"
+        )
+        quant = (
+            f"list_transform(({vec_col})::DOUBLE[], "
+            f"x -> round(x * 127 / __qscale)::BIGINT)"
+        )
+    return scale, quant
+
+
+def _int_cosine(a: str, b: str, dialect: str) -> str:
+    """Cosine over int8-quantized vectors: INTEGER dot products (exact in
+    both engines — 64 dims x 127^2 is far below 2^53) with one sqrt and
+    one divide as the only float ops, so Spark and DuckDB agree
+    bit-for-bit at round(·, 4). The per-vector scales cancel out of the
+    cosine, so they never enter the math."""
+    if dialect == "spark":
+        dot = lambda x, y: (  # noqa: E731
+            f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"
+        )
+    else:
+        dot = lambda x, y: f"list_dot_product({x}, {y})"  # noqa: E731
+    return (
+        f"({dot(a, b)} / greatest(sqrt({dot(a, a)} * 1.0) "
+        f"* sqrt({dot(b, b)} * 1.0), 1e-30))"
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine search over int8-QUANTIZED vectors — the
+    memory-scale path: 4x smaller vectors (int8 vs float32) mean 4x more
+    corpus per executor and integer SIMD dot products, at a small recall
+    cost vs float cosine (the quantization error). Same plan shape as
+    brute_force_topk: queries broadcast, corpus stationary, per-query
+    window top-k — zero corpus shuffle.
+
+    Deterministic cross-engine: the quantized cosine reduces to integer
+    dot products (scales cancel), so the only float ops are one sqrt and
+    one divide.
+    """
+    corpus = ensure_parallelism(corpus)
+    scale, quant = _quantize_exprs(vec_col, "spark")
+    quantized = corpus.withColumns({"__qscale": F.expr(scale)}).withColumns(
+        {"__qv": F.expr(quant)}
+    )
+    q = F.broadcast(
+        quantized.filter(F.col(id_col) % IVF_QUERY_STRIDE == 0).select(
+            F.col(id_col).alias("qid"), F.col("__qv").alias("__qa")
+        )
+    )
+    c = quantized.select(F.col(id_col).alias("nid"), F.col("__qv").alias("__qb"))
+    sim = F.round(F.expr(_int_cosine("__qa", "__qb", "spark")), 4).alias("sim")
+    pairs = q.join(c, F.col("qid") != F.col("nid")).select("qid", "nid", sim)
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )
+
+
+def quantized_topk_sql(
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5
+) -> str:
+    scale, quant = _quantize_exprs(vec_col, "duckdb")
+    sim = _int_cosine("q.__qa", "c.__qb", "duckdb")
+    return f"""
+WITH s AS (SELECT {id_col}, {vec_col}, {scale} AS __qscale FROM {table}),
+v AS (SELECT {id_col}, {quant} AS __qv FROM s),
+q AS (SELECT {id_col} AS qid, __qv AS __qa FROM v WHERE {id_col} % {IVF_QUERY_STRIDE} = 0),
+c AS (SELECT {id_col} AS nid, __qv AS __qb FROM v)
+SELECT qid, nid, sim, rank FROM (
+  SELECT qid, nid, round({sim}, 4) AS sim,
+         row_number() OVER (PARTITION BY qid ORDER BY round({sim}, 4) DESC, nid ASC) AS rank
+  FROM q JOIN c ON qid != nid
+) WHERE rank <= {k}
+"""
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

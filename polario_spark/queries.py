@@ -1793,6 +1793,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ann_topk_quantized",
+    similarity.quantized_topk_sql("embeddings", "vec_id", "embedding", 5)
+    + "\nORDER BY qid, rank",
+)
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors over int8-quantized embeddings — the
+    memory-scale complement to ann_topk_cosine: 4x smaller vectors,
+    integer-dot cosine (per-vector scales cancel), same broadcast-query /
+    stationary-corpus plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb, "vec_id", "embedding", 5).orderBy(
+        "qid", "rank"
+    )
+
+
 @_register("ann_ivf_kmeans_topk", None)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with Lloyd-refined centroids: three deterministic k-means
@@ -4194,6 +4210,7 @@ _PRIORITY = [
     "dedup_clusters",
     "price_percentiles",
     "text_quality",
+    "ann_topk_quantized",
 ]
 _DRIVER_GREEN = [
     # round 1

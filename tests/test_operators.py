@@ -315,6 +315,30 @@ def test_repetition_exprs_edge_cases(spark):
     assert got[4]["dup_line_frac"] == round(1 / 3, 4)
 
 
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization on 64-dim embeddings loses little ranking
+    signal: quantized top-5 must recover >= 80% of the exact float
+    top-5 pairs on the fixture, with identical output shape."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.qid, r.nid)
+        for r in similarity.brute_force_topk(
+            emb,
+            emb.filter(F.col("vec_id") % similarity.IVF_QUERY_STRIDE == 0),
+            "vec_id",
+            "embedding",
+            5,
+        ).collect()
+    }
+    quant = {
+        (r.qid, r.nid)
+        for r in similarity.quantized_topk(emb, "vec_id", "embedding", 5).collect()
+    }
+    assert exact
+    recall = len(quant & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
 def test_chunk_documents_geometry(spark):
     """Chunk geometry edge cases: empty doc (0 chunks), short doc (1 chunk
     of its own length), exact-chunk-size doc (1 chunk), and one chunk
