@@ -722,11 +722,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the classic relevance/keyword
     extraction pass over a corpus.
 
-    Scale shape: the token explode shuffles (doc, term) pairs once; both
-    the tf and df aggregations are map-side combinable, the df side joins
-    back on the term key (dictionary-sized, not corpus-sized), and the
-    corpus row count N arrives as a broadcast single-row cross join —
-    standard distributed inverted-index construction. Ranking happens on
+    Scale shape: the token explode shuffles (doc, term) pairs; tf and df
+    are map-side combinable, df derives from tf rows (no second
+    countDistinct dedup shuffle over raw tokens), the df side joins back
+    on the term key (dictionary-sized, not corpus-sized), and the corpus
+    row count N arrives as a broadcast single-row cross join — standard
+    distributed inverted-index construction. Catalyst does not reuse the
+    tf subplan across its two consumers, so the explode executes twice;
+    a 100 TB deployment materializes the tf table once (persist or an
+    intermediate parquet write) before fanning out. Ranking happens on
     the ROUNDED score (4 dp) with a term tiebreak in both dialects, so
     the oracle can never disagree on near-tie ordering."""
     docs = _t(spark, sf_dir, "documents")
@@ -734,7 +738,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr(TXT.tokens("text", "spark"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf (one row per (doc, term) -> row count per term IS
+    # the document frequency): saves the second corpus scan + explode the
+    # naive countDistinct-over-tokens formulation costs
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
         tf.join(df, "term")
