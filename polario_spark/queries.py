@@ -3277,6 +3277,65 @@ def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "range_join_binned",
+    """
+SELECT band, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+JOIN (VALUES ('000-050', 0.0, 50.0), ('050-100', 50.0, 100.0),
+             ('100-200', 100.0, 200.0), ('200-300', 200.0, 300.0),
+             ('300-500', 300.0, 500.0)) AS b(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+ORDER BY band
+""",
+)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE form of range_join_value_buckets — bin-and-equi-join:
+    each interval explodes into fixed-width bins, facts compute
+    floor(value/width) once, the join becomes a broadcast HASH equi-join
+    on the integer bin key (not a nested-loop scan of every interval per
+    row), and the exact bounds re-check after the join removes bin-edge
+    false positives. Same result as the nested-loop entry by
+    construction — the oracle is identical — so the pair pins that the
+    rewrite is semantics-preserving. Right when the interval table is too
+    large for per-row linear scans; per-row work drops from O(|intervals|)
+    to O(1) + the per-bin fan-out (intervals/width overlap)."""
+    width = 25
+    bands = spark.createDataFrame(
+        [
+            ("000-050", 0.0, 50.0),
+            ("050-100", 50.0, 100.0),
+            ("100-200", 100.0, 200.0),
+            ("200-300", 200.0, 300.0),
+            ("300-500", 300.0, 500.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    binned = bands.withColumn(
+        "bin",
+        F.explode(
+            F.expr(
+                f"sequence(cast(floor(lo / {width}) as int), "
+                f"cast(ceil(hi / {width}) as int) - 1)"
+            )
+        ),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "value", F.floor(F.col("value") / width).cast("int").alias("bin")
+    )
+    return (
+        ev.join(F.broadcast(binned), "bin")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("band")
+    )
+
+
+@_register(
     "ols_price_per_brand",
     """
 SELECT p_brand,
@@ -4218,6 +4277,7 @@ _PRIORITY = [
     "price_percentiles",
     "text_quality",
     "ann_topk_quantized",
+    "range_join_binned",
 ]
 _DRIVER_GREEN = [
     # round 1

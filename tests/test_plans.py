@@ -190,3 +190,12 @@ def test_tfidf_joins_on_term_and_broadcasts_count(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_range_join_binned_is_hash_equi_join(spark):
+    """The bin-and-equi-join rewrite must plan as a broadcast HASH join on
+    the bin key — the nested-loop shape it replaces must be gone."""
+    df = Q.REGISTRY["range_join_binned"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
