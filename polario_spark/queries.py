@@ -3782,10 +3782,10 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "embedding_dim_stats",
     """
-SELECT i AS dim, round(avg(embedding[i + 1]), 4) AS avg_val,
+SELECT i AS dim, round(avg(embedding[i + 1]), 4) + 0.0 AS avg_val,
        round(stddev_samp(embedding[i + 1]), 4) AS std_val,
-       round(min(embedding[i + 1]), 4) AS min_val,
-       round(max(embedding[i + 1]), 4) AS max_val
+       round(min(embedding[i + 1]), 4)::DOUBLE + 0.0 AS min_val,
+       round(max(embedding[i + 1]), 4)::DOUBLE + 0.0 AS max_val
 FROM embeddings, range(0, 64) t(i)
 GROUP BY 1
 ORDER BY dim
@@ -3802,13 +3802,17 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         F.posexplode("embedding").alias("dim", "val")
     )
+    # + 0.0 normalizes IEEE negative zero: Spark's round goes through
+    # BigDecimal (no -0.0, yields +0.0) while DuckDB's keeps the double's
+    # sign — a stat that rounds to zero would otherwise hash as "-0.0"
+    # on one side and "0.0" on the other (observed at sf0.1, dim 24)
     return (
         emb.groupBy("dim")
         .agg(
-            F.round(F.avg("val"), 4).alias("avg_val"),
+            (F.round(F.avg("val"), 4) + 0.0).alias("avg_val"),
             F.round(F.stddev_samp("val"), 4).alias("std_val"),
-            F.round(F.min("val"), 4).alias("min_val"),
-            F.round(F.max("val"), 4).alias("max_val"),
+            (F.round(F.min("val"), 4).cast("double") + 0.0).alias("min_val"),
+            (F.round(F.max("val"), 4).cast("double") + 0.0).alias("max_val"),
         )
         .orderBy("dim")
     )
@@ -4278,6 +4282,8 @@ _PRIORITY = [
     "text_quality",
     "ann_topk_quantized",
     "range_join_binned",
+    # negative-zero normalization (observed divergence at sf0.1)
+    "embedding_dim_stats",
 ]
 _DRIVER_GREEN = [
     # round 1
@@ -4315,7 +4321,7 @@ _DRIVER_GREEN = [
     "streaming_foreachbatch_totals", "incremental_rollup", "compact_roundtrip",
     # round 3
     "approx_price_quantiles", "approx_distinct_users",
-    "argmax_supplier_per_nation", "embedding_dim_stats",
+    "argmax_supplier_per_nation",
     "federated_three_formats", "order_value_extremes_window",
     "recursive_month_spine", "region_nation_list", "set_ops_all",
     "unpivot_lineitem_measures", "zipwith_consecutive_dot",

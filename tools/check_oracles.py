@@ -65,7 +65,8 @@ def normalize(rows, columns):
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            # collapse -0.0/0.0 and float repr noise
+            if v == 0:
+                return "0.000000"  # collapse IEEE -0.0 vs 0.0
             return f"{v:.6f}"
         return str(v)
 
