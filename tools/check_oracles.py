@@ -65,8 +65,9 @@ def normalize(rows, columns):
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            if v == 0:
-                return "0.000000"  # collapse IEEE -0.0 vs 0.0
+            # IEEE -0.0 is deliberately NOT collapsed: the driver's hash
+            # may be sign-strict, so queries must normalize (+ 0.0) on
+            # both sides rather than rely on comparator leniency
             return f"{v:.6f}"
         return str(v)
 
