@@ -2799,6 +2799,108 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "orders_retention_cohort",
+    """
+WITH firsts AS (
+  SELECT o_custkey,
+         min(date_trunc('month', o_orderdate)) OVER (PARTITION BY o_custkey) AS cohort,
+         date_trunc('month', o_orderdate) AS activity
+  FROM orders
+)
+SELECT extract(year FROM cohort) * 100 + extract(month FROM cohort) AS cohort_month,
+       (extract(year FROM activity) - extract(year FROM cohort)) * 12
+         + (extract(month FROM activity) - extract(month FROM cohort)) AS months_since,
+       count(DISTINCT o_custkey) AS n_customers
+FROM firsts
+GROUP BY 1, 2
+HAVING months_since <= 6
+ORDER BY cohort_month, months_since
+""",
+)
+def orders_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month, counted
+    in each subsequent activity month (first 6 offsets) — the standard
+    retention triangle. All-integer output (year-month keys, distinct
+    customer counts), so no float boundary can ever diverge from the
+    oracle.
+
+    Scale shape: the cohort assignment is one analytic min-window on the
+    customer key; the count-distinct rides the same customer-keyed
+    shuffle (partial aggregation dedups (cohort, offset, customer)
+    map-side before the exchange)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    f = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("activity"),
+    ).withColumn("cohort", F.min("activity").over(w))
+    months_since = (F.year("activity") - F.year("cohort")) * 12 + (
+        F.month("activity") - F.month("cohort")
+    )
+    return (
+        f.select(
+            (F.year("cohort") * 100 + F.month("cohort")).alias("cohort_month"),
+            months_since.alias("months_since"),
+            "o_custkey",
+        )
+        .filter(F.col("months_since") <= 6)
+        .groupBy("cohort_month", "months_since")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+@_register(
+    "events_hot_hours",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+  FROM events
+  GROUP BY event_type, hr
+),
+tot AS (
+  SELECT event_type, count(*) AS n_hours, sum(n) AS total
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type,
+       count(*) AS n_hours,
+       sum(CASE WHEN h.n * t.n_hours * 10 > t.total * 15 THEN 1 ELSE 0 END)::BIGINT AS n_hot
+FROM hourly h JOIN tot t ON h.event_type = t.event_type
+GROUP BY h.event_type
+ORDER BY h.event_type
+""",
+)
+def events_hot_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hours whose event count exceeds 1.5x the type's
+    hourly average, flagged with an INTEGER cross-multiplied comparison
+    (n * n_hours * 10 > total * 15) — no float threshold, so the oracle
+    can never disagree on a boundary.
+
+    Scale shape: hourly pre-aggregation shuffles once on (type, hour);
+    the per-type totals are a second tiny aggregate joined back on the
+    type key (types are few — broadcast); the flag itself is codegen."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("n").alias("total")
+    )
+    hot = (F.col("n") * F.col("n_hours") * 10 > F.col("total") * 15).cast("int")
+    return (
+        hourly.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(hot).alias("n_hot"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
     "orders_seasonality",
     """
 SELECT extract(month FROM o_orderdate) AS mo, isodow(o_orderdate) AS dow,
@@ -4284,6 +4386,8 @@ _PRIORITY = [
     "range_join_binned",
     # negative-zero normalization (observed divergence at sf0.1)
     "embedding_dim_stats",
+    "orders_retention_cohort",
+    "events_hot_hours",
 ]
 _DRIVER_GREEN = [
     # round 1
