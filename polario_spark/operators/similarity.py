@@ -607,12 +607,18 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     iters: int = 3,
 ) -> DataFrame:
-    """Deterministic Lloyd refinement of IVF centroids: (cid, __cent).
+    """Lloyd refinement of IVF centroids: (cid, __cent), no RNG.
 
     Initialization is the same deterministic stride subset ``ivf_topk``
-    uses by default (no RNG — results are reproducible run-to-run, which
-    is why the registry oracle stays on the un-refined stride path), then
-    ``iters`` rounds of assign + recompute-means tighten the cells.
+    uses by default, then ``iters`` rounds of assign + recompute-means
+    tighten the cells. No RNG anywhere — but true bitwise reproducibility
+    holds only in a single-JVM session (pinned by pytest): the centroid
+    means are float ``avg()`` aggregates whose partial-merge order
+    follows shuffle-fetch order, so on a multi-executor cluster
+    bitwise-different means can flip a near-tie argmax assignment. The
+    registry entry therefore MATERIALIZES the computed centroids to
+    parquet and oracles the probe+search over that table — the oracle
+    never depends on replaying the refinement.
 
     Scale shape per round: assignment is the broadcast-join + map-side
     ``max_by`` argmax from ivf_topk (one row per corpus vector crosses
@@ -678,10 +684,9 @@ def ivf_topk(
     whole corpus, cutting work by ~|cells|/nprobe at some recall cost.
     Default centroids are the deterministic subset vec_id % stride == 0
     (reproducible, oracle-friendly); pass ``centroids=kmeans_centroids(
-    corpus)`` for Lloyd-refined cells (still deterministic — the
-    refinement starts from the same stride subset and uses no RNG, but
-    the oracle stays on the un-refined path because replaying three
-    Lloyd rounds in SQL is impractical). On a real cluster the
+    corpus)`` for Lloyd-refined cells (the registry entry materializes
+    those to parquet and oracles the probe+search over the materialized
+    table — see ``ivf_topk_sql(cent_sql=...)``). On a real cluster the
     assignment step is a broadcast of the centroid set and the probe
     step a cell-key equi-join — no corpus shuffle, and the cell column
     is the natural partition key for a materialized index.
@@ -746,11 +751,22 @@ def ivf_topk(
 
 
 def ivf_topk_sql(
-    table: str, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5
+    table: str, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5,
+    cent_sql: Optional[str] = None,
 ) -> str:
+    """Oracle for ivf_topk. ``cent_sql`` overrides the centroid source
+    (default: the deterministic stride subset of ``e``) — the k-means
+    registry entry passes a ``read_parquet`` over the centroid table the
+    Spark query materialized, so the iterative refinement itself never
+    has to be replayed in SQL; only the probe + search is re-derived."""
+    if cent_sql is None:
+        cent_sql = (
+            f"SELECT id AS cid, __v AS __cent FROM e "
+            f"WHERE id % {IVF_CENTROID_STRIDE} = 0"
+        )
     return f"""
 WITH e AS (SELECT {id_col} AS id, {vec_col} AS __v FROM {table}),
-cent AS (SELECT id AS cid, __v AS __cent FROM e WHERE id % {IVF_CENTROID_STRIDE} = 0),
+cent AS ({cent_sql}),
 assigned AS (
   SELECT id AS nid, __v, cid AS cell FROM (
     SELECT e.id, e.__v, cent.cid,

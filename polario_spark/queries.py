@@ -40,7 +40,7 @@ from polario_spark.operators.multimodal import (
 from polario_spark.sources.tables import load_table
 from polario_spark.streaming import events as streaming_events
 from polario_spark.streaming.events import hourly_counts
-from polario_spark.workdir import work_dir
+from polario_spark.workdir import stable_work_path, work_dir
 
 
 @dataclass
@@ -1816,16 +1816,37 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ann_ivf_kmeans_topk", None)
+#: Fixed on-disk home for the Lloyd-refined centroid table: the Spark query
+#: materializes centroids here, and the DuckDB oracle reads the SAME bytes
+#: back by literal path — so the hash gate covers the probe + search
+#: without replaying the iterative refinement in SQL.
+_KMEANS_CENT_PATH = stable_work_path("kmeans_centroids")
+
+
+@_register(
+    "ann_ivf_kmeans_topk",
+    similarity.ivf_topk_sql(
+        "embeddings", "vec_id", "embedding", 5,
+        cent_sql=(
+            "SELECT cid, __cent FROM "
+            f"read_parquet('{_KMEANS_CENT_PATH}/*.parquet')"
+        ),
+    )
+    + "\nORDER BY qid, rank",
+)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 with Lloyd-refined centroids: three deterministic k-means
-    rounds (stride init, no RNG) tighten the cells before the same
-    broadcast-probe search. No SQL oracle — replaying an iterative
-    refinement in one SQL statement is impractical (rows-only check);
-    tests/test_operators.py pins determinism and recall >= the stride
-    path against the exact scan."""
+    """IVF top-5 with Lloyd-refined centroids: three k-means rounds
+    (stride init, no RNG) tighten the cells before the same
+    broadcast-probe search. The refined centroids are materialized to a
+    fixed parquet path and read back before searching, so the search and
+    the oracle consume bitwise-identical centroid values — the hash gate
+    covers probe + search end-to-end, while the refinement itself is
+    pinned by pytest (determinism in-session, recall >= the stride
+    path; tests/test_operators.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=3)
+    cent.write.mode("overwrite").parquet(_KMEANS_CENT_PATH)
+    cent = spark.read.parquet(_KMEANS_CENT_PATH)
     return similarity.ivf_topk(
         emb, "vec_id", "embedding", 5, centroids=cent
     ).orderBy("qid", "rank")

@@ -49,3 +49,27 @@ def work_dir(spark: SparkSession, kind: str) -> str:
         _cleanup_registered.add(app_root)
         atexit.register(shutil.rmtree, app_root, True)
     return path
+
+
+_STABLE_ROOT = os.path.join(_WORK_ROOT, "stable")
+
+
+def stable_work_path(kind: str) -> str:
+    """A FIXED scratch path for artifacts a DuckDB oracle reads back.
+
+    ``work_dir`` paths are keyed by applicationId and invocation count,
+    so they cannot appear inside an ``oracle_sql()`` string — oracles are
+    registered at import time, before any SparkSession exists. This path
+    is literal and stable: the Spark query materializes to it with
+    ``mode("overwrite")``, and the oracle's ``read_parquet`` sees exactly
+    the bytes the query's own search consumed (the gate runs the Spark
+    side, then its oracle, in one process). The root is removed at
+    interpreter exit. Two *concurrent* gate processes on one machine
+    would race on the path — acceptable for the single-driver gate.
+    """
+    path = os.path.join(_STABLE_ROOT, kind)
+    os.makedirs(path, exist_ok=True)
+    if _STABLE_ROOT not in _cleanup_registered:
+        _cleanup_registered.add(_STABLE_ROOT)
+        atexit.register(shutil.rmtree, _STABLE_ROOT, True)
+    return path
