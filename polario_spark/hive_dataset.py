@@ -129,6 +129,21 @@ class DatasetUrl:
         )
 
 
+def _norm_location(uri_or_path: str) -> str:
+    """Scheme-insensitive canonical location for overlap tests.
+
+    'file:/a/b', 'file:///a/b', 'file://localhost/a/b' and '/a/b' all
+    normalize to '/a/b'; 's3://bucket/k' and 's3a://bucket/k' both
+    normalize to 'bucket/k'. Local paths keep their leading '/', object
+    stores lead with the bucket — the two namespaces can't collide.
+    """
+    parts = urlsplit(uri_or_path)
+    if parts.scheme in ("", "file"):
+        host = "" if parts.netloc in ("", "localhost") else parts.netloc
+        return host + (parts.path or uri_or_path)
+    return parts.netloc + parts.path
+
+
 def materialize_if_self_read(df: DataFrame, url: DatasetUrl) -> DataFrame:
     """Barrier a frame that reads from the dataset it is about to
     overwrite.
@@ -143,13 +158,19 @@ def materialize_if_self_read(df: DataFrame, url: DatasetUrl) -> DataFrame:
     dataset pass through untouched, keeping the normal write path lazy and
     pushdown-friendly.
     """
-    prefix = "file://" + url.fs_path.rstrip("/") + "/"
-    alt_prefix = url.spark_url.rstrip("/") + "/"
+    # Compare scheme-stripped normalized locations, not raw string
+    # prefixes: Hadoop renders input-file URIs differently across
+    # versions/filesystems ('file:/p' single-slash from Path.toString,
+    # 'file:///p', bare '/p'), and the dataset itself has two spellings
+    # (fs_path vs spark_url, s3:// vs s3a://). Any spelling mismatch in a
+    # prefix test would silently skip the checkpoint barrier and re-expose
+    # the mid-commit FAILED_READ_FILE self-overwrite.
+    prefix = _norm_location(url.spark_url).rstrip("/") + "/"
     try:
         files = df.inputFiles()
     except Exception:  # non-file-based plans (rare); stay conservative
         return df.localCheckpoint(eager=True)
-    if any(f.startswith(prefix) or f.startswith(alt_prefix) for f in files):
+    if any(_norm_location(f).startswith(prefix) for f in files):
         return df.localCheckpoint(eager=True)
     return df
 

@@ -727,17 +727,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct dedup shuffle over raw tokens), the df side joins back
     on the term key (dictionary-sized, not corpus-sized), and the corpus
     row count N arrives as a broadcast single-row cross join — standard
-    distributed inverted-index construction. Catalyst does not reuse the
-    tf subplan across its two consumers, so the explode executes twice;
-    a 100 TB deployment materializes the tf table once (persist or an
-    intermediate parquet write) before fanning out. Ranking happens on
-    the ROUNDED score (4 dp) with a term tiebreak in both dialects, so
-    the oracle can never disagree on near-tie ordering."""
+    distributed inverted-index construction. tf feeds two consumers
+    (scores and df) and Catalyst does not reuse the subplan, so it is
+    materialized once with localCheckpoint — the explode runs one time,
+    the same diamond-shape fix q11_important_parts uses (a cluster
+    deployment would persist or write the tf table instead). Ranking
+    happens on the ROUNDED score (4 dp) with a term tiebreak in both
+    dialects, so the oracle can never disagree on near-tie ordering."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.expr(TXT.tokens("text", "spark"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     # df derives from tf (one row per (doc, term) -> row count per term IS
     # the document frequency): saves the second corpus scan + explode the
     # naive countDistinct-over-tokens formulation costs
@@ -3434,7 +3439,12 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "band string, lo double, hi double",
     )
-    binned = bands.withColumn(
+    # hi > lo guard: sequence(a, b) with b < a yields a DESCENDING
+    # sequence, not an empty array, so a degenerate interval (hi <= lo)
+    # would fan out into spurious bins. No such interval exists in this
+    # band table, but the rewrite must stay safe if it ever changes —
+    # a degenerate interval matches nothing, so dropping it is exact.
+    binned = bands.filter(F.col("hi") > F.col("lo")).withColumn(
         "bin",
         F.explode(
             F.expr(
@@ -4365,50 +4375,22 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                   they take the back seats. Unlisted entries (never
 #                   sampled / registered after this list) land in between.
 _PRIORITY = [
-    # Round-4 driver run regenerated the testdata with untagged
-    # TIMESTAMP(MICROS) columns, which Spark 4 reads as TIMESTAMP_NTZ;
-    # these 9 entries errored on it (unix_micros / withWatermark reject
-    # NTZ — see CORRECTNESS_r04.json / BENCH_r04 n_errors=9). Round 5
-    # normalizes NTZ at the session + load_table boundary; all 9 need a
-    # fresh driver row for the fix.
-    "events_sessions",
-    "json_roundtrip",
-    "asof_click_before_purchase",
-    "sliding_window_counts",
-    "streaming_events_hourly",
-    "streaming_sliding_counts",
-    "events_rolling_hour_rate",
-    "streaming_click_attribution",
-    "streaming_dedup_counts",
-    # Round 5 implements the LSH verify-bucket cap + zero-norm clamp
-    # (operators/similarity.py) and the numpy-2 promotion fix
-    # (operators/multimodal.py); green rows must post-date those changes.
-    "dedup_embedding_cosine_lsh",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # brand-new round-5 entries (never sampled)
-    "dedup_embedding_cosine_lsh_loose",
+    # Round 6 replaces this entry's rows-only registration with a real
+    # hash oracle (materialized-centroid probe+search) — it was the
+    # registry's only non-green row in CORRECTNESS_r05.
     "ann_ivf_kmeans_topk",
-    "repetition_signals",
+    # Stale green rows: both passed in r1/r3, but round 5 edited
+    # operators/similarity.py under them (zero-norm clamp in cosine_pairs,
+    # shared constants); the repo standard is driver-green for CURRENT
+    # code, so they re-queue for a fresh row.
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    # Round-6 code changes: tf subplan localCheckpoint (explode runs
+    # once); degenerate-interval guard on the bin explode.
     "tfidf_top_terms",
-    "dedup_keep_best",
-    "stratified_topk_sample",
-    "chunk_documents",
-    # Round 5 re-bound the token arrays in these entries' expression
-    # pipelines (quadratic inlined-tokenizer fix); green rows must
-    # post-date that change. (repetition_signals is re-bound too — it is
-    # already listed above as brand-new.)
-    "quality_filter_funnel",
-    "dedup_rolling_windows",
-    "dedup_clusters",
-    "price_percentiles",
-    "text_quality",
-    "ann_topk_quantized",
     "range_join_binned",
-    # negative-zero normalization (observed divergence at sf0.1)
-    "embedding_dim_stats",
-    "orders_retention_cohort",
-    "events_hot_hours",
+    # Brand-new round-6 entries (never sampled) are registered after this
+    # list was written and land in `middle` — still ahead of the greens.
 ]
 _DRIVER_GREEN = [
     # round 1
@@ -4450,6 +4432,18 @@ _DRIVER_GREEN = [
     "federated_three_formats", "order_value_extremes_window",
     "recursive_month_spine", "region_nation_list", "set_ops_all",
     "unpivot_lineitem_measures", "zipwith_consecutive_dot",
+    # round 5 (every CORRECTNESS_r05 row except ann_ivf_kmeans_topk)
+    "events_sessions", "json_roundtrip", "asof_click_before_purchase",
+    "sliding_window_counts", "streaming_events_hourly",
+    "streaming_sliding_counts", "events_rolling_hour_rate",
+    "streaming_click_attribution", "streaming_dedup_counts",
+    "dedup_embedding_cosine_lsh", "multimodal_features",
+    "multimodal_frame_sample", "dedup_embedding_cosine_lsh_loose",
+    "repetition_signals", "dedup_keep_best",
+    "stratified_topk_sample", "chunk_documents", "quality_filter_funnel",
+    "dedup_rolling_windows", "dedup_clusters", "price_percentiles",
+    "text_quality", "ann_topk_quantized", "embedding_dim_stats",
+    "orders_retention_cohort", "events_hot_hours",
 ]
 
 
