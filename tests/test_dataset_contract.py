@@ -87,6 +87,19 @@ def test_full_vs_dynamic_overwrite_semantics(spark, tmp_path, example_df_1):
     assert unwrap(table.scan()).count() == 1  # full overwrite
 
 
+def test_append_only_accumulation_contract(dataset, example_df_1):
+    """10-append accumulation (reference tests/test_dataset.py:132-145):
+    appending ten times to a dataset that was NEVER written yields exactly
+    10x the rows with the same column set — append must bootstrap an empty
+    dataset, not only extend an existing one (the companion
+    test_append_contract covers the written-first path)."""
+    for _ in range(10):
+        dataset.append(example_df_1)
+    out = unwrap(dataset.scan())
+    assert len(out.columns) == len(example_df_1.columns)
+    assert out.count() == example_df_1.count() * 10
+
+
 def test_write_back_partitions_contract(dataset, spark, example_df_1):
     """Write-back stability (reference tests/test_dataset.py:118-129):
     re-writing a dataset from its own read must reproduce the same rows.
