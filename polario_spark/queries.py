@@ -881,6 +881,45 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: evaluation set; everything else is training corpus.
 DECONTAM_STRIDE = 97
 DECONTAM_MIN_OVERLAP = 0.4
+#: the 8-gram entry's operating point: 8-token shingles (the production
+#: size — bigrams have background overlap, 8-grams are near-unique), a
+#: 10% held-out slice (doc_id % 10 == 8 — chosen so the fixture's
+#: near-duplicate pairs straddle the split at every sf), and a low cut
+#: (8-gram background overlap is ~zero, so any meaningful overlap flags).
+DECONTAM8_MIN_OVERLAP = 0.05
+
+
+def _decontam_plan(
+    docs: DataFrame, grams: "F.Column", is_bench: "F.Column", min_overlap: float
+) -> DataFrame:
+    """Shared decontamination plan: eval-set shingles aggregated once and
+    BROADCAST; the training corpus (the 100 TB side) streams through a
+    broadcast semi-join + per-doc count and is never shuffled."""
+    g = docs.select("doc_id", grams.alias("__g"), is_bench.alias("__b"))
+    corpus = g.filter(~F.col("__b")).select("doc_id", F.explode("__g").alias("g"))
+    bench = F.broadcast(
+        g.filter(F.col("__b")).select(F.explode("__g").alias("g")).distinct()
+    )
+    tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        corpus.join(bench, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    overlap = F.round(
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_grams"), 4
+    ).alias("overlap")
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            overlap,
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .orderBy("doc_id")
+    )
 
 
 @_register(
@@ -921,33 +960,52 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.expr(
         f"array_distinct({TXT.word_bigrams(TXT.tokens('text', 'spark'), 'spark')})"
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", grams.alias("__g"))
-    is_bench = F.col("doc_id") % DECONTAM_STRIDE == 0
-    corpus = docs.filter(~is_bench).select(
-        "doc_id", F.explode("__g").alias("g")
+    return _decontam_plan(
+        _t(spark, sf_dir, "documents"),
+        grams,
+        F.col("doc_id") % DECONTAM_STRIDE == 0,
+        DECONTAM_MIN_OVERLAP,
     )
-    bench = F.broadcast(
-        docs.filter(is_bench).select(F.explode("__g").alias("g")).distinct()
+
+
+@_register(
+    "decontamination_overlap_8gram",
+    f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct({TXT.word_ngrams(TXT.tokens('text', 'duckdb'), 8, 'duckdb')})) AS g
+  FROM documents WHERE doc_id % 10 != 8
+),
+b AS (
+  SELECT DISTINCT unnest(list_distinct({TXT.word_ngrams(TXT.tokens('text', 'duckdb'), 8, 'duckdb')})) AS g
+  FROM documents WHERE doc_id % 10 = 8
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+hit AS (SELECT g.doc_id, count(*) AS n_hit FROM g JOIN b USING (g) GROUP BY g.doc_id)
+SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+       round(coalesce(h.n_hit, 0)::DOUBLE / t.n_grams, 4) AS overlap
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+WHERE round(coalesce(h.n_hit, 0)::DOUBLE / t.n_grams, 4) >= {DECONTAM8_MIN_OVERLAP}
+ORDER BY t.doc_id
+""",
+)
+def decontamination_overlap_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at the PRODUCTION operating point: 8-token shingles
+    (the 8-13-gram size real pipelines use — see Brown et al., GPT-3
+    appendix C for the 13-gram variant), a 10% held-out eval slice, and a
+    low flag threshold, because 8-gram background overlap is near zero —
+    any hit means verbatim passage sharing. Same broadcast-semi-join plan
+    as decontamination_overlap (the bigram entry pins the high-background
+    regime; this one pins the sparse-hit regime where most training docs
+    have n_hit = 0 and only true near-dups across the split get flagged)."""
+    grams = F.expr(
+        "array_distinct("
+        f"{TXT.word_ngrams(TXT.tokens('text', 'spark'), 8, 'spark')})"
     )
-    tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hit = (
-        corpus.join(bench, "g", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    overlap = F.round(
-        F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_grams"), 4
-    ).alias("overlap")
-    return (
-        tot.join(hit, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-            overlap,
-        )
-        .filter(F.col("overlap") >= DECONTAM_MIN_OVERLAP)
-        .orderBy("doc_id")
+    return _decontam_plan(
+        _t(spark, sf_dir, "documents"),
+        grams,
+        F.col("doc_id") % 10 == 8,
+        DECONTAM8_MIN_OVERLAP,
     )
 
 
