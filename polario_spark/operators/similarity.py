@@ -627,17 +627,26 @@ def kmeans_centroids(
     per task before the exchange — and reassembles the centroid array
     with a sorted transform. The corpus is scanned once per round and
     never shuffled whole; each round's centroid set is localCheckpointed
-    so lineage stays O(1) like dedup_clusters' label loop.
+    so lineage stays O(1) like dedup_clusters' label loop. Norms are
+    BOUND per vector/centroid before the pair join — the inline cosine
+    would re-aggregate both norms per (vector, centroid) PAIR inside the
+    interpreted higher-order function, tripling per-pair FLOPs; the
+    quotient dot/(nv*nc) is the bitwise-same value (same ops, same
+    order, norms just computed once).
     """
     corpus = ensure_parallelism(corpus)
     vecs = corpus.select(
         F.col(id_col).alias("nid"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
-    )
+    ).withColumn("__nv", F.expr(VEC.norm("__v", "spark")))
     cent = vecs.filter(F.col("nid") % IVF_CENTROID_STRIDE == 0).select(
-        F.col("nid").alias("cid"), F.col("__v").alias("__cent")
+        F.col("nid").alias("cid"),
+        F.col("__v").alias("__cent"),
+        F.col("__nv").alias("__nc"),
     )
-    csim = F.expr(VEC.cosine("__v", "__cent", "spark"))
+    csim = F.expr(
+        f"({VEC.dot('__v', '__cent', 'spark')}) / (__nv * __nc)"
+    )
     for _ in range(iters):
         assigned = (
             vecs.join(F.broadcast(cent))
@@ -664,9 +673,10 @@ def kmeans_centroids(
             .select(
                 "cid", F.expr("transform(__pm, p -> p.m)").alias("__cent")
             )
+            .withColumn("__nc", F.expr(VEC.norm("__cent", "spark")))
             .localCheckpoint(eager=True)
         )
-    return cent
+    return cent.select("cid", "__cent")
 
 
 def ivf_topk(
@@ -695,48 +705,60 @@ def ivf_topk(
     so callers can swap exact for approximate.
     """
     corpus = ensure_parallelism(corpus)
+    # Norms are bound ONCE per centroid / corpus vector / query before any
+    # pair join: the inline cosine would re-aggregate both norms per PAIR
+    # inside the interpreted higher-order function (~3x the FLOPs).
+    # dot/(na*nb) is the bitwise-same value as the inline quotient — same
+    # double ops in the same order, the norms just computed once.
     cent = F.broadcast(
-        centroids
-        if centroids is not None
-        else corpus.filter(F.col(id_col) % IVF_CENTROID_STRIDE == 0).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
-        )
+        (
+            centroids
+            if centroids is not None
+            else corpus.filter(F.col(id_col) % IVF_CENTROID_STRIDE == 0).select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
+            )
+        ).withColumn("__nc", F.expr(VEC.norm("__cent", "spark")))
     )
-    vecs = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__v"))
-    csim = F.expr(VEC.cosine("__v", "__cent", "spark"))
+    vecs = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("__v")
+    ).withColumn("__nv", F.expr(VEC.norm("__v", "spark")))
+    csim = F.expr(f"({VEC.dot('__v', '__cent', 'spark')}) / (__nv * __nc)")
     # cell assignment as a map-side-combinable max_by aggregate (argmax of
     # (similarity, -cid) — i.e. best similarity, smallest cid on ties),
     # NOT a row_number window: a window would shuffle corpus x centroid
     # rows; the agg combines partials before any exchange, so only one
-    # row per corpus vector crosses the wire. __v rides inside the argmax
-    # struct, so no second join to re-attach it.
+    # row per corpus vector crosses the wire. __v and its norm ride inside
+    # the argmax struct, so no second join to re-attach them.
     assigned = (
         vecs.join(cent)
         .groupBy("nid")
         .agg(
             F.max_by(
-                F.struct(F.col("cid"), F.col("__v")),
+                F.struct(F.col("cid"), F.col("__v"), F.col("__nv")),
                 F.struct(csim.alias("s"), (-F.col("cid")).alias("c")),
             ).alias("__best")
         )
         .select(
             "nid",
             F.col("__best.__v").alias("__v"),
+            F.col("__best.__nv").alias("__nv"),
             F.col("__best.cid").alias("cell"),
         )
     )
     queries = corpus.filter(F.col(id_col) % IVF_QUERY_STRIDE == 0).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("__q")
-    )
-    qsim = F.expr(VEC.cosine("__q", "__cent", "spark"))
+    ).withColumn("__nq", F.expr(VEC.norm("__q", "spark")))
+    qsim = F.expr(f"({VEC.dot('__q', '__cent', 'spark')}) / (__nq * __nc)")
     w_probe = Window.partitionBy("qid").orderBy(qsim.desc(), F.col("cid").asc())
     probes = (
         queries.join(cent)
         .withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= IVF_NPROBE)
-        .select("qid", "__q", F.col("cid").alias("cell"))
+        .select("qid", "__q", "__nq", F.col("cid").alias("cell"))
     )
-    sim = F.round(F.expr(VEC.cosine("__q", "__v", "spark")), 4).alias("sim")
+    sim = F.round(
+        F.expr(f"({VEC.dot('__q', '__v', 'spark')}) / (__nq * __nv)"), 4
+    ).alias("sim")
     w_top = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
     # probes = queries x nprobe — always the small side; broadcasting it
     # means the corpus-sized assignment table is never shuffled
