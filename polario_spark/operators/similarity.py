@@ -679,6 +679,69 @@ def kmeans_centroids(
     return cent.select("cid", "__cent")
 
 
+def assign_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Nearest-centroid cell assignment shared by IVF search (``ivf_topk``)
+    and semantic dedup (``semdedup_dropped``): returns one row per corpus
+    vector — (nid, __v, __nv, cell) — where ``cell`` is the id of the
+    nearest centroid (max cosine, smallest cid on ties).
+
+    Default centroids are the deterministic stride subset
+    ``id % IVF_CENTROID_STRIDE == 0`` (reproducible, oracle-friendly);
+    pass ``centroids=kmeans_centroids(corpus)`` for Lloyd-refined cells.
+
+    Norms are bound ONCE per centroid / corpus vector before the pair
+    join: the inline cosine would re-aggregate both norms per PAIR inside
+    the interpreted higher-order function (~3x the FLOPs). dot/(na*nb) is
+    the bitwise-same value as the inline quotient — same double ops in
+    the same order, the norms just computed once.
+
+    Cell assignment is a map-side-combinable max_by aggregate (argmax of
+    (similarity, -cid) — i.e. best similarity, smallest cid on ties),
+    NOT a row_number window: a window would shuffle corpus x centroid
+    rows; the agg combines partials before any exchange, so only one
+    row per corpus vector crosses the wire. __v and its norm ride inside
+    the argmax struct, so no second join to re-attach them. On a real
+    cluster the centroid set is a broadcast and the corpus is never
+    shuffled; ``cell`` is the natural partition key for a materialized
+    index.
+    """
+    corpus = ensure_parallelism(corpus)
+    cent = F.broadcast(
+        (
+            centroids
+            if centroids is not None
+            else corpus.filter(F.col(id_col) % IVF_CENTROID_STRIDE == 0).select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
+            )
+        ).withColumn("__nc", F.expr(VEC.norm("__cent", "spark")))
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("__v")
+    ).withColumn("__nv", F.expr(VEC.norm("__v", "spark")))
+    csim = F.expr(f"({VEC.dot('__v', '__cent', 'spark')}) / (__nv * __nc)")
+    return (
+        vecs.join(cent)
+        .groupBy("nid")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("__v"), F.col("__nv")),
+                F.struct(csim.alias("s"), (-F.col("cid")).alias("c")),
+            ).alias("__best")
+        )
+        .select(
+            "nid",
+            F.col("__best.__v").alias("__v"),
+            F.col("__best.__nv").alias("__nv"),
+            F.col("__best.cid").alias("cell"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -705,11 +768,9 @@ def ivf_topk(
     so callers can swap exact for approximate.
     """
     corpus = ensure_parallelism(corpus)
-    # Norms are bound ONCE per centroid / corpus vector / query before any
-    # pair join: the inline cosine would re-aggregate both norms per PAIR
-    # inside the interpreted higher-order function (~3x the FLOPs).
-    # dot/(na*nb) is the bitwise-same value as the inline quotient — same
-    # double ops in the same order, the norms just computed once.
+    # assignment + norm binding shared with semdedup_dropped — see
+    # assign_cells for the broadcast/argmax scale rationale
+    assigned = assign_cells(corpus, id_col, vec_col, centroids)
     cent = F.broadcast(
         (
             centroids
@@ -718,32 +779,6 @@ def ivf_topk(
                 F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
             )
         ).withColumn("__nc", F.expr(VEC.norm("__cent", "spark")))
-    )
-    vecs = corpus.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("__v")
-    ).withColumn("__nv", F.expr(VEC.norm("__v", "spark")))
-    csim = F.expr(f"({VEC.dot('__v', '__cent', 'spark')}) / (__nv * __nc)")
-    # cell assignment as a map-side-combinable max_by aggregate (argmax of
-    # (similarity, -cid) — i.e. best similarity, smallest cid on ties),
-    # NOT a row_number window: a window would shuffle corpus x centroid
-    # rows; the agg combines partials before any exchange, so only one
-    # row per corpus vector crosses the wire. __v and its norm ride inside
-    # the argmax struct, so no second join to re-attach them.
-    assigned = (
-        vecs.join(cent)
-        .groupBy("nid")
-        .agg(
-            F.max_by(
-                F.struct(F.col("cid"), F.col("__v"), F.col("__nv")),
-                F.struct(csim.alias("s"), (-F.col("cid")).alias("c")),
-            ).alias("__best")
-        )
-        .select(
-            "nid",
-            F.col("__best.__v").alias("__v"),
-            F.col("__best.__nv").alias("__nv"),
-            F.col("__best.cid").alias("cell"),
-        )
     )
     queries = corpus.filter(F.col(id_col) % IVF_QUERY_STRIDE == 0).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("__q")
@@ -807,4 +842,139 @@ SELECT qid, nid, sim, rank FROM (
            ORDER BY round({VEC.cosine('p.__q', 'a.__v', 'duckdb')}, 4) DESC, a.nid ASC) AS rank
   FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid != a.nid
 ) WHERE rank <= {k}
+"""
+
+
+#: SemDeDup duplicate threshold: a vector is dropped when some LOWER-ID
+#: member of its cluster sits within this cosine. 0.4 sits between the
+#: exact-pairs entries' 0.45/0.35 operating points and flags a non-trivial
+#: slice of the fixture at every sf (17/22/132 at sf 0.001/0.01/0.1).
+SEMDEDUP_EPS = 0.4
+
+
+def semdedup_dropped(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = SEMDEDUP_EPS,
+    centroids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Semantic deduplication a la SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then find
+    near-duplicates ONLY within each cluster — the trick that turns an
+    O(n^2) corpus-wide pair search into K independent per-cluster blocks.
+
+    Survivor policy is the repo's id-greedy convention (same as exact
+    dedup's min-id survivor): a vector is DROPPED iff some lower-id
+    member of its cluster is within ``eps`` cosine. This single-pass
+    rule is deterministic and exactly SQL-expressible; transitive group
+    consolidation is a separate concern covered by dedup_clusters'
+    connected components. Returns the dropped set:
+    (vec_id, cell, n_dups, max_sim) where n_dups counts qualifying
+    lower-id cluster-mates and max_sim is the best of their cosines.
+
+    Plan shape at 100 TB: assignment is ``assign_cells`` (centroids
+    broadcast, corpus never shuffled, one argmax row per vector); the
+    only shuffle is the groupBy(cell) that co-locates each cluster, and
+    each cluster scores its pair block as ONE sub-tiled BLAS matmul
+    inside applyInPandas — the same COSINE_TILE-capped GEMM shape as
+    cosine_pairs_bucketed's verify, so a degenerate giant cluster cannot
+    blow a task's memory (SemDeDup itself runs exactly this per-cluster
+    GEMM on GPUs; K is chosen so clusters average n/K vectors). Unlike
+    the LSH path no cross-band dedup groupBy is needed: cells partition
+    the corpus, so each pair is scored at most once.
+    """
+    assigned = assign_cells(corpus, id_col, vec_col, centroids)
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "cell": np.array([], np.int64),
+                "id_a": np.array([], np.int64),
+                "id_b": np.array([], np.int64),
+                "sim": np.array([], np.float64),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["nid"].to_numpy(), kind="stable")
+        ids = pdf["nid"].to_numpy()[order]
+        # float32 -> float64 is exact, matching the oracle's ::DOUBLE[]
+        # cast; the GEMM then runs in float64 like the LSH verify path
+        mat = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
+        cell = np.int64(pdf["cell"].iloc[0])
+        # zero-norm clamp, same rationale as the LSH bucket verify: an
+        # all-zero embedding scores 0 (never pairs) instead of NaN
+        norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+        out = []
+        n = len(ids)
+        for i0 in range(0, n, COSINE_TILE):
+            i1 = min(i0 + COSINE_TILE, n)
+            for j0 in range(i0, n, COSINE_TILE):
+                j1 = min(j0 + COSINE_TILE, n)
+                sim = np.round(
+                    (mat[i0:i1] @ mat[j0:j1].T)
+                    / np.outer(norms[i0:i1], norms[j0:j1]),
+                    4,
+                )
+                ia, ib = np.nonzero(sim >= eps)
+                keep = ids[i0:i1][ia] < ids[j0:j1][ib]
+                if keep.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "cell": np.full(int(keep.sum()), cell),
+                                "id_a": ids[i0:i1][ia][keep],
+                                "id_b": ids[j0:j1][ib][keep],
+                                "sim": sim[ia, ib][keep],
+                            }
+                        )
+                    )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return (
+        assigned.select("cell", "nid", "__v")
+        .groupBy("cell")
+        .applyInPandas(
+            cell_pairs, schema="cell long, id_a long, id_b long, sim double"
+        )
+        .groupBy("id_b", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("sim").alias("max_sim"),
+        )
+        .select(
+            F.col("id_b").alias("vec_id"), "cell", "n_dups", "max_sim"
+        )
+    )
+
+
+def semdedup_sql(
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = SEMDEDUP_EPS,
+) -> str:
+    """DuckDB twin of semdedup_dropped: identical stride centroids,
+    identical (cosine DESC, cid ASC) assignment tie-break as ivf_topk_sql,
+    pair scoring replayed as a within-cell self-join."""
+    return f"""
+WITH e AS (SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS __v FROM {table}),
+cent AS (SELECT id AS cid, __v AS __cent FROM e WHERE id % {IVF_CENTROID_STRIDE} = 0),
+assigned AS (
+  SELECT id, __v, cid AS cell FROM (
+    SELECT e.id, e.__v, cent.cid,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY {VEC.cosine('e.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
+    FROM e CROSS JOIN cent) WHERE rn = 1),
+pairs AS (
+  SELECT a.cell, a.id AS id_a, b.id AS id_b,
+         round({VEC.cosine('a.__v', 'b.__v', 'duckdb')}, 4) AS sim
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id)
+SELECT id_b AS vec_id, cell, count(*) AS n_dups, max(sim) AS max_sim
+FROM pairs WHERE sim >= {eps}
+GROUP BY id_b, cell
 """

@@ -894,29 +894,53 @@ def _decontam_plan(
 ) -> DataFrame:
     """Shared decontamination plan: eval-set shingles aggregated once and
     BROADCAST; the training corpus (the 100 TB side) streams through a
-    broadcast semi-join + per-doc count and is never shuffled."""
+    broadcast join + per-doc count and is never shuffled.
+
+    Single-pass shape: the corpus postings LEFT-join the (distinct,
+    broadcast) eval-gram set with a hit marker, and ONE per-doc aggregate
+    computes both n_grams (count) and n_hit (sum of markers) — the
+    distinct right side cannot fan rows out, so the count stays exact.
+    The earlier two-branch formulation (separate total and semi-join-hit
+    aggregates joined back on doc_id) evaluated the shingle explode
+    twice on the corpus side; at the 8-gram operating point that explode
+    is the dominant cost (~10 s of the entry's bench time at sf0.1), so
+    halving it is the difference between the entry being the suite's
+    slowest and ordinary.
+
+    explode_outer + an explicit null filter instead of plain explode:
+    InferFiltersFromGenerate turns an inner explode into a pushed-down
+    ``size(grams) > 0`` predicate whose pushdown INLINES the whole
+    tokenize+shingle expression — including the tokenizer inside the
+    per-position slice lambda, i.e. the quadratic HOF-inlining trap all
+    over again, below the very Project that bound __toks to avoid it.
+    The rule skips outer generates; filtering the GENERATED attribute
+    afterwards touches only post-explode rows."""
     g = docs.select("doc_id", grams.alias("__g"), is_bench.alias("__b"))
-    corpus = g.filter(~F.col("__b")).select("doc_id", F.explode("__g").alias("g"))
-    bench = F.broadcast(
-        g.filter(F.col("__b")).select(F.explode("__g").alias("g")).distinct()
+    corpus = (
+        g.filter(~F.col("__b"))
+        .select("doc_id", F.explode_outer("__g").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
-    tot = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hit = (
-        corpus.join(bench, "g", "left_semi")
+    bench = F.broadcast(
+        g.filter(F.col("__b"))
+        .select(F.explode_outer("__g").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        corpus.join(bench, "g", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hit"),
+        )
     )
     overlap = F.round(
-        F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_grams"), 4
+        F.col("n_hit").cast("double") / F.col("n_grams"), 4
     ).alias("overlap")
     return (
-        tot.join(hit, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-            overlap,
-        )
+        per_doc.select("doc_id", "n_grams", "n_hit", overlap)
         .filter(F.col("overlap") >= min_overlap)
         .orderBy("doc_id")
     )
@@ -957,11 +981,12 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut sits above its p95 background overlap; real shingle sizes of
     8-13 make near-zero background and a much lower cut) leave the
     executor."""
-    grams = F.expr(
-        f"array_distinct({TXT.word_bigrams(TXT.tokens('text', 'spark'), 'spark')})"
+    docs = _t(spark, sf_dir, "documents").withColumns(
+        {"__toks": F.expr(TXT.tokens("text", "spark"))}
     )
+    grams = F.expr(f"array_distinct({TXT.word_bigrams('__toks', 'spark')})")
     return _decontam_plan(
-        _t(spark, sf_dir, "documents"),
+        docs,
         grams,
         F.col("doc_id") % DECONTAM_STRIDE == 0,
         DECONTAM_MIN_OVERLAP,
@@ -997,15 +1022,116 @@ def decontamination_overlap_8gram(spark: SparkSession, sf_dir: str) -> DataFrame
     as decontamination_overlap (the bigram entry pins the high-background
     regime; this one pins the sparse-hit regime where most training docs
     have n_hit = 0 and only true near-dups across the split get flagged)."""
-    grams = F.expr(
-        "array_distinct("
-        f"{TXT.word_ngrams(TXT.tokens('text', 'spark'), 8, 'spark')})"
+    # __toks is BOUND before the shingle transform: word_ngrams' slice
+    # lives inside a per-position lambda, and an inlined tokenizer there
+    # re-evaluates per shingle — quadratic in document length (the
+    # HOF-inlining trap window_hashes documents)
+    docs = _t(spark, sf_dir, "documents").withColumns(
+        {"__toks": F.expr(TXT.tokens("text", "spark"))}
     )
+    grams = F.expr(f"array_distinct({TXT.word_ngrams('__toks', 8, 'spark')})")
     return _decontam_plan(
-        _t(spark, sf_dir, "documents"),
+        docs,
         grams,
         F.col("doc_id") % 10 == 8,
         DECONTAM8_MIN_OVERLAP,
+    )
+
+
+#: exact-substring duplication: shingle size (the 8-13-gram range real
+#: pipelines use — 8-gram background collision is near zero, so cross-doc
+#: sharing means verbatim passage reuse) and the flag threshold (fixture
+#: near-dups share essentially ALL their passages, so any cut between the
+#: background 0 and ~1 selects the same 47 docs at sf0.01; 0.2 is the
+#: documented production-ish operating point).
+EXSUB_N = 8
+EXSUB_MIN_DUP_FRAC = 0.2
+
+
+@_register(
+    "exact_substring_dup",
+    f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct({TXT.word_ngrams(TXT.tokens('text', 'duckdb'), EXSUB_N, 'duckdb')})) AS g
+  FROM documents
+),
+df AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+dup AS (SELECT g FROM df WHERE df >= 2),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+hit AS (SELECT g.doc_id, count(*) AS n_dup FROM g JOIN dup USING (g) GROUP BY g.doc_id)
+SELECT t.doc_id, t.n_grams, coalesce(h.n_dup, 0) AS n_dup,
+       round(coalesce(h.n_dup, 0)::DOUBLE / t.n_grams, 4) AS dup_frac
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+WHERE round(coalesce(h.n_dup, 0)::DOUBLE / t.n_grams, 4) >= {EXSUB_MIN_DUP_FRAC}
+ORDER BY t.doc_id
+""",
+)
+def exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection — the corpus-internal
+    complement to decontamination (which compares against a held-out
+    set). Flags documents whose 8-token shingles largely also appear in
+    OTHER documents: the ExactSubstr signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), which catches boilerplate and syndicated passages
+    that whole-document fingerprints miss because the surrounding text
+    differs.
+
+    Plan shape at 100 TB: one shingle explode shuffled on the gram
+    string (map-side combinable counts; per-doc grams are pre-distinct'd
+    so a gram's row count IS its document frequency), duplicated grams
+    join back to the postings on the gram key. The postings table feeds
+    three consumers (df, per-doc totals, per-doc hits) — the same
+    diamond tfidf_top_terms has — so it is materialized once with
+    localCheckpoint; a cluster run would persist or write it. Suffix
+    automata are the paper's single-machine tool; at corpus scale the
+    fixed-width shingle join is the standard distributed approximation
+    (it finds every duplicated run of >= 8 tokens, positioned by its
+    covering shingles)."""
+    # token array BOUND before the shingle lambda (HOF-inlining trap —
+    # see decontamination_overlap_8gram / window_hashes)
+    docs = _t(spark, sf_dir, "documents").withColumns(
+        {"__toks": F.expr(TXT.tokens("text", "spark"))}
+    )
+    # explode_outer + null filter, not plain explode: see _decontam_plan —
+    # InferFiltersFromGenerate would push a size()>0 predicate that
+    # re-inlines the tokenizer into the shingle lambda (quadratic)
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    f"array_distinct({TXT.word_ngrams('__toks', EXSUB_N, 'spark')})"
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = (
+        grams.join(dup, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    dup_frac = F.round(
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("double") / F.col("n_grams"), 4
+    ).alias("dup_frac")
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+            dup_frac,
+        )
+        .filter(F.col("dup_frac") >= EXSUB_MIN_DUP_FRAC)
+        .orderBy("doc_id")
     )
 
 
@@ -1847,6 +1973,27 @@ def dedup_embedding_cosine_lsh_loose(spark: SparkSession, sf_dir: str) -> DataFr
     return similarity.cosine_pairs_bucketed(
         emb, "vec_id", "embedding", 0.35
     ).orderBy("id_a", "id_b")
+
+
+@_register(
+    "semantic_dedup",
+    similarity.semdedup_sql("embeddings", "vec_id", "embedding")
+    + "\nORDER BY vec_id",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, then search
+    for near-duplicates only WITHIN clusters — K independent per-cluster
+    GEMM blocks instead of a corpus-wide O(n^2) pair space. Returns the
+    dropped set under the id-greedy survivor rule (a vector is dropped
+    iff a lower-id cluster-mate is within SEMDEDUP_EPS cosine), with the
+    duplicate count and best cosine as evidence columns. Complements the
+    LSH entries: LSH buckets by random hyperplanes (recall tied to band
+    collisions), SemDeDup buckets by data geometry (recall tied to
+    cluster quality) — real pipelines run the latter when embeddings
+    already exist for other reasons."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup_dropped(emb).orderBy("vec_id")
 
 
 @_register(
@@ -4444,9 +4591,13 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "ann_ivf_topk",
     # Round-6 code changes: tf subplan localCheckpoint (explode runs
-    # once); degenerate-interval guard on the bin explode.
+    # once); degenerate-interval guard on the bin explode; decontam plan
+    # rewritten single-pass + explode_outer (InferFiltersFromGenerate
+    # re-inlined the tokenizer quadratically via its pushed size() filter).
     "tfidf_top_terms",
     "range_join_binned",
+    "decontamination_overlap",
+    "decontamination_overlap_8gram",
     # Brand-new round-6 entries (never sampled) are registered after this
     # list was written and land in `middle` — still ahead of the greens.
 ]
