@@ -69,6 +69,8 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    from polario_spark.plans import release_cached_residue
+
     for name, fn in entry_mod.queries().items():
         runs: list[float] = []
         for _ in range(repeats):
@@ -80,7 +82,12 @@ def main() -> None:
                 runs.append(-1.0)
                 print(f"ERROR {name}: {exc}", file=sys.stderr)
                 break
-        all_runs[name] = runs
+            # sweep localCheckpoint blocks OUTSIDE the timer: each repeat
+            # rebuilds its plan (and re-checkpoints), so blocks from the
+            # previous run are pure residue — letting them pile up across
+            # ~120 queries is one of the order-effect noise mechanisms
+            # SCALE.md documents
+            release_cached_residue(spark)
         ok = [t for t in runs if t >= 0]
         timings[name] = min(ok) if ok and len(ok) == len(runs) else -1.0
 

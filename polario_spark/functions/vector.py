@@ -31,7 +31,36 @@ def norm(a: str, dialect: str) -> str:
     return f"sqrt(list_dot_product(({a})::DOUBLE[], ({a})::DOUBLE[]))"
 
 
+#: Cosine denominator clamp. An all-zero embedding has norm 0, so an
+#: unguarded cosine is 0/0 = NaN — and BOTH engines order NaN above every
+#: real number (Spark's ordering and DuckDB's total order), so a zero
+#: vector would silently win top-k ranks and pass `sim >= threshold`
+#: pair filters. The numpy GEMM kernels already clamp norms to 1e-12 so
+#: zero vectors score exactly 0 (dot = 0) and never pair; this makes the
+#: Spark expressions and DuckDB oracles follow the same convention. For
+#: any real embedding (norm >> 1e-12) the clamp is the identity, so all
+#: existing results are bitwise unchanged.
+NORM_EPS = "1e-12"
+
+
+def norm_clamped(a: str, dialect: str) -> str:
+    """``norm`` clamped to NORM_EPS — use when binding a cosine
+    denominator; use plain ``norm`` when the norm itself is the result
+    (e.g. embedding_norm_stats must report 0 for a zero vector)."""
+    return f"greatest({norm(a, dialect)}, {NORM_EPS})"
+
+
 def cosine(a: str, b: str, dialect: str) -> str:
     if dialect == "duckdb":
-        return f"list_cosine_similarity(({a})::DOUBLE[], ({b})::DOUBLE[])"
-    return f"({dot(a, b, dialect)} / ({norm(a, dialect)} * {norm(b, dialect)}))"
+        # keep list_cosine_similarity for the well-formed case (bitwise
+        # parity with the Spark quotient at round(,4) is established);
+        # the CASE only reroutes zero vectors to the clamp convention
+        return (
+            f"(CASE WHEN list_dot_product(({a})::DOUBLE[], ({a})::DOUBLE[]) = 0 "
+            f"OR list_dot_product(({b})::DOUBLE[], ({b})::DOUBLE[]) = 0 THEN 0.0 "
+            f"ELSE list_cosine_similarity(({a})::DOUBLE[], ({b})::DOUBLE[]) END)"
+        )
+    return (
+        f"({dot(a, b, dialect)} / "
+        f"({norm_clamped(a, dialect)} * {norm_clamped(b, dialect)}))"
+    )

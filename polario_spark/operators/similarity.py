@@ -638,7 +638,7 @@ def kmeans_centroids(
     vecs = corpus.select(
         F.col(id_col).alias("nid"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
-    ).withColumn("__nv", F.expr(VEC.norm("__v", "spark")))
+    ).withColumn("__nv", F.expr(VEC.norm_clamped("__v", "spark")))
     cent = vecs.filter(F.col("nid") % IVF_CENTROID_STRIDE == 0).select(
         F.col("nid").alias("cid"),
         F.col("__v").alias("__cent"),
@@ -673,10 +673,39 @@ def kmeans_centroids(
             .select(
                 "cid", F.expr("transform(__pm, p -> p.m)").alias("__cent")
             )
-            .withColumn("__nc", F.expr(VEC.norm("__cent", "spark")))
+            .withColumn("__nc", F.expr(VEC.norm_clamped("__cent", "spark")))
             .localCheckpoint(eager=True)
         )
     return cent.select("cid", "__cent")
+
+
+def _prepared_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Optional[DataFrame],
+) -> DataFrame:
+    """The broadcast centroid side shared by ``assign_cells`` and
+    ``ivf_topk``'s probe step: (cid, __cent, __nc) with the norm bound
+    once and clamped (zero vector -> cosine 0, see vector.NORM_EPS).
+
+    ONE definition on purpose: IVF correctness depends on the probe
+    cells and the assignment cells coming from the same centroid set —
+    two hand-maintained copies of the default stride subplan could
+    silently drift. Both consumers building the byte-identical plan also
+    lets Spark's ReuseExchange collapse the two broadcasts into one, so
+    the centroid scan runs once per job.
+    """
+    base = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) % IVF_CENTROID_STRIDE == 0).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
+        )
+    )
+    return F.broadcast(
+        base.withColumn("__nc", F.expr(VEC.norm_clamped("__cent", "spark")))
+    )
 
 
 def assign_cells(
@@ -711,18 +740,10 @@ def assign_cells(
     index.
     """
     corpus = ensure_parallelism(corpus)
-    cent = F.broadcast(
-        (
-            centroids
-            if centroids is not None
-            else corpus.filter(F.col(id_col) % IVF_CENTROID_STRIDE == 0).select(
-                F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
-            )
-        ).withColumn("__nc", F.expr(VEC.norm("__cent", "spark")))
-    )
+    cent = _prepared_centroids(corpus, id_col, vec_col, centroids)
     vecs = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("__v")
-    ).withColumn("__nv", F.expr(VEC.norm("__v", "spark")))
+    ).withColumn("__nv", F.expr(VEC.norm_clamped("__v", "spark")))
     csim = F.expr(f"({VEC.dot('__v', '__cent', 'spark')}) / (__nv * __nc)")
     return (
         vecs.join(cent)
@@ -769,20 +790,14 @@ def ivf_topk(
     """
     corpus = ensure_parallelism(corpus)
     # assignment + norm binding shared with semdedup_dropped — see
-    # assign_cells for the broadcast/argmax scale rationale
+    # assign_cells for the broadcast/argmax scale rationale; the probe
+    # step reuses the SAME _prepared_centroids definition assign_cells
+    # builds internally, so probe cells and assignment cells can't drift
     assigned = assign_cells(corpus, id_col, vec_col, centroids)
-    cent = F.broadcast(
-        (
-            centroids
-            if centroids is not None
-            else corpus.filter(F.col(id_col) % IVF_CENTROID_STRIDE == 0).select(
-                F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
-            )
-        ).withColumn("__nc", F.expr(VEC.norm("__cent", "spark")))
-    )
+    cent = _prepared_centroids(corpus, id_col, vec_col, centroids)
     queries = corpus.filter(F.col(id_col) % IVF_QUERY_STRIDE == 0).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("__q")
-    ).withColumn("__nq", F.expr(VEC.norm("__q", "spark")))
+    ).withColumn("__nq", F.expr(VEC.norm_clamped("__q", "spark")))
     qsim = F.expr(f"({VEC.dot('__q', '__cent', 'spark')}) / (__nq * __nc)")
     w_probe = Window.partitionBy("qid").orderBy(qsim.desc(), F.col("cid").asc())
     probes = (
@@ -875,71 +890,91 @@ def semdedup_dropped(
 
     Plan shape at 100 TB: assignment is ``assign_cells`` (centroids
     broadcast, corpus never shuffled, one argmax row per vector); the
-    only shuffle is the groupBy(cell) that co-locates each cluster, and
-    each cluster scores its pair block as ONE sub-tiled BLAS matmul
-    inside applyInPandas — the same COSINE_TILE-capped GEMM shape as
-    cosine_pairs_bucketed's verify, so a degenerate giant cluster cannot
-    blow a task's memory (SemDeDup itself runs exactly this per-cluster
-    GEMM on GPUs; K is chosen so clusters average n/K vectors). Unlike
-    the LSH path no cross-band dedup groupBy is needed: cells partition
-    the corpus, so each pair is scored at most once.
+    only shuffle co-locates each cluster — but keyed on (cell, block),
+    not cell alone: every cell is sub-split into id-range BLOCKS of at
+    most ``COSINE_TILE`` vectors (``nid // COSINE_TILE`` caps a block at
+    COSINE_TILE distinct ids), each block aggregated into one bounded
+    (ids, vectors) row, and the cell's pair space covered by the upper
+    triangle of block pairs via a self-join on cell — the same tile-join
+    shape as ``cosine_pairs``. Each task therefore holds at most TWO
+    blocks plus their COSINE_TILE^2 sim submatrix no matter how the
+    embedding geometry clusters, so a degenerate giant cell (one
+    dominant boilerplate cluster — the thing a crawl corpus actually
+    produces, and which no probabilistic bucket-size argument bounds the
+    way bits-per-band bounds LSH buckets) costs more TASKS, never more
+    memory per task. Unlike the LSH path no cross-band dedup groupBy is
+    needed: (cell, block-pair) blocks partition the pair space, so each
+    pair is scored exactly once.
     """
     assigned = assign_cells(corpus, id_col, vec_col, centroids)
+    base = (
+        assigned.select(
+            "cell",
+            F.floor(F.col("nid") / COSINE_TILE).alias("__blk"),
+            "nid",
+            "__v",
+        )
+        .groupBy("cell", "__blk")
+        .agg(F.collect_list(F.struct("nid", "__v")).alias("__rows"))
+    )
+    a = base.select(
+        "cell", F.col("__blk").alias("ba"), F.col("__rows").alias("rows_a")
+    )
+    b = base.select(
+        F.col("cell").alias("cell_b"),
+        F.col("__blk").alias("bb"),
+        F.col("__rows").alias("rows_b"),
+    )
+    block_pairs = a.join(
+        b, (F.col("cell") == F.col("cell_b")) & (F.col("ba") <= F.col("bb"))
+    )
 
-    def cell_pairs(pdf):
+    def pair_block(batches):
         import numpy as np
         import pandas as pd
 
-        empty = pd.DataFrame(
-            {
-                "cell": np.array([], np.int64),
-                "id_a": np.array([], np.int64),
-                "id_b": np.array([], np.int64),
-                "sim": np.array([], np.float64),
-            }
-        )
-        if len(pdf) < 2:
-            return empty
-        order = np.argsort(pdf["nid"].to_numpy(), kind="stable")
-        ids = pdf["nid"].to_numpy()[order]
-        # float32 -> float64 is exact, matching the oracle's ::DOUBLE[]
-        # cast; the GEMM then runs in float64 like the LSH verify path
-        mat = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
-        cell = np.int64(pdf["cell"].iloc[0])
-        # zero-norm clamp, same rationale as the LSH bucket verify: an
-        # all-zero embedding scores 0 (never pairs) instead of NaN
-        norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
-        out = []
-        n = len(ids)
-        for i0 in range(0, n, COSINE_TILE):
-            i1 = min(i0 + COSINE_TILE, n)
-            for j0 in range(i0, n, COSINE_TILE):
-                j1 = min(j0 + COSINE_TILE, n)
-                sim = np.round(
-                    (mat[i0:i1] @ mat[j0:j1].T)
-                    / np.outer(norms[i0:i1], norms[j0:j1]),
-                    4,
-                )
+        for pdf in batches:
+            out = []
+            for cell, rows_a, rows_b in zip(
+                pdf["cell"], pdf["rows_a"], pdf["rows_b"]
+            ):
+                ids_a = np.array([r["nid"] for r in rows_a], np.int64)
+                ids_b = np.array([r["nid"] for r in rows_b], np.int64)
+                # float32 -> float64 is exact, matching the oracle's
+                # ::DOUBLE[] cast; the GEMM runs in float64 like the LSH
+                # verify path
+                mat_a = np.stack(
+                    [np.asarray(r["__v"]) for r in rows_a]
+                ).astype(np.float64)
+                mat_b = np.stack(
+                    [np.asarray(r["__v"]) for r in rows_b]
+                ).astype(np.float64)
+                # zero-norm clamp, same rationale as the LSH bucket
+                # verify: an all-zero embedding scores 0 (never pairs)
+                na = np.maximum(np.sqrt((mat_a * mat_a).sum(axis=1)), 1e-12)
+                nb = np.maximum(np.sqrt((mat_b * mat_b).sum(axis=1)), 1e-12)
+                sim = np.round((mat_a @ mat_b.T) / np.outer(na, nb), 4)
                 ia, ib = np.nonzero(sim >= eps)
-                keep = ids[i0:i1][ia] < ids[j0:j1][ib]
+                keep = ids_a[ia] < ids_b[ib]
                 if keep.any():
                     out.append(
                         pd.DataFrame(
                             {
-                                "cell": np.full(int(keep.sum()), cell),
-                                "id_a": ids[i0:i1][ia][keep],
-                                "id_b": ids[j0:j1][ib][keep],
+                                "cell": np.full(
+                                    int(keep.sum()), np.int64(cell)
+                                ),
+                                "id_a": ids_a[ia][keep],
+                                "id_b": ids_b[ib][keep],
                                 "sim": sim[ia, ib][keep],
                             }
                         )
                     )
-        return pd.concat(out, ignore_index=True) if out else empty
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     return (
-        assigned.select("cell", "nid", "__v")
-        .groupBy("cell")
-        .applyInPandas(
-            cell_pairs, schema="cell long, id_a long, id_b long, sim double"
+        block_pairs.mapInPandas(
+            pair_block, schema="cell long, id_a long, id_b long, sim double"
         )
         .groupBy("id_b", "cell")
         .agg(

@@ -731,7 +731,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scores and df) and Catalyst does not reuse the subplan, so it is
     materialized once with localCheckpoint — the explode runs one time,
     the same diamond-shape fix q11_important_parts uses (a cluster
-    deployment would persist or write the tf table instead). Ranking
+    deployment would persist or write the tf table instead; in the
+    shared bench session the blocks are swept between queries by
+    plans.release_cached_residue, since a returned DataFrame cannot
+    unpersist its own checkpoint before the caller collects). Ranking
     happens on the ROUNDED score (4 dp) with a term tiebreak in both
     dialects, so the oracle can never disagree on near-tie ordering."""
     docs = _t(spark, sf_dir, "documents")
@@ -1048,6 +1051,27 @@ EXSUB_N = 8
 EXSUB_MIN_DUP_FRAC = 0.2
 
 
+def _exsub_grams(docs: DataFrame) -> DataFrame:
+    """Per-doc distinct EXSUB_N-gram postings, one row per (doc_id, g).
+
+    Module-level (not inlined in exact_substring_dup) so the plan tests
+    can assert its pre-checkpoint shape: the query's localCheckpoint
+    truncates lineage, hiding this subplan from the final explain.
+    explode_outer + null filter, not plain explode: see _decontam_plan —
+    InferFiltersFromGenerate would push a size()>0 predicate that
+    re-inlines the tokenizer into the shingle lambda (quadratic).
+    Expects ``__toks`` already bound on ``docs``.
+    """
+    return docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                f"array_distinct({TXT.word_ngrams('__toks', EXSUB_N, 'spark')})"
+            )
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+
+
 @_register(
     "exact_substring_dup",
     f"""
@@ -1082,7 +1106,9 @@ def exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back to the postings on the gram key. The postings table feeds
     three consumers (df, per-doc totals, per-doc hits) — the same
     diamond tfidf_top_terms has — so it is materialized once with
-    localCheckpoint; a cluster run would persist or write it. Suffix
+    localCheckpoint; a cluster run would persist or write it, and the
+    shared bench session sweeps the blocks between queries with
+    plans.release_cached_residue. Suffix
     automata are the paper's single-machine tool; at corpus scale the
     fixed-width shingle join is the standard distributed approximation
     (it finds every duplicated run of >= 8 tokens, positioned by its
@@ -1092,21 +1118,7 @@ def exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumns(
         {"__toks": F.expr(TXT.tokens("text", "spark"))}
     )
-    # explode_outer + null filter, not plain explode: see _decontam_plan —
-    # InferFiltersFromGenerate would push a size()>0 predicate that
-    # re-inlines the tokenizer into the shingle lambda (quadratic)
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode_outer(
-                F.expr(
-                    f"array_distinct({TXT.word_ngrams('__toks', EXSUB_N, 'spark')})"
-                )
-            ).alias("g"),
-        )
-        .filter(F.col("g").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+    grams = _exsub_grams(docs).localCheckpoint(eager=True)
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -4580,26 +4592,34 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                   they take the back seats. Unlisted entries (never
 #                   sampled / registered after this list) land in between.
 _PRIORITY = [
-    # Round 6 replaces this entry's rows-only registration with a real
-    # hash oracle (materialized-centroid probe+search) — it was the
-    # registry's only non-green row in CORRECTNESS_r05.
-    "ann_ivf_kmeans_topk",
-    # Stale green rows: both passed in r1/r3, but round 5 edited
-    # operators/similarity.py under them (zero-norm clamp in cosine_pairs,
-    # shared constants); the repo standard is driver-green for CURRENT
-    # code, so they re-queue for a fresh row.
-    "dedup_embedding_cosine",
+    # Round-7 code changes under these entries: semantic_dedup rewritten
+    # onto the (cell, block) tile-join (per-task memory now capped at
+    # COSINE_TILE regardless of cell geometry); assign_cells and
+    # ivf_topk's probe share one _prepared_centroids definition; every
+    # cosine expression AND DuckDB oracle gained the zero-norm guard
+    # (vector.norm_clamped / the CASE in vector.cosine — identity for
+    # any real embedding, but the expressions changed, so fresh rows).
+    "semantic_dedup",
     "ann_ivf_topk",
-    # Round-6 code changes: tf subplan localCheckpoint (explode runs
-    # once); degenerate-interval guard on the bin explode; decontam plan
-    # rewritten single-pass + explode_outer (InferFiltersFromGenerate
-    # re-inlined the tokenizer quadratically via its pushed size() filter).
-    "tfidf_top_terms",
-    "range_join_binned",
-    "decontamination_overlap",
-    "decontamination_overlap_8gram",
-    # Brand-new round-6 entries (never sampled) are registered after this
-    # list was written and land in `middle` — still ahead of the greens.
+    "ann_ivf_kmeans_topk",
+    "ann_topk_cosine",
+    "ann_topk_quantized",
+    "dedup_embedding_cosine",
+    # + the r6 bench anomaly entry: fresh-session re-time + fresh row
+    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_loose",
+    # Stale-green rotation (latest rows date to r1–r3; code untouched):
+    # no entry's row should age past ~3 rounds.
+    "upsert_roundtrip",
+    "dq_violations",
+    "q7_nation_trade_volume",
+    "full_outer_nation_presence",
+    "token_budget_packing",
+    "q8_market_share",
+    "incremental_rollup",
+    "compact_roundtrip",
+    "orc_roundtrip",
+    "approx_price_quantiles",
 ]
 _DRIVER_GREEN = [
     # round 1
@@ -4653,6 +4673,9 @@ _DRIVER_GREEN = [
     "dedup_rolling_windows", "dedup_clusters", "price_percentiles",
     "text_quality", "ann_topk_quantized", "embedding_dim_stats",
     "orders_retention_cohort", "events_hot_hours",
+    # round 6
+    "tfidf_top_terms", "range_join_binned", "decontamination_overlap",
+    "decontamination_overlap_8gram", "exact_substring_dup",
 ]
 
 

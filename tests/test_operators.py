@@ -430,3 +430,58 @@ def test_cosine_pairs_bucketed_subset_and_recall(spark):
     assert bucketed <= exact
     assert len(exact) > 0
     assert len(bucketed) / len(exact) >= 0.8, (len(bucketed), len(exact))
+
+
+def test_semdedup_block_split_matches_unsplit(spark, monkeypatch):
+    """A single giant cell — the degenerate geometry SemDeDup clustering
+    can produce on boilerplate-heavy corpora — must give IDENTICAL
+    results whether it fits in one block or is split across many: shrink
+    COSINE_TILE so the cell spans several id-range blocks and compare
+    against the unsplit run and a numpy brute-force expectation. Two
+    all-zero vectors ride along to pin the zero-norm clamp (they must
+    pair with nothing, not NaN)."""
+    import numpy as np
+
+    n, dim = 40, 8
+    # deterministic near-duplicate geometry: vectors interpolate between
+    # two anchors, so plenty of pairs clear eps and plenty don't
+    vecs = []
+    for i in range(n):
+        t = i / (n - 1)
+        v = [1.0 - t, t] + [0.1 * ((i % 5) - 2)] * (dim - 2)
+        vecs.append(v)
+    vecs.append([0.0] * dim)
+    vecs.append([0.0] * dim)
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one explicit centroid -> every vector lands in the same cell
+    cent = spark.createDataFrame(
+        [(7, [1.0] + [0.0] * (dim - 1))], "cid long, __cent array<double>"
+    )
+    eps = 0.9
+
+    def run():
+        return sorted(
+            (r.vec_id, r.cell, r.n_dups, r.max_sim)
+            for r in similarity.semdedup_dropped(
+                emb, "vec_id", "embedding", eps, centroids=cent
+            ).collect()
+        )
+
+    unsplit = run()  # COSINE_TILE=1024 >> n: one block, one diagonal pair
+    monkeypatch.setattr(similarity, "COSINE_TILE", 8)
+    split = run()  # 6 blocks -> 21 block pairs covering the same cell
+    assert split == unsplit
+    # numpy brute force over the float32-stored vectors
+    mat = np.stack([np.asarray(v, np.float32) for v in vecs]).astype(np.float64)
+    norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+    sim = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+    expect = {}
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            if sim[a, b] >= eps:
+                cnt, mx = expect.get(b, (0, -2.0))
+                expect[b] = (cnt + 1, max(mx, sim[a, b]))
+    expected = sorted((b, 7, c, m) for b, (c, m) in expect.items())
+    assert split == expected
+    assert all(r[0] < n for r in split), "zero vectors must never pair"

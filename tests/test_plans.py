@@ -133,12 +133,21 @@ def test_no_row_python_udfs_anywhere(spark):
 
 def test_decontamination_broadcasts_eval_grams(spark):
     """The eval-set gram table must be the broadcast side so the training
-    corpus (the 100 TB side at scale) is never shuffled for the semi-join;
-    and the corpus side must never appear in a cartesian/NLJ pair."""
-    df = Q.decontamination_overlap(spark, SF_DIR)
-    plan = formatted_plan(df)
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
-    assert "CartesianProduct" not in plan
+    corpus (the 100 TB side at scale) is never shuffled for the hit-join;
+    and the corpus side must never appear in a cartesian/NLJ pair.
+
+    Since the single-pass rewrite, _decontam_plan marks hits with ONE
+    left-outer join against the distinct broadcast gram set (the corpus
+    shingles explode once and are consumed once) instead of the earlier
+    LeftSemi — assert that exact shape for both entries sharing the
+    builder."""
+    for query in (Q.decontamination_overlap, Q.decontamination_overlap_8gram):
+        df = query(spark, SF_DIR)
+        plan = formatted_plan(df)
+        assert "BroadcastHashJoin" in plan, (query.__name__, plan)
+        assert "LeftOuter" in plan and "BuildRight" in plan, (query.__name__, plan)
+        assert "SortMergeJoin" not in plan, query.__name__
+        assert "CartesianProduct" not in plan, query.__name__
 
 
 def test_token_budget_packing_single_stream_shuffle(spark):
@@ -170,6 +179,31 @@ def test_text_expression_pipelines_stay_narrow(spark):
             name,
             "tokenizer re-inlined into a lambda slice",
         )
+
+
+def test_ngram_pipelines_keep_tokenizer_bound(spark):
+    """The shingle pipelines must keep the token array BOUND outside the
+    n-gram lambdas: a tokenizer re-inlined into the slice()/size() of the
+    shingle transform re-tokenizes the document once per shingle position
+    (quadratic). Pins the round-6 explode_outer workaround that defeats
+    InferFiltersFromGenerate's re-inlining. exact_substring_dup is
+    asserted on its pre-checkpoint grams subplan — the query's
+    localCheckpoint truncates lineage, hiding the shape from the final
+    explain."""
+    from pyspark.sql import functions as SF
+
+    from polario_spark.functions import text as TXT
+
+    docs = Q._t(spark, SF_DIR, "documents").withColumns(  # noqa: SLF001
+        {"__toks": SF.expr(TXT.tokens("text", "spark"))}
+    )
+    plans = {"exact_substring_grams": formatted_plan(Q._exsub_grams(docs))}  # noqa: SLF001
+    for name in ["decontamination_overlap", "decontamination_overlap_8gram"]:
+        plans[name] = formatted_plan(Q.REGISTRY[name].spark(spark, SF_DIR))
+    for name, plan in plans.items():
+        squeezed = plan.replace(" ", "")
+        assert "slice(filter(split(" not in squeezed, name
+        assert "size(filter(split(" not in squeezed, name
 
 
 def test_dedup_keep_best_is_single_agg(spark):
