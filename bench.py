@@ -88,6 +88,7 @@ def main() -> None:
             # ~120 queries is one of the order-effect noise mechanisms
             # SCALE.md documents
             release_cached_residue(spark)
+        all_runs[name] = runs
         ok = [t for t in runs if t >= 0]
         timings[name] = min(ok) if ok and len(ok) == len(runs) else -1.0
 

@@ -902,9 +902,13 @@ def semdedup_dropped(
     dominant boilerplate cluster — the thing a crawl corpus actually
     produces, and which no probabilistic bucket-size argument bounds the
     way bits-per-band bounds LSH buckets) costs more TASKS, never more
-    memory per task. Unlike the LSH path no cross-band dedup groupBy is
-    needed: (cell, block-pair) blocks partition the pair space, so each
-    pair is scored exactly once.
+    memory per task. A mega-cell's block pairs do concentrate in that
+    cell's join partition; the session enables AQE skew-join splitting,
+    which subdivides an oversized partition at runtime, so the extra
+    tasks actually spread across executors instead of serializing in
+    one. Unlike the LSH path no cross-band dedup groupBy is needed:
+    (cell, block-pair) blocks partition the pair space, so each pair is
+    scored exactly once.
     """
     assigned = assign_cells(corpus, id_col, vec_col, centroids)
     base = (

@@ -40,7 +40,7 @@ from polario_spark.operators.multimodal import (
 from polario_spark.sources.tables import load_table
 from polario_spark.streaming import events as streaming_events
 from polario_spark.streaming.events import hourly_counts
-from polario_spark.workdir import stable_work_path, work_dir
+from polario_spark.workdir import prepare_stable_dir, stable_work_path, work_dir
 
 
 @dataclass
@@ -2067,7 +2067,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path; tests/test_operators.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     cent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=3)
-    cent.write.mode("overwrite").parquet(_KMEANS_CENT_PATH)
+    cent.write.mode("overwrite").parquet(prepare_stable_dir(_KMEANS_CENT_PATH))
     cent = spark.read.parquet(_KMEANS_CENT_PATH)
     return similarity.ivf_topk(
         emb, "vec_id", "embedding", 5, centroids=cent
@@ -4673,8 +4673,8 @@ _DRIVER_GREEN = [
     "dedup_rolling_windows", "dedup_clusters", "price_percentiles",
     "text_quality", "ann_topk_quantized", "embedding_dim_stats",
     "orders_retention_cohort", "events_hot_hours",
-    # round 6
-    "tfidf_top_terms", "range_join_binned", "decontamination_overlap",
+    # round 6 (decontamination_overlap already sits in the round-2 group)
+    "tfidf_top_terms", "range_join_binned",
     "decontamination_overlap_8gram", "exact_substring_dup",
 ]
 

@@ -63,11 +63,29 @@ def stable_work_path(kind: str) -> str:
     is literal and stable: the Spark query materializes to it with
     ``mode("overwrite")``, and the oracle's ``read_parquet`` sees exactly
     the bytes the query's own search consumed (the gate runs the Spark
-    side, then its oracle, in one process). The root is removed at
-    interpreter exit. Two *concurrent* gate processes on one machine
-    would race on the path — acceptable for the single-driver gate.
+    side, then its oracle, in one process).
+
+    PURE path computation — no filesystem effects. This function runs at
+    registry import time, and the exit-time cleanup used to be
+    registered here: any short-lived process that merely imported the
+    registry (pytest collection, a tools/ script) then deleted the
+    shared stable root at exit, yanking the centroid table out from
+    under a concurrently running session — observed as a one-off
+    ann_ivf_kmeans_topk bench failure in round 7. Writers call
+    ``prepare_stable_dir`` instead, so only a process that actually
+    materialized bytes schedules the cleanup. Two *concurrent* writer
+    processes on one machine would still race on the path — acceptable
+    for the single-driver gate, and each writer overwrites before it
+    reads.
     """
-    path = os.path.join(_STABLE_ROOT, kind)
+    return os.path.join(_STABLE_ROOT, kind)
+
+
+def prepare_stable_dir(path: str) -> str:
+    """Create a stable path's directory and schedule the root's removal
+    at interpreter exit. Called by the WRITING query immediately before
+    ``write.mode("overwrite")`` — never at import time (see
+    stable_work_path)."""
     os.makedirs(path, exist_ok=True)
     if _STABLE_ROOT not in _cleanup_registered:
         _cleanup_registered.add(_STABLE_ROOT)
