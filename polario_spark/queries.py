@@ -20,6 +20,10 @@ the parquet scan so Catalyst pushes them down.
 
 from __future__ import annotations
 
+import functools as _functools
+import json as _json
+import pathlib as _pathlib
+import re
 from collections.abc import Callable
 
 import pandas as pd
@@ -4583,14 +4587,20 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in queries() iteration order, so ordering is load-bearing: put the entries
 # that most need a fresh correctness row first.
 #
-# Two stable lists drive the ordering (stable NAMES — contents change each
-# round, tests assert the invariant, never the contents):
-#   _PRIORITY     — entries whose implementation the current round touched
-#                   (their latest green row pre-dates the code change) or
-#                   that are brand new; these jump the queue.
-#   _DRIVER_GREEN — entries with a driver-green row for their current code;
-#                   they take the back seats. Unlisted entries (never
-#                   sampled / registered after this list) land in between.
+# The ordering has three tiers:
+#   1. _PRIORITY — the one hand-maintained list: entries whose
+#      implementation the current round touched (their latest green row
+#      pre-dates the code change) or that are brand new; these jump the
+#      queue. Contents change each round; tests assert the invariant,
+#      never the contents.
+#   2. Entries with NO green driver row in any committed
+#      CORRECTNESS_r*.json — they need a first verification.
+#   3. Everything else, STALEST GREEN ROW FIRST (computed from the
+#      correctness history the driver commits at the repo root), so the
+#      driver's per-round sample prefix automatically rotates through
+#      old greens and no entry's row ages indefinitely. This replaces
+#      the earlier hand-curated _DRIVER_GREEN back-list, which required
+#      manual rotation every round.
 _PRIORITY = [
     # Round-7 code changes under these entries: semantic_dedup rewritten
     # onto the (cell, block) tile-join (per-task memory now capped at
@@ -4608,86 +4618,55 @@ _PRIORITY = [
     # + the r6 bench anomaly entry: fresh-session re-time + fresh row
     "dedup_embedding_cosine_lsh",
     "dedup_embedding_cosine_lsh_loose",
-    # Stale-green rotation (latest rows date to r1–r3; code untouched):
-    # no entry's row should age past ~3 rounds.
-    "upsert_roundtrip",
-    "dq_violations",
-    "q7_nation_trade_volume",
-    "full_outer_nation_presence",
-    "token_budget_packing",
-    "q8_market_share",
-    "incremental_rollup",
-    "compact_roundtrip",
-    "orc_roundtrip",
-    "approx_price_quantiles",
 ]
-_DRIVER_GREEN = [
-    # round 1
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "top_customers", "order_rank_window", "rollup_sales", "events_hourly",
-    "events_json_stats", "dedup_fingerprint",
-    "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "ann_topk_cosine",
-    "lang_id_confusion", "q4_order_priority",
-    "customers_without_urgent_orders", "parts_set_ops", "pivot_returnflag",
-    "cube_sales", "grouping_sets_priority",
-    "price_above_brand_avg", "embedding_norm_stats", "distinct_counts",
-    "q6_forecast_revenue", "q13_order_count_distribution", "q18_large_orders",
-    "q19_discounted_revenue", "q22_idle_customers", "geomean_brand_price",
-    "brand_price_zscore_top", "dedup_embedding_cosine", "ann_ivf_topk",
-    "customer_running_totals",
-    "csv_roundtrip",
-    "skew_salted_agg", "q14_promo_revenue",
-    # round 2
-    "dedup_exact", "token_stats",
-    "hive_roundtrip", "streaming_stateful_sessions",
-    "bpe_token_stats", "events_props_map", "q12_priority_by_linestatus",
-    "stratified_sample_split", "udtf_repeated_tokens",
-    "events_variant_extract", "dq_violations", "decontamination_overlap",
-    "token_budget_packing", "q15_top_supplier",
-    "q17_small_quantity_revenue", "sole_supplier_orders",
-    "cheapest_supplier_per_part", "bucketed_join",
-    "q7_nation_trade_volume", "q10_returned_revenue", "q8_market_share",
-    "q9_profit_by_nation_year",
-    "top_bigrams_per_lang", "q16_supplier_diversity",
-    "q20_heavy_gear_suppliers",
-    "orders_seasonality", "q11_important_parts",
-    "session_window_stats", "streaming_static_enrich", "orc_roundtrip",
-    "ntile_price_deciles", "range_join_value_buckets", "ols_price_per_brand",
-    "full_outer_nation_presence", "upsert_roundtrip", "events_gapfill",
-    "streaming_foreachbatch_totals", "incremental_rollup", "compact_roundtrip",
-    # round 3
-    "approx_price_quantiles", "approx_distinct_users",
-    "argmax_supplier_per_nation",
-    "federated_three_formats", "order_value_extremes_window",
-    "recursive_month_spine", "region_nation_list", "set_ops_all",
-    "unpivot_lineitem_measures", "zipwith_consecutive_dot",
-    # round 5 (every CORRECTNESS_r05 row except ann_ivf_kmeans_topk)
-    "events_sessions", "json_roundtrip", "asof_click_before_purchase",
-    "sliding_window_counts", "streaming_events_hourly",
-    "streaming_sliding_counts", "events_rolling_hour_rate",
-    "streaming_click_attribution", "streaming_dedup_counts",
-    "dedup_embedding_cosine_lsh", "multimodal_features",
-    "multimodal_frame_sample", "dedup_embedding_cosine_lsh_loose",
-    "repetition_signals", "dedup_keep_best",
-    "stratified_topk_sample", "chunk_documents", "quality_filter_funnel",
-    "dedup_rolling_windows", "dedup_clusters", "price_percentiles",
-    "text_quality", "ann_topk_quantized", "embedding_dim_stats",
-    "orders_retention_cohort", "events_hot_hours",
-    # round 6 (decontamination_overlap already sits in the round-2 group)
-    "tfidf_top_terms", "range_join_binned",
-    "decontamination_overlap_8gram", "exact_substring_dup",
-]
+@_functools.lru_cache(maxsize=1)
+def _latest_green_rounds() -> "dict[str, int]":
+    """Latest driver round with a green CORRECTNESS row, per entry.
+
+    Parsed from the ``CORRECTNESS_r*.json`` files the driver commits at
+    the repo root. A row counts as green when rows and schema matched,
+    the value hash did not MIS-match (rows-only checks for the oracle-
+    exempt entries record ``hash_match: null``), and no error was
+    recorded. Missing or unreadable files are skipped, so a fresh
+    checkout degrades to "verify everything" rather than failing.
+    """
+    latest: dict[str, int] = {}
+    root = _pathlib.Path(__file__).resolve().parents[1]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", path.name)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = _json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if green and rnd > latest.get(name, -1):
+                latest[name] = rnd
+    return latest
 
 
 def _driver_order() -> list[str]:
     front = [n for n in _PRIORITY if n in REGISTRY]
-    seen = set(front) | set(_DRIVER_GREEN)
-    middle = [n for n in REGISTRY if n not in seen]
-    back = [n for n in _DRIVER_GREEN if n in REGISTRY and n not in set(front)]
-    ordered = front + middle + back
-    # new entries registered after this list was written land in `middle`;
-    # anything missed entirely is appended so nothing is ever dropped
-    return ordered + [n for n in REGISTRY if n not in set(ordered)]
+    taken = set(front)
+    green = _latest_green_rounds()
+    never = [n for n in REGISTRY if n not in taken and n not in green]
+    pos = {n: i for i, n in enumerate(REGISTRY)}
+    # stalest green row first; registry order is the deterministic tiebreak
+    tail = sorted(
+        (n for n in REGISTRY if n not in taken and n in green),
+        key=lambda n: (green[n], pos[n]),
+    )
+    return front + never + tail
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

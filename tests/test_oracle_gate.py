@@ -52,8 +52,10 @@ def test_driver_ordering_puts_unverified_entries_first():
     """queries() iteration order is load-bearing: the driver verifies only
     a prefix of the registry per round. Assert the *invariant*, not any
     round-specific list contents: explicitly re-prioritized entries come
-    first, then every entry lacking a driver-green row, and only then the
-    entries already green for their current code."""
+    first, then every entry lacking a green row in the committed
+    correctness history, then the verified entries with the STALEST green
+    row first — so the driver's per-round sample prefix rotates through
+    old greens automatically."""
     from polario_spark import queries as Q
 
     order = list(Q.queries())
@@ -62,8 +64,26 @@ def test_driver_ordering_puts_unverified_entries_first():
     assert len(Q._PRIORITY) == len(set(Q._PRIORITY)), "duplicate _PRIORITY entries"
     priority = [n for n in Q._PRIORITY if n in Q.REGISTRY]
     assert order[: len(priority)] == priority
-    green = {n for n in Q._DRIVER_GREEN if n in Q.REGISTRY} - set(priority)
-    pos = {n: i for i, n in enumerate(order)}
-    nongreen = [n for n in order[len(priority):] if n not in green]
-    if nongreen and green:
-        assert max(pos[n] for n in nongreen) < min(pos[n] for n in green)
+    green = Q._latest_green_rounds()
+    tail = order[len(priority):]
+    never = [n for n in tail if n not in green]
+    # every never-verified entry precedes every verified one
+    assert tail[: len(never)] == never
+    # the verified tail is sorted stalest-first
+    rounds = [green[n] for n in tail[len(never):]]
+    assert rounds == sorted(rounds)
+
+
+def test_latest_green_rounds_predicate():
+    """The staleness parser must treat rows-only checks (hash_match null)
+    as green, but any recorded mismatch or error as not-green."""
+    from polario_spark import queries as Q
+
+    green = Q._latest_green_rounds()
+    # entries green in CORRECTNESS_r06 must be present with round >= 6
+    assert green.get("semantic_dedup", 0) >= 6
+    assert green.get("q1_pricing_summary", 0) >= 1
+    # the registry should have no entry whose history is all-red: every
+    # registered entry either has a green row or sits in _PRIORITY
+    unverified = set(Q.REGISTRY) - set(green) - set(Q._PRIORITY)
+    assert unverified == set(), unverified
