@@ -693,8 +693,10 @@ def _prepared_centroids(
     cells and the assignment cells coming from the same centroid set —
     two hand-maintained copies of the default stride subplan could
     silently drift. Both consumers building the byte-identical plan also
-    lets Spark's ReuseExchange collapse the two broadcasts into one, so
-    the centroid scan runs once per job.
+    lets AQE's runtime stage reuse collapse the duplicate broadcast
+    (the static explain shows two BroadcastExchange nodes; the executed
+    ``isFinalPlan=true`` plan shows one replaced by a ReusedExchange),
+    so the centroid subplan is computed once per job.
     """
     base = (
         centroids

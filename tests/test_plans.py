@@ -226,6 +226,25 @@ def test_tfidf_joins_on_term_and_broadcasts_count(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_release_cached_residue_sweeps_checkpoint_blocks(spark):
+    """localCheckpoint blocks persist past the query's action — the sweep
+    must release them, and a REBUILT query (fresh checkpoint) must still
+    work afterwards; that rebuild-after-sweep contract is what bench.py
+    relies on between repeats."""
+    from polario_spark.plans import release_cached_residue
+
+    release_cached_residue(spark)  # start clean
+    df = spark.range(1000).localCheckpoint(eager=True)
+    assert df.count() == 1000
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    released = release_cached_residue(spark)
+    assert released >= 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    rebuilt = spark.range(1000).localCheckpoint(eager=True)
+    assert rebuilt.count() == 1000
+    release_cached_residue(spark)
+
+
 def test_range_join_binned_is_hash_equi_join(spark):
     """The bin-and-equi-join rewrite must plan as a broadcast HASH join on
     the bin key — the nested-loop shape it replaces must be gone."""
