@@ -226,6 +226,50 @@ def test_tfidf_joins_on_term_and_broadcasts_count(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def _plan_facts(df):
+    import re
+
+    plan = formatted_plan(df)
+    return {
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
+        "hashpart": plan.count("hashpartitioning"),
+        "smj": plan.count("SortMergeJoin"),
+        "cart": plan.count("CartesianProduct"),
+        "gen": len(re.findall(r"\(\d+\) Generate", plan)),
+        "rand": "rand(" in plan,
+    }
+
+
+def test_scale_shapes_pinned(spark):
+    """Pin the SCALE.md shape claims that had no plan test yet. Each
+    bound is a scale contract: breaking one means the operator gained a
+    scan, a shuffle, or a pair-space join it does not need at 100 TB."""
+    cases = {
+        # one scan pass, conditional sums, zero exchanges: the partials
+        # row is the only thing that crosses the wire
+        "dq_violations": {"scans": 1, "hashpart": 0, "smj": 0, "cart": 0},
+        # two-stage salt: salted partial agg + final agg = exactly two
+        # hash exchanges, no single hot-key partition
+        "skew_salted_agg": {"hashpart": 2, "smj": 0, "cart": 0},
+        # two-level agg over a broadcast join: no join shuffle, only the
+        # two group-key exchanges
+        "q13_order_count_distribution": {"hashpart": 2, "smj": 0},
+        # content-addressed split: pure function of the id — no rand(),
+        # one scan
+        "stratified_sample_split": {"scans": 1, "rand": False},
+        # 32 conditional sums in ONE agg pass over ONE shingle explode
+        "dedup_simhash": {"gen": 1, "scans": 1, "smj": 0},
+        # spine join stays broadcast: never a cartesian or sort-merge
+        "events_gapfill": {"smj": 0, "cart": 0},
+        # quantized brute-force keeps the broadcast-query shape
+        "ann_topk_quantized": {"smj": 0, "cart": 0, "scans": 2},
+    }
+    for name, expected in cases.items():
+        facts = _plan_facts(Q.REGISTRY[name].spark(spark, SF_DIR))
+        for key, want in expected.items():
+            assert facts[key] == want, (name, key, facts)
+
+
 def test_release_cached_residue_sweeps_checkpoint_blocks(spark):
     """localCheckpoint blocks persist past the query's action — the sweep
     must release them, and a REBUILT query (fresh checkpoint) must still
