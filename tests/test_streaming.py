@@ -1,0 +1,107 @@
+"""Streaming semantics the registry oracles cannot exercise.
+
+The registry's streaming entries drain the whole fixture through
+``processAllAvailable`` and compare against batch SQL — that pins
+stream/batch equivalence but never engages the WATERMARK: in a single
+drain nothing is ever late. These tests feed multiple micro-batches
+through a file source so watermark advancement, late-row dropping, and
+append-mode window finalization — the mechanisms that BOUND STATE at
+100 TB — actually run.
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _write_batch(src, name, timestamps):
+    pq.write_table(
+        pa.table({"ts": pa.array(timestamps, pa.timestamp("us"))}),
+        str(src / name),
+    )
+
+
+def test_watermark_drops_late_rows_and_finalizes_windows(spark, tmp_path):
+    """A row older than the current watermark must be DROPPED, not
+    re-open its (already evicted) window state. Batch 1 advances the
+    watermark to 13:30; batch 2 carries a 10:45 straggler plus a live
+    15:30 row. If late rows were admitted, hour-10's window would emit a
+    second time (its state was evicted after finalization) and the sink
+    would show a duplicate hour-10 row."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b1.parquet", [datetime(2026, 1, 1, 10, 30), datetime(2026, 1, 1, 13, 30)])
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        _write_batch(src, "b2.parquet", [datetime(2026, 1, 1, 10, 45), datetime(2026, 1, 1, 15, 30)])
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    emitted = sorted(
+        (r["w"].start.hour, r["n"]) for r in spark.table(name).collect()
+    )
+    # hour 10 emitted exactly once with only the on-time row; hour 13
+    # finalized by batch 2's watermark advance; hour 15 never finalizes
+    # (no later event), so append mode correctly withholds it
+    assert emitted == [(10, 1), (13, 1)]
+
+
+def test_watermark_admits_rows_inside_allowed_lateness(spark, tmp_path):
+    """The complement: a straggler NEWER than the watermark must still be
+    merged into its open window. With a 6-hour delay threshold the 10:45
+    straggler in batch 2 is inside the allowed lateness, so hour-10's
+    still-open window absorbs it and finally emits n=2."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b1.parquet", [datetime(2026, 1, 1, 10, 30), datetime(2026, 1, 1, 13, 30)])
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .withWatermark("ts", "6 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"graced_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # watermark after b1 = 13:30 - 6h = 07:30 -> hour-10 still open
+        _write_batch(src, "b2.parquet", [datetime(2026, 1, 1, 10, 45), datetime(2026, 1, 1, 18, 30)])
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    emitted = sorted(
+        (r["w"].start.hour, r["n"]) for r in spark.table(name).collect()
+    )
+    # watermark after b2 = 18:30 - 6h = 12:30: hour 10 finalizes with
+    # BOTH its rows; hours 13 and 18 stay open and unemitted
+    assert emitted == [(10, 2)]
