@@ -105,3 +105,63 @@ def test_watermark_admits_rows_inside_allowed_lateness(spark, tmp_path):
     # watermark after b2 = 18:30 - 6h = 12:30: hour 10 finalizes with
     # BOTH its rows; hours 13 and 18 stay open and unemitted
     assert emitted == [(10, 2)]
+
+
+def test_restart_recovers_window_state_from_checkpoint(spark, tmp_path):
+    """Open window state must survive a stop/restart through the
+    checkpoint: batch 1 leaves hour-13 open with one row; after a full
+    stop, a NEW query on the same checkpoint absorbs a second hour-13
+    row from batch 2 and emits n=2 — n=1 would mean the recovered query
+    lost its state. The restart also runs under a different
+    spark.sql.shuffle.partitions to pin that the state-partition count
+    is frozen into the checkpoint at first start (SCALE.md, streaming):
+    resizing the session knob later must not corrupt or re-key state."""
+    src = tmp_path / "src"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+
+    def run(shuffle_partitions):
+        # the memory sink does not support recovery; the parquet file
+        # sink does, and is what a real job would use
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            agg = (
+                spark.readStream.schema(schema)
+                .parquet(str(src))
+                .withWatermark("ts", "0 seconds")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count("*").alias("n"))
+            )
+            query = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    def emitted():
+        return sorted(
+            (r["w"].start.hour, r["n"])
+            for r in spark.read.parquet(out).collect()
+        )
+
+    _write_batch(src, "b1.parquet", [datetime(2026, 1, 1, 10, 30), datetime(2026, 1, 1, 13, 30)])
+    run(3)
+    # run 1: watermark reaches 13:30, finalizing hour 10 only
+    assert emitted() == [(10, 1)]
+    _write_batch(src, "b2.parquet", [datetime(2026, 1, 1, 13, 45), datetime(2026, 1, 1, 16, 30)])
+    run(7)
+    # run 2: recovered hour-13 state absorbs 13:45 -> n=2 when 16:30
+    # advances the watermark; hour 16 stays open. n=1 here would mean
+    # the restarted query lost the checkpointed window state.
+    assert emitted() == [(10, 1), (13, 2)]
