@@ -51,6 +51,39 @@ from polario_spark.session import DEFAULT_ROWS_PER_FRAGMENT
 
 _PARTITION_SEGMENT_RE = re.compile(r"^(?P<key>[^=/]+)=(?P<value>[^/]*)$")
 
+#: Characters Spark/Hive percent-escape in partition directory names
+#: (Hive's escapePathName contract, which Spark's partitioned writer
+#: applies); control chars and DEL join this set. Spaces and non-ASCII
+#: are written literally. The dataset's OWN path builders must follow
+#: the same rules, or a value like "a/b" writes to ``p=a%2Fb`` but
+#: read_partition/delete_partition would probe the raw ``p=a/b`` path —
+#: a silent miss. (The reference never escapes — but it also WRITES the
+#: raw path, so its write/read stay consistent; here the writer is
+#: Spark, so the readers must match Spark.)
+_ESCAPED_PARTITION_CHARS = frozenset('"#%\'*/:=?\\{[]^\x7f')
+
+
+def escape_partition_value(value: str) -> str:
+    """Percent-escape a partition value exactly as Spark's partitioned
+    parquet writer names the directory (verified against the observed
+    on-disk layout: '/' -> %2F, '=' -> %3D, ..., space and unicode kept
+    literal)."""
+    return "".join(
+        f"%{ord(ch):02X}"
+        if ch in _ESCAPED_PARTITION_CHARS or ch < " "
+        else ch
+        for ch in value
+    )
+
+
+def unescape_partition_value(value: str) -> str:
+    """Inverse of :func:`escape_partition_value`: decode %XX sequences.
+    Lone '%' not followed by two hex digits passes through untouched, so
+    directories written by naive writers still parse."""
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), value
+    )
+
 
 def to_relative_location_from(
     possible_prefix: str, base_location: str, location: str
@@ -366,7 +399,7 @@ class HiveDataset:
                 raise ValueError(
                     f"Expected partition key {expected_key!r}, got {match['key']!r}"
                 )
-            values[expected_key] = match["value"]
+            values[expected_key] = unescape_partition_value(match["value"])
         return values
 
     def _validate_keys(self, partition_values: dict[str, str]) -> None:
@@ -377,7 +410,10 @@ class HiveDataset:
             )
 
     def _partition_rel_path(self, partition_values: dict[str, str]) -> str:
-        return "/".join(f"{k}={partition_values[k]}" for k in self.partition_columns)
+        return "/".join(
+            f"{k}={escape_partition_value(partition_values[k])}"
+            for k in self.partition_columns
+        )
 
     # ------------------------------------------------------------------
     # reads

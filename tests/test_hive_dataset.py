@@ -269,3 +269,70 @@ def test_sorted_write_fragments(spark, tmp_path):
             assert vals == sorted(vals), frag
     # data intact
     assert ds.scan().count() == 1000
+
+
+def test_special_char_partition_values_roundtrip(spark, tmp_path):
+    """Spark escapes '/', '=', '%', ':' etc. in partition directory
+    names; the dataset's own path builders must follow the same rules or
+    read_partition/delete_partition silently miss the directory the
+    writer created. Spaces and unicode stay literal."""
+    values = ["a/b", "a=b", "a%b", "a:b", "a b", "café"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "v long, p string"
+    )
+    ds = HiveDataset(spark, str(tmp_path / "esc"), ["p"])
+    ds.write(df)
+    # partition discovery must yield the ORIGINAL values, decoded
+    assert sorted(d["p"] for d in ds.partitions()) == sorted(values)
+    # pruned single-partition read by the raw value must hit
+    for i, v in enumerate(values):
+        part = ds.read_partition({"p": v})
+        assert part is not None, v
+        assert [(r.v, r.p) for r in part.collect()] == [(i, v)]
+    # and the full scan agrees with the per-partition view
+    assert sorted(r.p for r in unwrap(ds.scan()).collect()) == sorted(values)
+    # delete by raw value must remove exactly that partition
+    ds.delete_partition({"p": "a/b"})
+    assert ds.read_partition({"p": "a/b"}) is None
+    assert sorted(d["p"] for d in ds.partitions()) == sorted(
+        v for v in values if v != "a/b"
+    )
+
+
+def test_escape_matches_spark_writer_layout(spark, tmp_path):
+    """The escape function must reproduce Spark's on-disk directory
+    names exactly — pin it against what the writer actually creates."""
+    from polario_spark.hive_dataset import escape_partition_value
+
+    values = ["a/b", "a=b", "a%b", "a*b", "a?b", "a'b", 'a"b', "a\\b", "a[b]^c{d"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "v long, p string"
+    )
+    df.write.partitionBy("p").parquet(str(tmp_path / "raw"), mode="overwrite")
+    on_disk = sorted(
+        d.name for d in (tmp_path / "raw").iterdir()
+        if d.is_dir() and d.name.startswith("p=")
+    )
+    assert on_disk == sorted(f"p={escape_partition_value(v)}" for v in values)
+
+
+def test_escape_unescape_property():
+    """unescape(escape(v)) == v for arbitrary text, including '%' and
+    hex-lookalike sequences; naive (unescaped) directory names written
+    by other tools pass through unescape unchanged unless they contain
+    a literal %XX."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from polario_spark.hive_dataset import (
+        escape_partition_value,
+        unescape_partition_value,
+    )
+
+    @given(st.text(max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def roundtrip(v):
+        assert unescape_partition_value(escape_partition_value(v)) == v
+        assert "/" not in escape_partition_value(v)
+
+    roundtrip()
