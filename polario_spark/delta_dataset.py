@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.errors import AnalysisException
 
-from polario_spark.hive_dataset import DatasetUrl, materialize_if_self_read
+from polario_spark.hive_dataset import (
+    DatasetUrl,
+    guard_partition_values,
+    materialize_if_self_read,
+)
 
 try:  # delta-spark is optional; the container may not ship the jars
     from delta.tables import DeltaTable  # noqa: F401
@@ -73,6 +77,9 @@ class _TableDatasetBase:
                 )
 
     def _writer(self, df: DataFrame, mode: str):
+        # same silent NULL/'' -> __HIVE_DEFAULT_PARTITION__ rewrite as the
+        # hive layer; refuse loudly inside the write job instead
+        df = guard_partition_values(df, self.partition_columns)
         writer = df.write.format(self.format).mode(mode)
         if self.partition_columns:
             writer = writer.partitionBy(*self.partition_columns)

@@ -85,6 +85,38 @@ def unescape_partition_value(value: str) -> str:
     )
 
 
+def guard_partition_values(df: DataFrame, partition_columns: list[str]) -> DataFrame:
+    """Fail loudly on NULL / empty-string partition values.
+
+    Spark's partitioned writer silently rewrites both to
+    ``__HIVE_DEFAULT_PARTITION__``, which reads back as NULL — a silent
+    data mutation (the reference round-trips ``''`` because its raw
+    ``k=v`` path building IS its writer,
+    /root/reference/polario/hive_dataset.py:132). There is no faithful
+    Spark spelling for an empty partition value, so the write must
+    refuse instead of corrupting. The check is a ``when``/``raise_error``
+    projection embedded in the write job itself — it rides the existing
+    scan (no separate validation pass over a 100 TB frame) and surfaces
+    as a failed write with this message.
+    """
+    for c in partition_columns:
+        df = df.withColumn(
+            c,
+            F.when(
+                F.col(c).isNull() | (F.col(c) == ""),
+                F.raise_error(
+                    F.lit(
+                        f"partition column {c!r} contains a NULL or empty "
+                        "value; Spark's partitioned writer would silently "
+                        "rewrite it to __HIVE_DEFAULT_PARTITION__ (reads "
+                        "back as NULL). Filter or fill the column first."
+                    )
+                ),
+            ).otherwise(F.col(c)),
+        )
+    return df
+
+
 def to_relative_location_from(
     possible_prefix: str, base_location: str, location: str
 ) -> str:
@@ -266,6 +298,7 @@ class HiveDataset:
     # writes
     # ------------------------------------------------------------------
     def _writer(self, df: DataFrame, sort_by: Optional[list[str]] = None):
+        df = guard_partition_values(df, self.partition_columns)
         ordered = df.select(*self._data_columns(df), *self.partition_columns)
         if sort_by:
             # cluster rows per hive partition, then order within each task

@@ -4618,6 +4618,13 @@ _PRIORITY = [
     # + the r6 bench anomaly entry: fresh-session re-time + fresh row
     "dedup_embedding_cosine_lsh",
     "dedup_embedding_cosine_lsh_loose",
+    # Round-7 partition-value escaping in hive_dataset path builders:
+    # the three entries that run through HiveDataset need rows for the
+    # changed code (values in the fixtures are alphanumeric, so results
+    # must be byte-identical — the fresh rows prove it).
+    "hive_roundtrip",
+    "incremental_rollup",
+    "compact_roundtrip",
 ]
 @_functools.lru_cache(maxsize=1)
 def _latest_green_rounds() -> "dict[str, int]":

@@ -123,3 +123,21 @@ def test_write_back_partitions_contract(dataset, spark, example_df_1):
         dataset.write(unwrap(dataset.scan()))
     after = comparable_rows(unwrap(dataset.scan()).select("p1", "p2", "v"))
     assert after == before
+
+
+def test_null_and_empty_partition_values_refused(dataset, spark):
+    """Spark's partitioned writer silently rewrites NULL and '' partition
+    values to __HIVE_DEFAULT_PARTITION__ (reads back as NULL). Both
+    backends must refuse such rows loudly inside the write job instead
+    of corrupting them — and a subsequent scan must show nothing was
+    written by the failed job that survives the contract."""
+    bad_empty = spark.createDataFrame([(1, "", "a")], "v long, p1 string, p2 string")
+    bad_null = spark.createDataFrame([(1, None, "a")], "v long, p1 string, p2 string")
+    for bad in (bad_empty, bad_null):
+        with pytest.raises(Exception, match="NULL or empty"):
+            dataset.write(bad)
+        with pytest.raises(Exception, match="NULL or empty"):
+            dataset.append(bad)
+    good = spark.createDataFrame([(1, "x", "a")], "v long, p1 string, p2 string")
+    dataset.write(good)
+    assert unwrap(dataset.scan()).count() == 1
