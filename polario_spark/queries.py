@@ -1274,6 +1274,12 @@ def hive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = HiveDataset(spark, f"{tmp}/docs", ["lang"])
     ds.write(docs)
     back = ds.scan()
+    if back is None:  # zero input rows write zero fragments; scan() is
+        # None by the reference's empty-dataset contract — degrade to an
+        # empty aggregate instead of raising
+        return spark.createDataFrame(
+            [], "lang string, n_docs bigint, total_chars bigint"
+        )
     return (
         back.groupBy("lang")
         .agg(
@@ -4036,10 +4042,14 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds.write(daily.filter(F.col("day") < cutoff))  # historical build
     # hot-tail refresh: dynamic overwrite touches only these partitions
     ds.write(daily.filter(F.col("day") >= cutoff))
-    from polario_spark import unwrap
-
+    scanned = ds.scan()
+    if scanned is None:  # no events at all -> empty rollup, not an error
+        return spark.createDataFrame(
+            [],
+            "day string, event_type string, n_events bigint, sum_value double",
+        )
     return (
-        unwrap(ds.scan())
+        scanned
         .select("day", "event_type", "n_events", "sum_value")
         .orderBy("day", "event_type")
     )
@@ -4625,6 +4635,8 @@ _PRIORITY = [
     "hive_roundtrip",
     "incremental_rollup",
     "compact_roundtrip",
+    # + the empty-input sweep fixes (empty-scan fallbacks / ledger seed)
+    "streaming_foreachbatch_totals",
 ]
 @_functools.lru_cache(maxsize=1)
 def _latest_green_rounds() -> "dict[str, int]":

@@ -300,6 +300,13 @@ def foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polario_spark.workdir import work_dir
 
     out = work_dir(spark, "foreachbatch_totals") + "/partials"
+    # seed the ledger with a zero-row frame of the partials schema: an
+    # empty stream runs zero micro-batches, so without the seed the
+    # read-back below would fail on a nonexistent path instead of
+    # degrading to empty totals
+    spark.createDataFrame(
+        [], "event_type string, n bigint, sv double, batch_id bigint"
+    ).write.mode("append").parquet(out)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (

@@ -1,0 +1,49 @@
+"""Empty-input robustness sweep.
+
+At scale, pipeline stages routinely receive empty inputs — a pruned-out
+partition, a day with no events, a corpus slice where every document was
+filtered upstream. Every registry operator must degrade to an empty (or
+small constant) result, never throw. This sweep materializes a
+schema-identical, zero-row copy of every fixture table and runs the
+whole batch registry over it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from polario_spark import queries as Q
+from polario_spark.sources.tables import TABLES
+
+# Entries whose CONTRACT is about non-empty data: they assert internal
+# invariants (fragment counts dropping, writes happening) that are
+# meaningless on zero rows, or synthesize their own literal input.
+SKIP = {
+    # asserts fragment count strictly drops after compaction — an empty
+    # write produces no fragments to compact
+    "compact_roundtrip",
+    # writes literal fixture data, not table-derived (already covered)
+    "csv_roundtrip",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "upsert_roundtrip",
+    "federated_three_formats",
+}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("empty_sf")
+    src = "/root/testdata/sf0.001"
+    for t in TABLES:
+        schema = spark.read.parquet(f"{src}/{t}.parquet").schema
+        spark.createDataFrame([], schema).coalesce(1).write.parquet(
+            str(root / f"{t}.parquet")
+        )
+    return str(root)
+
+
+@pytest.mark.parametrize("name", [n for n in sorted(Q.REGISTRY) if n not in SKIP])
+def test_registry_entry_tolerates_empty_tables(spark, empty_sf_dir, name):
+    rows = Q.REGISTRY[name].spark(spark, empty_sf_dir).collect()
+    assert isinstance(rows, list)
