@@ -278,11 +278,29 @@ SELECT id_a, id_b, jaccard FROM (
 COSINE_TILE = 1024
 
 
+def well_formed_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Drop rows whose vector is NULL or not exactly ``dim`` long.
+
+    Real corpora carry corrupt rows (truncated arrays, nulls from failed
+    embedding jobs). The GEMM paths ``np.stack`` a group's vectors into
+    one matrix — ONE ragged row in a 100 TB corpus would kill the whole
+    job with 'all input arrays must have the same shape', and the LSH
+    signature expressions index vector elements directly (out-of-bounds
+    on short arrays). A malformed vector cannot participate in any
+    similarity comparison anyway, so the operators exclude them with
+    this codegen filter at the scan (pushdown-friendly, no Python).
+    """
+    return df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
+
+
 def cosine_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.5,
+    dim: int = 64,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for
     all pairs with round(cosine, 4) >= threshold.
@@ -307,6 +325,7 @@ def cosine_pairs(
     with LSH bucketing (random-hyperplane, see ivf_topk's cell
     assignment) and run this verify within buckets.
     """
+    corpus = well_formed_vectors(corpus, vec_col, dim)
     tile = F.floor(F.col("__id") / COSINE_TILE).alias("__tile")
     base = (
         ensure_parallelism(corpus)
@@ -469,7 +488,7 @@ def cosine_pairs_bucketed(
     and buckets are small by construction (that is what bits-per-band
     buys), so the duplicate work is bounded by L tiny GEMMs.
     """
-    corpus = ensure_parallelism(corpus)
+    corpus = ensure_parallelism(well_formed_vectors(corpus, vec_col, dim))
     sig_structs = ", ".join(
         f"named_struct('band', {band}, 'sig', {sig})"
         for band, sig in enumerate(_lsh_band_sigs("__v", dim, "spark"))
@@ -560,7 +579,9 @@ def cosine_pairs_bucketed_sql(
     """DuckDB twin of cosine_pairs_bucketed: identical hyperplanes and
     banding, so the candidate sets — not just the verified pairs — agree."""
     band_sql = "\n  UNION ALL\n".join(
-        f"  SELECT {id_col} AS id, {vec_col} AS __v, {band} AS band, {sig} AS sig FROM {table}"
+        f"  SELECT {id_col} AS id, {vec_col} AS __v, {band} AS band, "
+        f"{sig} AS sig FROM {table} "
+        f"WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim}"
         for band, sig in enumerate(_lsh_band_sigs(vec_col, dim, "duckdb"))
     )
     sim = VEC.cosine("a.__v", "b.__v", "duckdb")
@@ -580,11 +601,12 @@ SELECT id_a, id_b, sim FROM cand WHERE sim >= {threshold}
 
 def cosine_pairs_sql(
     table: str, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.5,
+    threshold: float = 0.5, dim: int = 64,
 ) -> str:
     sim = VEC.cosine("a.__v", "b.__v", "duckdb")
     return f"""
-WITH e AS (SELECT {id_col} AS id, {vec_col} AS __v FROM {table})
+WITH e AS (SELECT {id_col} AS id, {vec_col} AS __v FROM {table}
+           WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim})
 SELECT id_a, id_b, sim FROM (
   SELECT a.id AS id_a, b.id AS id_b, round({sim}, 4) AS sim
   FROM e a JOIN e b ON a.id < b.id
@@ -875,6 +897,7 @@ def semdedup_dropped(
     vec_col: str = "embedding",
     eps: float = SEMDEDUP_EPS,
     centroids: Optional[DataFrame] = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Semantic deduplication a la SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then find
@@ -912,6 +935,10 @@ def semdedup_dropped(
     (cell, block-pair) blocks partition the pair space, so each pair is
     scored exactly once.
     """
+    # malformed vectors (null / wrong length) would kill the block GEMM's
+    # np.stack — exclude them before assignment so neither the centroid
+    # stride subset nor any block can contain one
+    corpus = well_formed_vectors(corpus, vec_col, dim)
     assigned = assign_cells(corpus, id_col, vec_col, centroids)
     base = (
         assigned.select(
@@ -998,12 +1025,14 @@ def semdedup_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     eps: float = SEMDEDUP_EPS,
+    dim: int = 64,
 ) -> str:
     """DuckDB twin of semdedup_dropped: identical stride centroids,
     identical (cosine DESC, cid ASC) assignment tie-break as ivf_topk_sql,
     pair scoring replayed as a within-cell self-join."""
     return f"""
-WITH e AS (SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS __v FROM {table}),
+WITH e AS (SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS __v FROM {table}
+           WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim}),
 cent AS (SELECT id AS cid, __v AS __cent FROM e WHERE id % {IVF_CENTROID_STRIDE} = 0),
 assigned AS (
   SELECT id, __v, cid AS cell FROM (

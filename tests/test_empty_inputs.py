@@ -47,3 +47,51 @@ def empty_sf_dir(spark, tmp_path_factory):
 def test_registry_entry_tolerates_empty_tables(spark, empty_sf_dir, name):
     rows = Q.REGISTRY[name].spark(spark, empty_sf_dir).collect()
     assert isinstance(rows, list)
+
+
+def test_corrupt_embedding_rows_are_excluded_not_fatal(spark, tmp_path):
+    """A NULL, empty, or wrong-length embedding row — routine in real
+    corpora (failed embedding jobs, truncated writes) — must be excluded
+    by the similarity operators, never crash them: the GEMM paths
+    np.stack a group into one matrix (one ragged row kills the job) and
+    the LSH signatures index elements directly (out-of-bounds on short
+    arrays). Clean-corpus results must be bit-identical with the corrupt
+    rows present."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_corrupt"
+    d.mkdir()
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    bad = spark.createDataFrame(
+        [(99901, None), (99902, []), (99903, [0.5, 0.25])],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    for c, dtype in emb.dtypes:
+        if c not in ("vec_id", "embedding"):
+            bad = bad.withColumn(c, F.lit(None).cast(dtype))
+    emb.unionByName(bad.select(emb.columns)).write.parquet(
+        str(d / "embeddings.parquet")
+    )
+    for name in [
+        "dedup_embedding_cosine",
+        "dedup_embedding_cosine_lsh",
+        "dedup_embedding_cosine_lsh_loose",
+        "semantic_dedup",
+    ]:
+        clean = sorted(map(tuple, Q.REGISTRY[name].spark(spark, src).collect()))
+        dirty = sorted(
+            map(tuple, Q.REGISTRY[name].spark(spark, str(d)).collect())
+        )
+        assert clean == dirty, name
