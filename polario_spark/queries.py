@@ -4636,7 +4636,14 @@ _PRIORITY = [
     "incremental_rollup",
     "compact_roundtrip",
     # + the empty-input sweep fixes (empty-scan fallbacks / ledger seed)
+    # + the directory-layout branch in _event_stream (all its consumers)
     "streaming_foreachbatch_totals",
+    "streaming_events_hourly",
+    "streaming_sliding_counts",
+    "streaming_stateful_sessions",
+    "streaming_dedup_counts",
+    "streaming_click_attribution",
+    "streaming_static_enrich",
 ]
 @_functools.lru_cache(maxsize=1)
 def _latest_green_rounds() -> "dict[str, int]":

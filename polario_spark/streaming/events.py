@@ -41,11 +41,11 @@ def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     # file streaming source needs an explicit schema; take it from a batch
     # read of the same file (ts arrives as ns-since-epoch bigint, see
     # polario_spark.sources.tables)
-    # the file streaming source requires a directory; point it at sf_dir
-    # with a glob filter selecting only the events file
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # withWatermark requires TIMESTAMP; if the batch read inferred
@@ -60,11 +60,22 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in schema.fields
         ]
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # the file streaming source wants a directory. A Spark-written table
+    # IS a directory named events.parquet — stream it directly; the
+    # driver's testdata is a single flat file, which the source only
+    # accepts via a glob filter over its parent. Before this branch the
+    # glob path silently matched ZERO files for the directory layout
+    # (pathGlobFilter filters leaf files, and none is named
+    # events.parquet), so every streaming entry read an empty stream on
+    # any Spark-written dataset.
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream

@@ -107,6 +107,35 @@ def test_watermark_admits_rows_inside_allowed_lateness(spark, tmp_path):
     assert emitted == [(10, 2)]
 
 
+def test_stream_reads_directory_layout_tables(spark, tmp_path):
+    """A Spark-written table is a DIRECTORY named events.parquet; the
+    stream source must read it identically to the driver fixture's flat
+    single-file layout. (The glob-filter path silently matched zero
+    files for directories — every streaming entry read an empty stream
+    on any Spark-written dataset.)"""
+    import os
+
+    from polario_spark import queries as Q
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_dirlayout"
+    d.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        os.symlink(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    spark.read.parquet(f"{src}/events.parquet").write.parquet(
+        str(d / "events.parquet")
+    )
+    flat = sorted(
+        map(tuple, Q.REGISTRY["streaming_events_hourly"].spark(spark, src).collect())
+    )
+    assert flat, "flat-layout baseline must be non-empty"
+    as_dir = sorted(
+        map(tuple, Q.REGISTRY["streaming_events_hourly"].spark(spark, str(d)).collect())
+    )
+    assert as_dir == flat
+
+
 def test_restart_recovers_window_state_from_checkpoint(spark, tmp_path):
     """Open window state must survive a stop/restart through the
     checkpoint: batch 1 leaves hour-13 open with one row; after a full
