@@ -300,7 +300,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.5,
-    dim: int = 64,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for
     all pairs with round(cosine, 4) >= threshold.
@@ -325,7 +325,10 @@ def cosine_pairs(
     with LSH bucketing (random-hyperplane, see ivf_topk's cell
     assignment) and run this verify within buckets.
     """
-    corpus = well_formed_vectors(corpus, vec_col, dim)
+    # dim is opt-in here (the GEMM itself is dim-agnostic); pass the
+    # corpus dimensionality to shed malformed rows — see well_formed_vectors
+    if dim is not None:
+        corpus = well_formed_vectors(corpus, vec_col, dim)
     tile = F.floor(F.col("__id") / COSINE_TILE).alias("__tile")
     base = (
         ensure_parallelism(corpus)
@@ -897,7 +900,7 @@ def semdedup_dropped(
     vec_col: str = "embedding",
     eps: float = SEMDEDUP_EPS,
     centroids: Optional[DataFrame] = None,
-    dim: int = 64,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Semantic deduplication a la SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then find
@@ -936,9 +939,11 @@ def semdedup_dropped(
     scored exactly once.
     """
     # malformed vectors (null / wrong length) would kill the block GEMM's
-    # np.stack — exclude them before assignment so neither the centroid
-    # stride subset nor any block can contain one
-    corpus = well_formed_vectors(corpus, vec_col, dim)
+    # np.stack — pass dim to exclude them before assignment so neither
+    # the centroid stride subset nor any block can contain one (opt-in:
+    # the blocks themselves are dim-agnostic)
+    if dim is not None:
+        corpus = well_formed_vectors(corpus, vec_col, dim)
     assigned = assign_cells(corpus, id_col, vec_col, centroids)
     base = (
         assigned.select(

@@ -1958,9 +1958,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact baseline for semantic
     dedup): all pairs with cosine >= 0.45."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, "vec_id", "embedding", 0.45).orderBy(
-        "id_a", "id_b"
-    )
+    return similarity.cosine_pairs(
+        emb, "vec_id", "embedding", 0.45, dim=64
+    ).orderBy("id_a", "id_b")
 
 
 @_register(
@@ -2015,7 +2015,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster quality) — real pipelines run the latter when embeddings
     already exist for other reasons."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.semdedup_dropped(emb).orderBy("vec_id")
+    return similarity.semdedup_dropped(emb, dim=64).orderBy("vec_id")
 
 
 @_register(
