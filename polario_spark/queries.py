@@ -3478,6 +3478,9 @@ def udtf_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             import re
             from collections import Counter
 
+            if not text:  # null/empty documents yield no tokens — the
+                # same zero rows the oracle's unnest(NULL) produces
+                return
             toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
             for tok, cnt in Counter(toks).items():
                 if cnt >= 3:
@@ -4644,6 +4647,8 @@ _PRIORITY = [
     "streaming_dedup_counts",
     "streaming_click_attribution",
     "streaming_static_enrich",
+    # + the UDTF null-text guard
+    "udtf_repeated_tokens",
 ]
 @_functools.lru_cache(maxsize=1)
 def _latest_green_rounds() -> "dict[str, int]":

@@ -95,3 +95,39 @@ def test_corrupt_embedding_rows_are_excluded_not_fatal(spark, tmp_path):
             map(tuple, Q.REGISTRY[name].spark(spark, str(d)).collect())
         )
         assert clean == dirty, name
+
+
+def test_all_null_document_row_is_not_fatal(spark, tmp_path):
+    """An all-null document row (failed extraction upstream) must not
+    crash any text-pipeline entry. The Python UDTF is pinned exactly:
+    a null text yields zero expanded rows — the same as the oracle's
+    unnest(NULL) — so its result must be bit-identical to the clean
+    corpus."""
+    import os
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_nulldoc"
+    d.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    bad = spark.createDataFrame([tuple(None for _ in docs.columns)], docs.schema)
+    docs.unionByName(bad).write.parquet(str(d / "documents.parquet"))
+    for name in [
+        "udtf_repeated_tokens",
+        "dedup_minhash",
+        "exact_substring_dup",
+        "decontamination_overlap_8gram",
+        "tfidf_top_terms",
+        "token_budget_packing",
+    ]:
+        rows = Q.REGISTRY[name].spark(spark, str(d)).collect()
+        assert isinstance(rows, list), name
+    clean = sorted(
+        map(tuple, Q.REGISTRY["udtf_repeated_tokens"].spark(spark, src).collect())
+    )
+    dirty = sorted(
+        map(tuple, Q.REGISTRY["udtf_repeated_tokens"].spark(spark, str(d)).collect())
+    )
+    assert clean == dirty
