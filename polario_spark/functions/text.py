@@ -32,11 +32,34 @@ def hash_coefficients(k: int) -> list[tuple[int, int]]:
     return [(next(gen) % (HASH_P - 1) + 1, next(gen) % HASH_P) for _ in range(k)]
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def tokens(col: str, dialect: str) -> str:
-    """Non-empty lowercase alphanumeric tokens of a text column."""
+    """Non-empty lowercase alphanumeric tokens of a text column.
+
+    Lowercasing is ASCII-only via ``translate`` — engine-independent by
+    construction. ``lower()`` is NOT: Java applies Unicode FULL case
+    mapping (lower('İ') = 'i' + combining dot U+0307, which then splits
+    the token) while DuckDB applies simple folding (lower('İ') = 'i'),
+    so a corpus containing U+0130 would hash-diverge every tokenizing
+    entry between the Spark plan and its oracle. With the ASCII
+    translate, non-ASCII letters are separators in BOTH engines and
+    token bytes are engine-independent for ALL inputs, not just the
+    ASCII fixtures. (translate is codegen in Spark — no per-token
+    lambda added.)
+    """
+    lowered = ascii_lower(col)
     if dialect == "spark":
-        return f"filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
-    return f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+        return f"filter(split({lowered}, '[^a-z0-9]+'), x -> x != '')"
+    return f"list_filter(regexp_split_to_array({lowered}, '[^a-z0-9]+'), x -> x != '')"
+
+
+def ascii_lower(col: str) -> str:
+    """ASCII-only lowercase, identical SQL in both dialects (see tokens()
+    for why engine lower() cannot be used where hashes must agree)."""
+    return f"translate({col}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
 
 
 def distinct_tokens(col: str, dialect: str) -> str:

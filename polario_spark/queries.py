@@ -2841,8 +2841,8 @@ BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     f"""
 SELECT source,
        count(*) AS n_docs,
-       sum(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')))::BIGINT AS total_tokens,
-       round(avg(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))), 4) AS avg_tokens
+       sum(len(regexp_extract_all({TXT.ascii_lower('text')}, '{BPE_PATTERN}')))::BIGINT AS total_tokens,
+       round(avg(len(regexp_extract_all({TXT.ascii_lower('text')}, '{BPE_PATTERN}'))), 4) AS avg_tokens
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -2854,7 +2854,9 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts in corpus budgeting. Pure regexp_extract_all, JVM-side."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "n_tokens",
-        F.expr(f"size(regexp_extract_all(lower(text), '{BPE_PATTERN}', 0))"),
+        F.expr(
+            f"size(regexp_extract_all({TXT.ascii_lower('text')}, '{BPE_PATTERN}', 0))"
+        ),
     )
     return (
         docs.groupBy("source")
@@ -3481,7 +3483,13 @@ def udtf_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not text:  # null/empty documents yield no tokens — the
                 # same zero rows the oracle's unnest(NULL) produces
                 return
-            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+            # split FIRST on the ASCII class, then lower the pure-ASCII
+            # tokens: equivalent to functions.text.tokens' ascii_lower
+            # construction, and unlike text.lower() it cannot diverge
+            # from the oracle on full-case-mapping chars (U+0130)
+            toks = [
+                t.lower() for t in re.split(r"[^a-zA-Z0-9]+", text) if t
+            ]
             for tok, cnt in Counter(toks).items():
                 if cnt >= 3:
                     yield doc_id, tok, cnt
@@ -4649,6 +4657,31 @@ _PRIORITY = [
     "streaming_static_enrich",
     # + the UDTF null-text guard
     "udtf_repeated_tokens",
+    # + every consumer of the engine-independent tokenizer rewrite
+    # (ascii_lower/translate replaced lower() in tokens(), the BPE
+    # pattern, and the UDTF; bit-identical on the ASCII fixtures —
+    # local gate green — but the expressions changed, so fresh rows)
+    "token_budget_packing",
+    "top_bigrams_per_lang",
+    "stratified_sample_split",
+    "text_quality",
+    "repetition_signals",
+    "dedup_keep_best",
+    "chunk_documents",
+    "dedup_rolling_windows",
+    "quality_filter_funnel",
+    "dedup_clusters",
+    "dedup_fingerprint",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "lang_id_confusion",
+    "token_stats",
+    "tfidf_top_terms",
+    "decontamination_overlap",
+    "decontamination_overlap_8gram",
+    "exact_substring_dup",
+    "bpe_token_stats",
 ]
 @_functools.lru_cache(maxsize=1)
 def _latest_green_rounds() -> "dict[str, int]":
