@@ -4087,7 +4087,11 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB answer to logs with open schemas (vs from_json, which
     needs the schema up front, see events_json_stats)."""
     ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type",
+        # try_parse_json, not parse_json: one malformed props row in a
+        # 100 TB log stream must become a NULL variant (excluded from
+        # the typed aggregates below), not abort the whole job
+        F.try_parse_json("props").alias("v"),
     )
     k = F.try_variant_get("v", "$.k", "int")
     return (
@@ -4682,6 +4686,8 @@ _PRIORITY = [
     "decontamination_overlap_8gram",
     "exact_substring_dup",
     "bpe_token_stats",
+    # + the try_parse_json robustness change
+    "events_variant_extract",
 ]
 @_functools.lru_cache(maxsize=1)
 def _latest_green_rounds() -> "dict[str, int]":

@@ -131,3 +131,38 @@ def test_all_null_document_row_is_not_fatal(spark, tmp_path):
         map(tuple, Q.REGISTRY["udtf_repeated_tokens"].spark(spark, str(d)).collect())
     )
     assert clean == dirty
+
+
+def test_malformed_json_props_are_not_fatal(spark, tmp_path):
+    """One malformed props row in an event log must not abort the
+    variant/json entries — try_parse_json nulls it and the typed
+    aggregates exclude it, leaving clean-row results unchanged."""
+    import os
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_badjson"
+    d.mkdir()
+    for t in TABLES:
+        if t != "events":
+            os.symlink(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    row = ev.limit(1).collect()[0].asDict()
+    bad_rows = []
+    for i, props in enumerate(["{not json", "", "[1,2", '{"k": }']):
+        r = dict(row)
+        r["event_id"] = 900000 + i
+        r["props"] = props
+        bad_rows.append(tuple(r[c] for c in ev.columns))
+    ev.unionByName(spark.createDataFrame(bad_rows, ev.schema)).write.parquet(
+        str(d / "events.parquet")
+    )
+    for name in ["events_variant_extract", "events_json_stats", "events_props_map"]:
+        rows = Q.REGISTRY[name].spark(spark, str(d)).collect()
+        assert isinstance(rows, list), name
+    # the malformed rows carry no valid $.k, so the variant aggregate
+    # must match the clean corpus except the bad rows' count column
+    clean = {r.event_type: r.sum_k for r in
+             Q.REGISTRY["events_variant_extract"].spark(spark, src).collect()}
+    dirty = {r.event_type: r.sum_k for r in
+             Q.REGISTRY["events_variant_extract"].spark(spark, str(d)).collect()}
+    assert clean == dirty
