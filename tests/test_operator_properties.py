@@ -158,3 +158,66 @@ def test_repetition_and_chunk_exprs_match_python_reference(spark, docs):
                 len(toks[k * S : k * S + C]) for k in range(n_chunks)
             ]
             assert sorted(chunks[i]) == sorted(expect), text
+
+
+def test_tokenizer_parity_spark_vs_duckdb_on_unicode():
+    """The tokens()/ascii_lower() builders must produce byte-identical
+    token arrays in Spark and DuckDB for ALL inputs — including the
+    Unicode shapes where the engines' lower() implementations disagree
+    (U+0130 full case mapping, Kelvin sign, combining marks, fullwidth
+    forms, emoji/surrogates, NBSP). This is the contract that keeps
+    every tokenizing entry hash-green on non-ASCII corpora."""
+    import duckdb
+
+    from polario_spark.functions import text as TXT
+
+    nasty = [
+        "İstanbul İİ dotted",       # U+0130: full vs simple case mapping
+        "Kelvin K sign",            # U+212A lowercases to ASCII k
+        "ÅNGSTRÖM café naïve",      # Latin-1 uppercase/accents
+        "STRASSE ß sharp",          # sharp s
+        "ﬁ ﬂ ligatures",            # compatibility ligatures
+        "Ｆｕｌｌｗｉｄｔｈ０９",     # fullwidth letters and digits
+        "a\xa0b nbsp",              # non-breaking space separator
+        "é combining acute",  # combining mark splits
+        "emoji 🎉 party 🚀x",        # non-BMP / surrogate pairs
+        "zero​width join",     # zero-width space
+        "日本語 mixed ascii",        # CJK
+        "ΣΙΓΜΑΣ greek",             # final-sigma case rules
+        "",                          # empty
+        "   ",                       # separators only
+    ]
+    sdf = [
+        list(r[0])
+        for r in spark_tokens(nasty)
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i in range(len(nasty)))
+        + ") v(i, text)",
+        params=list(nasty),
+    )
+    ddf = [
+        list(r[0])
+        for r in con.sql(
+            f"SELECT {TXT.tokens('text', 'duckdb')} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert sdf == ddf, list(zip(nasty, sdf, ddf))
+
+
+def spark_tokens(texts):
+    from pyspark.sql import functions as F
+
+    from polario_spark.functions import text as TXT
+    from polario_spark.session import get_spark
+
+    spark = get_spark("tokenizer_parity_tests")
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, text string")
+    return (
+        df.select("i", F.expr(TXT.tokens("text", "spark")).alias("toks"))
+        .orderBy("i")
+        .select("toks")
+        .collect()
+    )
