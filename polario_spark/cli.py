@@ -33,8 +33,16 @@ def concat_csv(paths: list[Path]) -> int:
     named after the first input (/root/reference/polario/main.py:50-62)."""
     spark = _get_spark()
     # header=true, no inferSchema -> every column is a string, matching the
-    # reference's infer_schema_length=0
-    df = spark.read.option("header", "true").csv([str(p.absolute()) for p in paths])
+    # reference's infer_schema_length=0. multiLine + doubled-quote escape
+    # give RFC 4180 parsing — the reference's Polars reader handles quoted
+    # embedded newlines and "" escapes; Spark's defaults (multiLine=false,
+    # backslash escape) silently split such rows into garbage
+    df = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv([str(p.absolute()) for p in paths])
+    )
     df.show()
     output = Path(paths[0].stem + ".parquet").absolute()
     if output.exists():
@@ -85,7 +93,11 @@ def main(argv: list[str] | None = None) -> int:
             if output.exists():
                 print(f"Output file {output} already exists")
                 continue
-            df.coalesce(1).write.option("header", "true").csv(str(output) + ".dir")
+            # escape='"' writes RFC 4180 doubled quotes (the reference's
+            # Polars write_csv format) instead of Spark's backslash default
+            df.coalesce(1).write.option("header", "true").option(
+                "escape", '"'
+            ).csv(str(output) + ".dir")
             part = next(Path(str(output) + ".dir").glob("*.csv"))
             part.rename(output)
             for leftover in Path(str(output) + ".dir").iterdir():

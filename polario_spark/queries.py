@@ -2228,8 +2228,17 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("string")
     )
     tmp = work_dir(spark, "csv_roundtrip")
-    orders.write.mode("overwrite").option("header", "true").csv(f"{tmp}/orders")
-    back = spark.read.option("header", "true").csv(f"{tmp}/orders")
+    # RFC 4180 options on both sides (doubled-quote escape, multiLine
+    # read) — the reference CLI's Polars CSV format; see cli.concat_csv
+    orders.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(f"{tmp}/orders")
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(f"{tmp}/orders")
+    )
     return (
         back.groupBy("o_orderstatus")
         .agg(
@@ -4688,6 +4697,8 @@ _PRIORITY = [
     "bpe_token_stats",
     # + the try_parse_json robustness change
     "events_variant_extract",
+    # + the RFC 4180 CSV options
+    "csv_roundtrip",
 ]
 @_functools.lru_cache(maxsize=1)
 def _latest_green_rounds() -> "dict[str, int]":

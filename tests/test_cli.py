@@ -64,3 +64,32 @@ def test_concat_csv(tmp_path, monkeypatch, capsys):
     assert (tmp_path / "x1.parquet").is_file()
     with pytest.raises(ValueError, match="already exists"):
         cli.main(["concat_csv", "x1.csv", "x2.csv"])
+
+
+def test_concat_csv_rfc4180_quoted_newlines(spark, tmp_path, monkeypatch):
+    """The reference's Polars CSV reader parses RFC 4180: quoted fields
+    may contain newlines and doubled quotes. Spark's defaults
+    (multiLine=false, backslash escape) silently split such rows into
+    garbage — the CLI must read them intact."""
+    src = tmp_path / "rfc.csv"
+    src.write_text('a,b\n"line1\nline2","he said ""hi"""\nplain,row\n')
+    monkeypatch.chdir(tmp_path)
+    assert cli.main(["concat_csv", str(src)]) == 0
+    back = spark.read.parquet(str(tmp_path / "rfc.parquet"))
+    rows = sorted(map(tuple, back.collect()))
+    assert rows == [("line1\nline2", 'he said "hi"'), ("plain", "row")]
+    # and write_csv must emit the same RFC format (doubled quotes), so a
+    # full circle through the CLI is lossless. Run it from a second
+    # directory — its output name (rfc.csv) would otherwise collide with
+    # the source and be skipped.
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    monkeypatch.chdir(outdir)
+    assert cli.main(["write_csv", str(tmp_path / "rfc.parquet")]) == 0
+    again = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(str(outdir / "rfc.csv"))
+    )
+    assert sorted(map(tuple, again.collect())) == rows
