@@ -32,6 +32,24 @@ def concat_csv(paths: list[Path]) -> int:
     """Concatenate schema-less CSVs (all columns string) into one parquet
     named after the first input (/root/reference/polario/main.py:50-62)."""
     spark = _get_spark()
+    # the reference's pl.concat raises when file schemas differ; Spark's
+    # multi-path CSV read would instead take the FIRST file's header and
+    # silently misalign every other file's rows positionally — check the
+    # headers up front and refuse on mismatch
+    import csv as _csv
+
+    def _header(p: Path) -> list[str]:
+        with open(p, newline="") as fh:
+            return next(_csv.reader(fh), [])
+
+    first_header = _header(paths[0])
+    for p in paths[1:]:
+        other = _header(p)
+        if other != first_header:
+            raise ValueError(
+                f"CSV headers do not match: {paths[0].name} has "
+                f"{first_header}, {p.name} has {other}"
+            )
     # header=true, no inferSchema -> every column is a string, matching the
     # reference's infer_schema_length=0. multiLine + doubled-quote escape
     # give RFC 4180 parsing — the reference's Polars reader handles quoted

@@ -93,3 +93,20 @@ def test_concat_csv_rfc4180_quoted_newlines(spark, tmp_path, monkeypatch):
         .csv(str(outdir / "rfc.csv"))
     )
     assert sorted(map(tuple, again.collect())) == rows
+
+
+def test_concat_csv_refuses_mismatched_headers(tmp_path, monkeypatch):
+    """The reference's pl.concat raises when input schemas differ; the
+    Spark multi-path read would silently misalign the second file's rows
+    under the first file's header — the CLI must refuse instead."""
+    f1 = tmp_path / "f1.csv"
+    f2 = tmp_path / "f2.csv"
+    f1.write_text("a,b\n1,2\n")
+    f2.write_text("b,c\n3,4\n")
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError, match="headers do not match"):
+        cli.main(["concat_csv", str(f1), str(f2)])
+    # matching headers still concatenate
+    f3 = tmp_path / "f3.csv"
+    f3.write_text("a,b\n5,6\n")
+    assert cli.main(["concat_csv", str(f1), str(f3)]) == 0
