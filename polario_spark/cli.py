@@ -28,6 +28,20 @@ def _get_spark():
     return get_spark("polario_spark_cli")
 
 
+def _json_rows(df):
+    """One JSON string per row with nulls kept as explicit ``null`` —
+    the reference emits ``to_dicts()`` rows, which carry every column;
+    Spark's ``toJSON`` silently OMITS null fields, so a null-bearing row
+    would lose keys relative to the reference's jsonl/json_head output."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.to_json(
+            F.struct(*df.columns), {"ignoreNullFields": "false"}
+        ).alias("__j")
+    )
+
+
 def concat_csv(paths: list[Path]) -> int:
     """Concatenate schema-less CSVs (all columns string) into one parquet
     named after the first input (/root/reference/polario/main.py:50-62)."""
@@ -100,11 +114,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "schema":
             df.printSchema()
         elif args.cmd == "json_head":
-            rows = [json.loads(r) for r in df.limit(5).toJSON().collect()]
+            rows = [
+                json.loads(r["__j"]) for r in _json_rows(df.limit(5)).collect()
+            ]
             json.dump(rows, sys.stdout, indent=2)
         elif args.cmd == "jsonl":
-            for row in df.toJSON().toLocalIterator():
-                sys.stdout.write(row)
+            for row in _json_rows(df).toLocalIterator():
+                sys.stdout.write(row["__j"])
                 sys.stdout.write("\n")
         elif args.cmd == "write_csv":
             output = Path(path.name).with_suffix(".csv").absolute()

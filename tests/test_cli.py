@@ -110,3 +110,20 @@ def test_concat_csv_refuses_mismatched_headers(tmp_path, monkeypatch):
     f3 = tmp_path / "f3.csv"
     f3.write_text("a,b\n5,6\n")
     assert cli.main(["concat_csv", str(f1), str(f3)]) == 0
+
+
+def test_json_verbs_keep_null_fields(spark, tmp_path, capsys):
+    """The reference emits to_dicts() rows — every column present, nulls
+    explicit. Spark's toJSON omits null fields, which would drop keys
+    from jsonl/json_head output; the CLI must keep them."""
+    df = spark.createDataFrame([(1, None), (2, "b")], "id long, name string")
+    out = tmp_path / "nulls"
+    df.coalesce(1).write.parquet(str(out))
+    pq = next(out.glob("*.parquet"))
+    assert cli.main(["jsonl", str(pq)]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert all(set(l) == {"id", "name"} for l in lines)
+    assert {l["id"]: l["name"] for l in lines} == {1: None, 2: "b"}
+    assert cli.main(["json_head", str(pq)]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert all(set(r) == {"id", "name"} for r in rows)
