@@ -120,7 +120,12 @@ def main(argv: list[str] | None = None) -> int:
             json.dump(rows, sys.stdout, indent=2)
         elif args.cmd == "jsonl":
             for row in _json_rows(df).toLocalIterator():
-                sys.stdout.write(row["__j"])
+                # re-serialize through json.dump for byte parity with the
+                # reference (compact separators AND \uXXXX-escaped
+                # non-ASCII — Spark's to_json emits raw UTF-8)
+                json.dump(
+                    json.loads(row["__j"]), sys.stdout, separators=(",", ":")
+                )
                 sys.stdout.write("\n")
         elif args.cmd == "write_csv":
             output = Path(path.name).with_suffix(".csv").absolute()
