@@ -102,10 +102,21 @@ def filter_flag_exprs(
     - ``pass_word_len``: mean token length in [3, 10] chars.
 
     Pass ``toks_col``/``dtoks_col`` (names of BOUND array columns) on the
-    hot path: the top-freq flag nests the token array inside a transform
-    lambda, and an inlined tokenizer there is re-evaluated per distinct
-    token — quadratic in document length (same trap repetition_frame
-    documents). The default inlined form remains for one-shot use.
+    hot path so the tokenizer runs once per document, not once per flag.
+
+    The Spark top-freq flag is a sorted-run scan — sort the token array,
+    then one ``aggregate`` pass tracking the longest run of equal adjacent
+    tokens — O(n log n) per document. (Until round 8 it was
+    ``array_max(transform(dtoks, t -> size(filter(toks, ...))))``:
+    O(|distinct| x |tokens|) per document, the costliest interpreted HOF
+    in the registry; quadratic blows up exactly on the long spammy
+    documents this flag exists to catch.) The DuckDB oracle keeps the
+    transform/filter form — at oracle scale the quadratic is irrelevant
+    and the two shapes are provably the same statistic; ``nullif(.., 0)``
+    pins the Spark side to the same NULL-on-empty-array result
+    (``aggregate`` over an empty array returns the init value 0, while
+    ``array_max([])``/``list_max([])`` are NULL — a zero-token doc must
+    not flip to "pass").
     """
     toks = toks_col or TXT.tokens(text_col, dialect)
     dtoks = dtoks_col or TXT.distinct_tokens(text_col, dialect)
@@ -113,8 +124,14 @@ def filter_flag_exprs(
     n_distinct = TXT.array_size(dtoks, dialect)
     if dialect == "spark":
         top_freq = (
-            f"array_max(transform({dtoks}, "
-            f"t -> size(filter({toks}, x -> x = t))))"
+            f"nullif(aggregate(array_sort({toks}), "
+            f"named_struct('prev', cast(null as string), 'run', 0, 'best', 0), "
+            f"(acc, x) -> if(acc.prev is not null and x = acc.prev, "
+            f"named_struct('prev', x, 'run', acc.run + 1, "
+            f"'best', greatest(acc.best, acc.run + 1)), "
+            f"named_struct('prev', x, 'run', 1, "
+            f"'best', greatest(acc.best, 1))), "
+            f"acc -> acc.best), 0)"
         )
         n_chars = f"length(replace({TXT.array_join(toks, ' ', 'spark')}, ' ', ''))"
     else:

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from polario_spark.functions import text
 from polario_spark.operators import dedup, multimodal, similarity, text_analysis
 
 
@@ -147,6 +148,35 @@ def test_quality_filter_flags(spark):
     assert all(
         getattr(rows[3], n) == 1 for n in flags
     )
+
+
+def test_top_freq_sorted_run_matches_quadratic(spark):
+    """The round-8 sorted-run top-freq rewrite must be extensionally equal
+    to the O(|distinct| x |tokens|) transform/filter form it replaced (the
+    form the DuckDB oracle still uses), including NULL on a zero-token
+    document — ``aggregate`` over an empty array returns its init value 0
+    where ``array_max([])`` is NULL, and a NULL flag must stay NULL so an
+    empty doc never counts as passing."""
+    import random
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randrange(0, 60)))) for i in range(200)]
+    docs += [(1000, ""), (1001, "   .,;")]  # tokenize to empty arrays
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    new = text_analysis.filter_flag_exprs("text", "spark")["pass_top_freq"]
+    toks = text.tokens("text", "spark")
+    dtoks = text.distinct_tokens("text", "spark")
+    old = (
+        f"cast((array_max(transform({dtoks}, t -> size(filter({toks}, x -> x = t)))))"
+        f" * 5 <= size({toks}) as int)"
+    )
+    bad = df.selectExpr(
+        "doc_id", f"{new} as new_flag", f"{old} as old_flag"
+    ).filter("new_flag is distinct from old_flag")
+    assert bad.count() == 0
+    empties = df.filter("doc_id >= 1000").selectExpr(f"{new} as f").collect()
+    assert all(r.f is None for r in empties)
 
 
 def test_zorder_tightens_file_ranges(spark, tmp_path):
