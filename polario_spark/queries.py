@@ -2518,12 +2518,26 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join needs NO shuffle exchange — each bucket pairs 1:1. At 100 TB
     this is the standard way to amortize one write-time shuffle across
     every future join/agg on the bucket key; the test asserts the final
-    plan is exchange-free on the join path."""
+    plan is exchange-free on the join path.
+
+    Metastore hygiene: the uuid-named database can't be dropped before
+    the caller collects the returned frame (the plan reads its tables),
+    so cleanup is two-layered — an atexit drop for databases this process
+    created (best-effort; the session may already be stopped), plus an
+    entry-time sweep of any ``bjoin_*`` database some earlier process
+    left behind. A long-lived shared metastore therefore never
+    accumulates more than the live session's registrations."""
     import uuid as _uuid
 
+    for old in spark.sql("SHOW DATABASES LIKE 'bjoin_*'").collect():
+        name = old[0]
+        if name not in _BJOIN_LIVE_DBS:
+            spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
     db = f"bjoin_{_uuid.uuid4().hex[:8]}"
     loc = work_dir(spark, "bucketed_join")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    _BJOIN_LIVE_DBS.add(db)
+    _register_bjoin_atexit_drop(spark)
     try:
         li = _t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice"
@@ -2550,7 +2564,34 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     except Exception:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        _BJOIN_LIVE_DBS.discard(db)
         raise
+
+
+_BJOIN_LIVE_DBS: set[str] = set()
+_BJOIN_ATEXIT_REGISTERED = False
+
+
+def _register_bjoin_atexit_drop(spark: SparkSession) -> None:
+    """One atexit hook per process dropping every bjoin_* database this
+    process created. Best-effort: if the session is already stopped at
+    interpreter exit the drop fails silently and the next process's
+    entry-time sweep in bucketed_join() picks the leftovers up."""
+    global _BJOIN_ATEXIT_REGISTERED
+    if _BJOIN_ATEXIT_REGISTERED:
+        return
+    _BJOIN_ATEXIT_REGISTERED = True
+    import atexit
+
+    def _drop() -> None:
+        try:
+            for name in list(_BJOIN_LIVE_DBS):
+                spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+                _BJOIN_LIVE_DBS.discard(name)
+        except Exception:
+            pass
+
+    atexit.register(_drop)
 
 
 @_register(

@@ -515,3 +515,21 @@ def test_semdedup_block_split_matches_unsplit(spark, monkeypatch):
     expected = sorted((b, 7, c, m) for b, (c, m) in expect.items())
     assert split == expected
     assert all(r[0] < n for r in split), "zero vectors must never pair"
+
+
+def test_bucketed_join_metastore_hygiene(spark):
+    """bucketed_join must not accumulate bjoin_* databases (round-8 fix):
+    databases created by THIS process stay registered until atexit (their
+    tables back possibly-uncollected frames), but a stale bjoin_* left by
+    a dead process is swept on the next invocation."""
+    from polario_spark import queries as Q
+
+    # simulate a dead process's leftover: present in the metastore but
+    # absent from the live set
+    spark.sql("CREATE DATABASE IF NOT EXISTS bjoin_deadbeef")
+    Q._BJOIN_LIVE_DBS.discard("bjoin_deadbeef")
+    df = Q.REGISTRY["bucketed_join"].spark(spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    names = {r[0] for r in spark.sql("SHOW DATABASES LIKE 'bjoin_*'").collect()}
+    assert "bjoin_deadbeef" not in names  # stale db swept
+    assert names <= Q._BJOIN_LIVE_DBS  # everything left is atexit-tracked
