@@ -77,12 +77,33 @@ def escape_partition_value(value: str) -> str:
 
 
 def unescape_partition_value(value: str) -> str:
-    """Inverse of :func:`escape_partition_value`: decode %XX sequences.
-    Lone '%' not followed by two hex digits passes through untouched, so
-    directories written by naive writers still parse."""
-    return re.sub(
-        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), value
-    )
+    """Inverse of :func:`escape_partition_value`: decode exactly the %XX
+    sequences Spark's writer produces — uppercase hex, and only for the
+    characters :func:`escape_partition_value` escapes. Everything else
+    ('%' not followed by two hex digits, lowercase hex, or an escape of
+    a character Spark never escapes, e.g. ``%41``) passes through
+    untouched.
+
+    Interop rationale (round 8): the reference writes partition values
+    RAW (its path builder never escapes,
+    /root/reference/polario/hive_dataset.py:130-132), so a reference-
+    written directory ``p=v%2f`` means the literal four characters
+    ``v%2f``. A decoder that ate every %XX would silently mutate that to
+    ``v/`` on discovery — and ``read_partition({'p': 'v%2f'})`` would
+    then re-escape the '%' and probe ``p=v%252f``, missing the
+    directory. Restricting decoding to the sequences our own writer can
+    emit makes every Spark-written layout round-trip exactly while
+    keeping reference-written values with literal '%' intact. The one
+    residual ambiguity — a RAW value that itself looks like a Spark
+    escape of an escapable character, e.g. the literal string ``v%2F``
+    — is undecidable from the path alone; we side with our own writer
+    (decode), which is the documented migration caveat."""
+
+    def _sub(m: "re.Match[str]") -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _ESCAPED_PARTITION_CHARS or ch < " " else m.group(0)
+
+    return re.sub(r"%([0-9A-F]{2})", _sub, value)
 
 
 def guard_partition_values(df: DataFrame, partition_columns: list[str]) -> DataFrame:

@@ -604,8 +604,15 @@ SELECT id_a, id_b, sim FROM cand WHERE sim >= {threshold}
 
 def cosine_pairs_sql(
     table: str, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.5, dim: int = 64,
+    threshold: float = 0.5, *, dim: int,
 ) -> str:
+    """DuckDB twin of cosine_pairs. ``dim`` is REQUIRED (no default):
+    the Spark twin defaults ``dim=None`` (no length filter — hard
+    defaults broke dim-agnostic property tests), so a defaulted 64 here
+    would silently drop every row of a non-64-dim corpus while Spark
+    kept them all — a guaranteed spurious divergence. Forcing the caller
+    to state the dimension keeps the two filters identical by
+    construction."""
     sim = VEC.cosine("a.__v", "b.__v", "duckdb")
     return f"""
 WITH e AS (SELECT {id_col} AS id, {vec_col} AS __v FROM {table}
@@ -1030,11 +1037,15 @@ def semdedup_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     eps: float = SEMDEDUP_EPS,
-    dim: int = 64,
+    *,
+    dim: int,
 ) -> str:
     """DuckDB twin of semdedup_dropped: identical stride centroids,
     identical (cosine DESC, cid ASC) assignment tie-break as ivf_topk_sql,
-    pair scoring replayed as a within-cell self-join."""
+    pair scoring replayed as a within-cell self-join. ``dim`` is REQUIRED
+    for the same reason as in cosine_pairs_sql — the Spark twin defaults
+    to no length filter, so a defaulted filter here would silently
+    diverge on any non-64-dim corpus."""
     return f"""
 WITH e AS (SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS __v FROM {table}
            WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim}),

@@ -1951,7 +1951,7 @@ def brand_price_zscore_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_embedding_cosine",
-    similarity.cosine_pairs_sql("embeddings", "vec_id", "embedding", 0.45)
+    similarity.cosine_pairs_sql("embeddings", "vec_id", "embedding", 0.45, dim=64)
     + "\nORDER BY id_a, id_b",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1999,7 +1999,7 @@ def dedup_embedding_cosine_lsh_loose(spark: SparkSession, sf_dir: str) -> DataFr
 
 @_register(
     "semantic_dedup",
-    similarity.semdedup_sql("embeddings", "vec_id", "embedding")
+    similarity.semdedup_sql("embeddings", "vec_id", "embedding", dim=64)
     + "\nORDER BY vec_id",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4677,70 +4677,22 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the earlier hand-curated _DRIVER_GREEN back-list, which required
 #      manual rotation every round.
 _PRIORITY = [
-    # Round-7 code changes under these entries: semantic_dedup rewritten
-    # onto the (cell, block) tile-join (per-task memory now capped at
-    # COSINE_TILE regardless of cell geometry); assign_cells and
-    # ivf_topk's probe share one _prepared_centroids definition; every
-    # cosine expression AND DuckDB oracle gained the zero-norm guard
-    # (vector.norm_clamped / the CASE in vector.cosine — identity for
-    # any real embedding, but the expressions changed, so fresh rows).
-    "semantic_dedup",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_topk_cosine",
-    "ann_topk_quantized",
-    "dedup_embedding_cosine",
-    # + the r6 bench anomaly entry: fresh-session re-time + fresh row
-    "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine_lsh_loose",
-    # Round-7 partition-value escaping in hive_dataset path builders:
-    # the three entries that run through HiveDataset need rows for the
-    # changed code (values in the fixtures are alphanumeric, so results
-    # must be byte-identical — the fresh rows prove it).
-    "hive_roundtrip",
-    "incremental_rollup",
-    "compact_roundtrip",
-    # + the empty-input sweep fixes (empty-scan fallbacks / ledger seed)
-    # + the directory-layout branch in _event_stream (all its consumers)
-    "streaming_foreachbatch_totals",
-    "streaming_events_hourly",
-    "streaming_sliding_counts",
-    "streaming_stateful_sessions",
-    "streaming_dedup_counts",
-    "streaming_click_attribution",
-    "streaming_static_enrich",
-    # + the UDTF null-text guard
-    "udtf_repeated_tokens",
-    # + every consumer of the engine-independent tokenizer rewrite
-    # (ascii_lower/translate replaced lower() in tokens(), the BPE
-    # pattern, and the UDTF; bit-identical on the ASCII fixtures —
-    # local gate green — but the expressions changed, so fresh rows)
-    "token_budget_packing",
-    "top_bigrams_per_lang",
-    "stratified_sample_split",
-    "text_quality",
-    "repetition_signals",
-    "dedup_keep_best",
-    "chunk_documents",
-    "dedup_rolling_windows",
+    # Round-8 code changes under these entries (kept deliberately small
+    # per the r7 verdict so the stalest-green rotation refreshes the
+    # r2-r5 rows):
+    #   - pass_top_freq rewritten as a sorted-run scan (O(n log n)/doc,
+    #     was the last O(|distinct| x |tokens|) HOF) — see SCALE.md
     "quality_filter_funnel",
-    "dedup_clusters",
-    "dedup_fingerprint",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "lang_id_confusion",
-    "token_stats",
-    "tfidf_top_terms",
-    "decontamination_overlap",
-    "decontamination_overlap_8gram",
-    "exact_substring_dup",
-    "bpe_token_stats",
-    # + the try_parse_json robustness change
-    "events_variant_extract",
-    # + the RFC 4180 CSV options
-    "csv_roundtrip",
+    #   - metastore hygiene: entry-time sweep + atexit drop of bjoin_* dbs
+    "bucketed_join",
+    #   - ledger batch_id now written as bigint (was IntegerType lit,
+    #     mixing INT32/INT64 footers under one column)
+    "streaming_foreachbatch_totals",
+    #   - unescape_partition_value restricted to Spark-writer sequences
+    #     (uppercase hex of the escapable set) for reference-layout interop
+    "hive_roundtrip",
 ]
+
 @_functools.lru_cache(maxsize=1)
 def _latest_green_rounds() -> "dict[str, int]":
     """Latest driver round with a green CORRECTNESS row, per entry.

@@ -326,7 +326,12 @@ def foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n"),
                 F.sum("value").alias("sv"),
             )
-            .withColumn("batch_id", F.lit(batch_id))
+            # cast: F.lit types a small Python int as IntegerType, which
+            # would mix INT32 footers into a ledger whose seed declares
+            # batch_id bigint — any later schema-inferred read of the
+            # idempotence key could then fail depending on which footer
+            # drives inference
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .write.mode("append")
             .parquet(out)
         )

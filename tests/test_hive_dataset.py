@@ -336,3 +336,20 @@ def test_escape_unescape_property():
         assert "/" not in escape_partition_value(v)
 
     roundtrip()
+
+
+def test_unescape_only_decodes_spark_writer_sequences():
+    """Round-8 interop fix: the reference writes partition values RAW, so
+    a reference-written directory name containing a literal %XX must NOT
+    be mutated by discovery. Only the sequences escape_partition_value
+    itself produces (uppercase hex of the escapable set + controls)
+    decode; lowercase hex and escapes of never-escaped characters pass
+    through."""
+    from polario_spark.hive_dataset import unescape_partition_value as un
+
+    assert un("v%2F") == "v/"      # our writer's own output: decode
+    assert un("v%2f") == "v%2f"    # lowercase: not ours, keep literal
+    assert un("v%41") == "v%41"    # 'A' is never escaped: keep literal
+    assert un("v%0A") == "v\n"     # control char: ours, decode
+    assert un("100%") == "100%"    # dangling %: untouched
+    assert un("%3D%3D") == "=="

@@ -194,3 +194,31 @@ def test_restart_recovers_window_state_from_checkpoint(spark, tmp_path):
     # advances the watermark; hour 16 stays open. n=1 here would mean
     # the restarted query lost the checkpointed window state.
     assert emitted() == [(10, 1), (13, 2)]
+
+
+def test_foreachbatch_ledger_batch_id_is_int64_everywhere(spark):
+    """Round-8 fix: the foreachBatch sink writes batch_id as bigint. Before,
+    F.lit(batch_id) typed small ints as IntegerType, so the ledger mixed
+    INT32 sink footers with the INT64 seed footer for the SAME column —
+    any schema-inferred read of the idempotence key could then fail
+    depending on which footer drove inference. Assert every parquet
+    footer under the partials dir agrees on int64."""
+    import glob as _glob
+    import os
+
+    from polario_spark import queries as Q
+    from polario_spark import workdir
+
+    Q.REGISTRY["streaming_foreachbatch_totals"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    app_root = os.path.join(
+        workdir._WORK_ROOT, spark.sparkContext.applicationId
+    )
+    dirs = sorted(_glob.glob(os.path.join(app_root, "foreachbatch_totals-*")))
+    assert dirs, "foreachbatch workdir not found"
+    files = _glob.glob(os.path.join(dirs[-1], "partials", "*.parquet"))
+    assert len(files) >= 2  # seed + at least one micro-batch
+    for f in files:
+        typ = pq.read_schema(f).field("batch_id").type
+        assert typ == pa.int64(), (f, typ)
