@@ -263,6 +263,13 @@ def test_scale_shapes_pinned(spark):
         "events_gapfill": {"smj": 0, "cart": 0},
         # quantized brute-force keeps the broadcast-query shape
         "ann_topk_quantized": {"smj": 0, "cart": 0, "scans": 2},
+        # round-8 sorted-run top-freq: still ONE scan over documents and
+        # the single |sources| group-key exchange — the O(n log n)
+        # rewrite must not have bought its speed with an explode or a
+        # join-back (the explode->count->max alternative would add a
+        # doc_id shuffle)
+        "quality_filter_funnel": {"scans": 1, "hashpart": 1, "smj": 0,
+                                  "gen": 0, "cart": 0},
     }
     for name, expected in cases.items():
         facts = _plan_facts(Q.REGISTRY[name].spark(spark, SF_DIR))
