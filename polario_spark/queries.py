@@ -343,6 +343,7 @@ WITH ordered AS (
          lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                  ORDER BY epoch_us(ts), event_id) AS prev_us
   FROM events
+  WHERE ts IS NOT NULL
 ), flagged AS (
   SELECT user_id, event_id, value,
          CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
@@ -360,8 +361,19 @@ ORDER BY user_id
 )
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap: lag + flag + count
-    per user. One shuffle on user_id serves both the window and the agg."""
-    ev = _t(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    per user. One shuffle on user_id serves both the window and the agg.
+
+    Rows with a NULL event time are excluded at the scan (codegen
+    filter, mirrored in the oracle): sessionization is undefined for an
+    unknown time, and the engines disagree on where NULLs sort (Spark
+    NULLS FIRST ascending, DuckDB NULLS LAST), so any answer that keeps
+    them is engine-dependent — the round-8 temporal-adversary probe
+    caught exactly that off-by-one on a corpus with one NULL ts."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("us", F.unix_micros("ts"))
+    )
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flagged = ev.withColumn("prev_us", F.lag("us").over(w)).withColumn(
         "new_session",
@@ -418,12 +430,17 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "streaming_events_hourly",
     # the streaming plan must reproduce the batch result exactly, so it
-    # shares the batch oracle
+    # shares the batch oracle — minus rows with unknown event time:
+    # Structured Streaming's event-time windowing drops NULL-ts rows by
+    # construction (no window can contain them), so the oracle mirrors
+    # the exclusion (round-8 temporal-adversary probe; batch
+    # events_hourly keeps the NULL group — both engines agree there)
     """
 SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,
@@ -2155,7 +2172,13 @@ def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "streaming_sliding_counts",
-    # sliding window = each event in its 2 covering (1h, 30m-slide) windows
+    # sliding window = each event in its 2 covering (1h, 30m-slide)
+    # windows. The slide start must be a FLOOR to the previous 30-min
+    # boundary; DuckDB's % is truncated (sign of the dividend), so the
+    # naive x - x % m rounds pre-epoch (negative-epoch) timestamps UP —
+    # the round-8 probe caught a 1969 event assigned to the window
+    # AFTER it. Spark's window() floors, so the oracle uses the
+    # sign-safe double-mod floor construction.
     """
 SELECT window_start, event_type, count(*) AS n_events
 FROM (
@@ -2163,11 +2186,12 @@ FROM (
          event_type
   FROM (
     SELECT unnest([
-             epoch_us(ts) - epoch_us(ts) % 1800000000,
-             epoch_us(ts) - epoch_us(ts) % 1800000000 - 1800000000
+             epoch_us(ts) - ((epoch_us(ts) % 1800000000 + 1800000000) % 1800000000),
+             epoch_us(ts) - ((epoch_us(ts) % 1800000000 + 1800000000) % 1800000000) - 1800000000
            ]) AS w_us,
            event_type
     FROM events
+    WHERE ts IS NOT NULL  -- streaming windows drop unknown event times
   )
 )
 GROUP BY 1, 2
@@ -2184,13 +2208,16 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "streaming_stateful_sessions",
-    # same sessionization the batch lag/cumsum query performs
+    # same sessionization the batch lag/cumsum query performs; NULL event
+    # times are excluded on both sides — sessionization is undefined for
+    # an unknown time, and engines disagree on NULL ordering (round 8)
     """
 WITH ordered AS (
   SELECT user_id, epoch_us(ts) AS us, event_id,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                  ORDER BY epoch_us(ts), event_id) AS prev_us
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT user_id,
        sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
@@ -3468,6 +3495,7 @@ WITH x AS (
                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
+  WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id,
@@ -3487,8 +3515,12 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram. Session merge rule is half-open ([start, last+gap)): events
     exactly gap apart start a new session — the oracle's gaps-and-islands
     uses >= to match. One shuffle on user_id builds sessions; the
-    histogram shuffles |distinct sizes| partials."""
-    ev = _t(spark, sf_dir, "events")
+    histogram shuffles |distinct sizes| partials. NULL event times are
+    excluded at the scan on both sides — session_window silently turns
+    them into their own degenerate sessions while gaps-and-islands
+    oracles sort them engine-dependently (round-8 probe), so exclusion
+    is the only cross-engine-stable semantics."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     sessions = ev.groupBy(
         "user_id", F.session_window("ts", "30 minutes")
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -3983,6 +4015,13 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+#: events_gapfill refuses to build an hourly spine longer than this —
+#: ~114 years. Any real event table fits; a span beyond it means a
+#: corrupt outlier timestamp is about to turn the one-row sequence()
+#: into a multi-hundred-MB broadcast (round-8 temporal-adversary probe).
+MAX_GAPFILL_SPINE_HOURS = 1_000_000
+
+
 @_register(
     "events_gapfill",
     """
@@ -4019,7 +4058,17 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     running frame. The spine is O(hours x types) — tiny relative to the
     events, so the cross join broadcasts; the only event-sized shuffle is
     the hourly pre-aggregation. This is the standard composition for an
-    operator Spark lacks natively (Flink/TimescaleDB gap-fill)."""
+    operator Spark lacks natively (Flink/TimescaleDB gap-fill).
+
+    Poison guard (round-8 temporal-adversary probe): the "spine is tiny"
+    assumption dies with ONE corrupt outlier timestamp — a single
+    year-9999 row stretches the observed span to ~70M hours, turning the
+    one-row ``sequence`` into a multi-hundred-MB array that is then
+    exploded and BROADCAST: the job hangs/OOMs instead of erroring. The
+    span is therefore checked inside the same aggregate row that feeds
+    the sequence (zero extra passes) and the write refuses loudly past
+    ``MAX_GAPFILL_SPINE_HOURS`` — at 100 TB you want the name of the
+    poisoned bound, not a dead executor."""
     ev = _t(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
     )
@@ -4028,6 +4077,29 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spine = (
         ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .withColumn(
+            "lo",
+            F.when(
+                (F.unix_timestamp("hi") - F.unix_timestamp("lo"))
+                > MAX_GAPFILL_SPINE_HOURS * 3600,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "events_gapfill: observed ts span exceeds "
+                            f"{MAX_GAPFILL_SPINE_HOURS} hours (lo="
+                        ),
+                        F.col("lo").cast("string"),
+                        F.lit(", hi="),
+                        F.col("hi").cast("string"),
+                        F.lit(
+                            "); an outlier timestamp would explode the "
+                            "hourly spine — filter the corrupt rows "
+                            "first"
+                        ),
+                    )
+                ).cast("timestamp"),
+            ).otherwise(F.col("lo")),
+        )
         .select(
             F.explode(
                 F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
@@ -4691,6 +4763,17 @@ _PRIORITY = [
     #   - unescape_partition_value restricted to Spark-writer sequences
     #     (uppercase hex of the escapable set) for reference-layout interop
     "hive_roundtrip",
+    # Temporal-adversary fixes (NULL ts excluded from sessionization both
+    # engines; streaming oracles mirror streaming's NULL-event-time drop;
+    # sign-safe floor-mod in the sliding oracle; integer-micros across
+    # the Arrow boundary; gapfill spine span guard) — see
+    # tests/test_temporal_adversaries.py
+    "events_sessions",
+    "session_window_stats",
+    "streaming_events_hourly",
+    "streaming_sliding_counts",
+    "streaming_stateful_sessions",
+    "events_gapfill",
 ]
 
 @_functools.lru_cache(maxsize=1)

@@ -171,8 +171,6 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             last_us, n_sessions, n_events = None, 0, 0
         rows = pd.concat(list(pdfs), ignore_index=True)
-        # datetime64[ns] -> int64 is nanoseconds; the gap is in micros
-        rows["__us"] = rows["ts"].astype("int64") // 1000
         rows = rows.sort_values(["__us", "event_id"])
         us = rows["__us"].to_numpy()
         if len(us):
@@ -193,6 +191,18 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = (
         _event_stream(spark, sf_dir)
+        # sessionization is undefined for an unknown event time, and a
+        # NaT reaching the pandas handler crashes the int64 ts cast
+        # (round-8 temporal-adversary probe) — exclude at the scan, as
+        # the batch sessionization entries and their oracles do
+        .filter(F.col("ts").isNotNull())
+        # convert to integer micros JVM-SIDE: raw timestamps must not
+        # cross the Arrow boundary — pandas datetime64[ns] tops out at
+        # 2262-04-11, so a single year-9999 event would crash the
+        # worker during Arrow->pandas conversion (round-8 probe). The
+        # narrow (user_id, event_id, us) projection also shrinks the
+        # Arrow transfer to exactly what the handler reads.
+        .select("user_id", "event_id", F.unix_micros("ts").alias("__us"))
         .groupBy("user_id")
         .applyInPandasWithState(
             sessionize,
