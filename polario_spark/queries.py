@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polario_spark.hive_dataset import HiveDataset
+from polario_spark.functions import numeric as NUM
 from polario_spark.functions import text as TXT
 from polario_spark.operators import dedup, similarity, text_analysis
 from polario_spark.operators.multimodal import (
@@ -337,7 +338,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "events_sessions",
-    """
+    f"""
 WITH ordered AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS us,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id
@@ -353,7 +354,7 @@ WITH ordered AS (
 SELECT user_id,
        sum(new_session)::BIGINT AS n_sessions,
        count(*) AS n_events,
-       round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS sum_value
+       round(sum({NUM.safe_decimal('value')}), 2)::DOUBLE AS sum_value
 FROM flagged
 GROUP BY user_id
 ORDER BY user_id
@@ -389,8 +390,10 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_session").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
             # exact decimal accumulation; double sums are order-dependent
-            # and flip round() at sf>=0.1
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            # and flip round() at sf>=0.1. safe_decimal: a corrupt
+            # NaN/Inf/1e308 value must drop out of the sum, not kill the
+            # job (round-8 numeric-adversary probe)
+            F.round(F.sum(F.expr(NUM.safe_decimal("value"))), 2)
             .cast("double")
             .alias("sum_value"),
         )
@@ -2122,11 +2125,11 @@ def dedup_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "customer_running_totals",
-    """
+    f"""
 SELECT c_custkey, o_orderkey,
-       round(sum(o_totalprice::DECIMAL(18,6)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       round(sum({NUM.safe_decimal('o_totalprice')}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE AS running_total,
-       round(sum(o_totalprice::DECIMAL(18,6)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       round(sum({NUM.safe_decimal('o_totalprice')}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)::DOUBLE AS moving_sum3,
        round(coalesce(lead(o_totalprice) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey), -1), 2) AS next_price
@@ -2151,13 +2154,13 @@ def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             # double accumulation order differs between engines and flips
             # round(.,2) on half-cent boundaries at sf>=0.1
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(
+                F.sum(F.expr(NUM.safe_decimal("o_totalprice"))).over(
                     base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 ),
                 2,
             ).cast("double").alias("running_total"),
             F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(
+                F.sum(F.expr(NUM.safe_decimal("o_totalprice"))).over(
                     base.rowsBetween(-2, Window.currentRow)
                 ),
                 2,
@@ -3234,9 +3237,9 @@ def events_hot_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "orders_seasonality",
-    """
+    f"""
 SELECT extract(month FROM o_orderdate) AS mo, isodow(o_orderdate) AS dow,
-       count(*) AS n_orders, round(sum(o_totalprice::DECIMAL(18,6)), 2)::DOUBLE AS total
+       count(*) AS n_orders, round(sum({NUM.safe_decimal('o_totalprice')}), 2)::DOUBLE AS total
 FROM orders
 GROUP BY mo, dow
 ORDER BY mo, dow
@@ -3254,7 +3257,7 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            F.round(F.sum(F.expr(NUM.safe_decimal("o_totalprice"))), 2)
             .cast("double")
             .alias("total"),
         )
@@ -3264,10 +3267,10 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q11_important_parts",
-    """
+    f"""
 WITH nv AS (
   SELECT l_partkey,
-         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)) AS value
+         sum({NUM.safe_decimal('l_extendedprice * (1 - l_discount)')}) AS value
   FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
                 JOIN nation ON n_nationkey = s_nationkey
   WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
@@ -3294,9 +3297,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
     )
-    value_expr = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    ).cast("decimal(18,6)")
+    value_expr = F.expr(
+        NUM.safe_decimal("l_extendedprice * (1 - l_discount)")
+    )
     per_part = (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
@@ -4774,6 +4777,12 @@ _PRIORITY = [
     "streaming_sliding_counts",
     "streaming_stateful_sessions",
     "events_gapfill",
+    # Numeric-adversary fixes (safe_decimal: isnan-guarded TRY_CAST in
+    # both engines — one corrupt NaN/Inf/1e308 no longer kills the exact
+    # sum's job) — see tests/test_numeric_adversaries.py
+    "customer_running_totals",
+    "orders_seasonality",
+    "q11_important_parts",
 ]
 
 @_functools.lru_cache(maxsize=1)
