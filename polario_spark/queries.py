@@ -2134,15 +2134,23 @@ SELECT c_custkey, o_orderkey,
        round(coalesce(lead(o_totalprice) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey), -1), 2) AS next_price
 FROM orders JOIN customer ON c_custkey = o_custkey
-WHERE c_custkey % 100 = 0
+WHERE c_custkey % 100 = 0 AND o_orderdate IS NOT NULL
 ORDER BY c_custkey, o_orderkey
 """,
 )
 def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frames: running total (UNBOUNDED PRECEDING), 3-row moving
     average (2 PRECEDING), and lead() — all three share ONE shuffle+sort
-    on (custkey, orderdate) because they use the same window spec base."""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    on (custkey, orderdate) because they use the same window spec base.
+
+    Orders with a NULL date are excluded at the scan, mirrored in the
+    oracle: a running total ORDERED BY an unknown date has no
+    engine-stable position (Spark sorts NULLS FIRST ascending, DuckDB
+    NULLS LAST — micro-tested in the round-8 calendar-adversary probe),
+    so any answer keeping them is engine-dependent."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") % 100 == 0) & F.col("o_orderdate").isNotNull()
+    )
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
     base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
@@ -4518,12 +4526,33 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     column — an anchor-only scan; putting the max-date subquery in the
     recursive step's WHERE would rescan the fact table once per
     iteration (measured 10.5s -> ~1s at sf0.1). For deep recursions
-    prefer the closed-form sequence()+explode; depth here is O(months)."""
+    prefer the closed-form sequence()+explode; depth here is O(months).
+
+    Depth safety (round-8 calendar-adversary probe): Spark's default
+    recursion ceiling is spark.sql.cteRecursionLevelLimit = 100 LEVELS —
+    the clean fixture spans 80 months, so one more fixture year of legit
+    history would have killed this entry with an opaque
+    RECURSION_LEVEL_LIMIT_EXCEEDED. The CTE now declares MAX RECURSION
+    LEVEL 2400 (200 years of months), and the anchor carries a
+    raise_error span guard so a corrupt outlier date (one year-0001 or
+    9999 row stretches the spine to ~120k months) refuses with the
+    poisoned bounds named instead of iterating toward the ceiling —
+    same poison-vs-size doctrine as events_gapfill's spine guard."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("__rec_orders")
     return spark.sql(
         """
-        WITH RECURSIVE months(m, hi) AS (
-          SELECT date_trunc('month', min(o_orderdate)),
+        WITH RECURSIVE months(m, hi) MAX RECURSION LEVEL 2400 AS (
+          SELECT CASE
+                   WHEN months_between(date_trunc('month', max(o_orderdate)),
+                                       date_trunc('month', min(o_orderdate))) > 2398
+                   THEN raise_error(concat(
+                     'recursive_month_spine: observed o_orderdate span exceeds ',
+                     '2398 months (lo=', cast(min(o_orderdate) as string),
+                     ', hi=', cast(max(o_orderdate) as string),
+                     '); an outlier date would explode the month spine - ',
+                     'filter the corrupt rows first'))
+                   ELSE date_trunc('month', min(o_orderdate))
+                 END,
                  date_trunc('month', max(o_orderdate))
           FROM __rec_orders
           UNION ALL
@@ -4783,6 +4812,10 @@ _PRIORITY = [
     "customer_running_totals",
     "orders_seasonality",
     "q11_important_parts",
+    # Calendar-adversary fixes (NULL o_orderdate excluded from the date-
+    # ordered window; month spine gets MAX RECURSION LEVEL 2400 + span
+    # guard) — see tests/test_calendar_adversaries.py
+    "recursive_month_spine",
 ]
 
 @_functools.lru_cache(maxsize=1)
