@@ -279,19 +279,46 @@ COSINE_TILE = 1024
 
 
 def well_formed_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
-    """Drop rows whose vector is NULL or not exactly ``dim`` long.
+    """Drop rows whose vector is NULL, not exactly ``dim`` long, or
+    contains any NULL / NaN / infinite component.
 
     Real corpora carry corrupt rows (truncated arrays, nulls from failed
     embedding jobs). The GEMM paths ``np.stack`` a group's vectors into
     one matrix — ONE ragged row in a 100 TB corpus would kill the whole
     job with 'all input arrays must have the same shape', and the LSH
     signature expressions index vector elements directly (out-of-bounds
-    on short arrays). A malformed vector cannot participate in any
+    on short arrays). Component-level corruption is just as real
+    (round-8 vector-adversary probe): a NaN component makes the cosine
+    NaN, which Spark's ``>= threshold`` rejects but DuckDB's total order
+    ACCEPTS (NaN sorts above every real) — a silent cross-engine
+    divergence — and the int8 quantizer's NaN->BIGINT cast kills the
+    job under ANSI. A malformed vector cannot participate in any
     similarity comparison anyway, so the operators exclude them with
-    this codegen filter at the scan (pushdown-friendly, no Python).
+    this codegen filter at the scan (pushdown-friendly, no Python);
+    ``well_formed_sql`` is the oracle's identical predicate.
     """
     return df.filter(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        & F.expr(
+            f"forall({vec_col}, x -> x is not null and not isnan(x) "
+            f"and abs(x) < double('Infinity'))"
+        )
+    )
+
+
+def well_formed_sql(vec_col: str, dim: int) -> str:
+    """DuckDB twin of :func:`well_formed_vectors` as a WHERE predicate.
+
+    Must stay extensionally identical to the Spark filter: entries embed
+    it in their oracles (directly or as a filtered-subquery table arg)
+    so both engines see exactly the same corpus after shedding corrupt
+    vectors. ``isfinite`` is false for both NaN and ±Inf in DuckDB.
+    """
+    return (
+        f"{vec_col} IS NOT NULL AND len({vec_col}) = {dim} AND "
+        f"len(list_filter({vec_col}, "
+        f"x -> x IS NULL OR NOT isfinite(x))) = 0"
     )
 
 
@@ -584,7 +611,7 @@ def cosine_pairs_bucketed_sql(
     band_sql = "\n  UNION ALL\n".join(
         f"  SELECT {id_col} AS id, {vec_col} AS __v, {band} AS band, "
         f"{sig} AS sig FROM {table} "
-        f"WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim}"
+        f"WHERE {well_formed_sql(vec_col, dim)}"
         for band, sig in enumerate(_lsh_band_sigs(vec_col, dim, "duckdb"))
     )
     sim = VEC.cosine("a.__v", "b.__v", "duckdb")
@@ -616,7 +643,7 @@ def cosine_pairs_sql(
     sim = VEC.cosine("a.__v", "b.__v", "duckdb")
     return f"""
 WITH e AS (SELECT {id_col} AS id, {vec_col} AS __v FROM {table}
-           WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim})
+           WHERE {well_formed_sql(vec_col, dim)})
 SELECT id_a, id_b, sim FROM (
   SELECT a.id AS id_a, b.id AS id_b, round({sim}, 4) AS sim
   FROM e a JOIN e b ON a.id < b.id
@@ -1048,7 +1075,7 @@ def semdedup_sql(
     diverge on any non-64-dim corpus."""
     return f"""
 WITH e AS (SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS __v FROM {table}
-           WHERE {vec_col} IS NOT NULL AND len({vec_col}) = {dim}),
+           WHERE {well_formed_sql(vec_col, dim)}),
 cent AS (SELECT id AS cid, __v AS __cent FROM e WHERE id % {IVF_CENTROID_STRIDE} = 0),
 assigned AS (
   SELECT id, __v, cid AS cell FROM (

@@ -582,14 +582,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ann_topk_cosine",
     similarity.brute_force_topk_sql(
-        "embeddings", "vec_id % 100 = 0", "vec_id", "embedding", 5
+        f"(SELECT * FROM embeddings WHERE {similarity.well_formed_sql('embedding', 64)})",
+        "vec_id % 100 = 0", "vec_id", "embedding", 5
     )
     + "\nORDER BY qid, rank",
 )
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the query subset (vec_id % 100 = 0).
-    Query side broadcast; corpus scanned once, never shuffled."""
-    emb = _t(spark, sf_dir, "embeddings")
+    Query side broadcast; corpus scanned once, never shuffled. Malformed
+    vectors (ragged/NULL/NaN/Inf — round-8 probe) are shed at the scan on
+    both sides: a NaN cosine would diverge between the engines' orderings
+    and can't be a meaningful neighbor anyway."""
+    emb = similarity.well_formed_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding", 64
+    )
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.brute_force_topk(emb, queries, "vec_id", "embedding", 5).orderBy(
         "qid", "rank"
@@ -2040,13 +2046,20 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ann_ivf_topk",
-    similarity.ivf_topk_sql("embeddings", "vec_id", "embedding", 5)
+    similarity.ivf_topk_sql(
+        f"(SELECT * FROM embeddings WHERE {similarity.well_formed_sql('embedding', 64)})",
+        "vec_id", "embedding", 5
+    )
     + "\nORDER BY qid, rank",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 cosine neighbors — the scale path
-    complement to ann_topk_cosine's exact scan."""
-    emb = _t(spark, sf_dir, "embeddings")
+    complement to ann_topk_cosine's exact scan. Malformed vectors shed at
+    the scan both sides (round-8 probe): a NaN assignment cosine would
+    place the vector in an engine-dependent cell."""
+    emb = similarity.well_formed_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding", 64
+    )
     return similarity.ivf_topk(emb, "vec_id", "embedding", 5).orderBy(
         "qid", "rank"
     )
@@ -2054,15 +2067,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "ann_topk_quantized",
-    similarity.quantized_topk_sql("embeddings", "vec_id", "embedding", 5)
+    similarity.quantized_topk_sql(
+        f"(SELECT * FROM embeddings WHERE {similarity.well_formed_sql('embedding', 64)})",
+        "vec_id", "embedding", 5
+    )
     + "\nORDER BY qid, rank",
 )
 def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbors over int8-quantized embeddings — the
     memory-scale complement to ann_topk_cosine: 4x smaller vectors,
     integer-dot cosine (per-vector scales cancel), same broadcast-query /
-    stationary-corpus plan."""
-    emb = _t(spark, sf_dir, "embeddings")
+    stationary-corpus plan. Malformed vectors shed at the scan both sides
+    (a NaN component would kill the NaN->BIGINT quantize cast under ANSI
+    — round-8 probe)."""
+    emb = similarity.well_formed_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding", 64
+    )
     return similarity.quantized_topk(emb, "vec_id", "embedding", 5).orderBy(
         "qid", "rank"
     )
@@ -2078,7 +2098,8 @@ _KMEANS_CENT_PATH = stable_work_path("kmeans_centroids")
 @_register(
     "ann_ivf_kmeans_topk",
     similarity.ivf_topk_sql(
-        "embeddings", "vec_id", "embedding", 5,
+        f"(SELECT * FROM embeddings WHERE {similarity.well_formed_sql('embedding', 64)})",
+        "vec_id", "embedding", 5,
         cent_sql=(
             "SELECT cid, __cent FROM "
             f"read_parquet('{_KMEANS_CENT_PATH}/*.parquet')"
@@ -2094,8 +2115,12 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle consume bitwise-identical centroid values — the hash gate
     covers probe + search end-to-end, while the refinement itself is
     pinned by pytest (determinism in-session, recall >= the stride
-    path; tests/test_operators.py)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    path; tests/test_operators.py). Malformed vectors shed at the scan
+    both sides (round-8 probe) — a NaN component would poison the Lloyd
+    mean of its whole cell."""
+    emb = similarity.well_formed_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding", 64
+    )
     cent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=3)
     cent.write.mode("overwrite").parquet(prepare_stable_dir(_KMEANS_CENT_PATH))
     cent = spark.read.parquet(_KMEANS_CENT_PATH)
@@ -4293,12 +4318,13 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "embedding_dim_stats",
-    """
+    f"""
 SELECT i AS dim, round(avg(embedding[i + 1]), 4) + 0.0 AS avg_val,
        round(stddev_samp(embedding[i + 1]), 4) AS std_val,
        round(min(embedding[i + 1]), 4)::DOUBLE + 0.0 AS min_val,
        round(max(embedding[i + 1]), 4)::DOUBLE + 0.0 AS max_val
-FROM embeddings, range(0, 64) t(i)
+FROM (SELECT * FROM embeddings
+      WHERE {similarity.well_formed_sql('embedding', 64)}), range(0, 64) t(i)
 GROUP BY 1
 ORDER BY dim
 """,
@@ -4310,8 +4336,14 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — O(n x d) narrow rows that partial-aggregate map-side down to d rows
     before the shuffle, so the exchange carries 64 rows per task no
     matter the corpus size. (The DuckDB oracle indexes the array against
-    a range table — same arithmetic, no ordinality needed.)"""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    a range table — same arithmetic, no ordinality needed.) Malformed
+    vectors (ragged/NULL/NaN/Inf) are shed at the scan both sides: one
+    Inf component overflows DuckDB's STDDEV accumulator outright, and a
+    NaN would silently poison a dimension's whole profile (round-8
+    probe)."""
+    emb = similarity.well_formed_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding", 64
+    ).select(
         F.posexplode("embedding").alias("dim", "val")
     )
     # + 0.0 normalizes IEEE negative zero: Spark's round goes through
@@ -4816,6 +4848,19 @@ _PRIORITY = [
     # ordered window; month spine gets MAX RECURSION LEVEL 2400 + span
     # guard) — see tests/test_calendar_adversaries.py
     "recursive_month_spine",
+    # Vector-adversary fixes (well_formed_vectors now also sheds NaN/Inf/
+    # NULL COMPONENTS, well_formed_sql mirrors it in every oracle; the
+    # whole embedding family's expressions changed, so fresh rows) — see
+    # tests/test_vector_adversaries.py
+    "embedding_dim_stats",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_loose",
+    "semantic_dedup",
+    "ann_topk_cosine",
+    "ann_topk_quantized",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
 ]
 
 @_functools.lru_cache(maxsize=1)
