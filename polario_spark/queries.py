@@ -476,16 +476,27 @@ ORDER BY lang
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact subset-key dedup (keep smallest doc_id per key), reported as
-    kept-vs-total per language."""
+    kept-vs-total per language.
+
+    Shape note (round-8 NULL-key probe): this used to aggregate totals
+    and kept-counts separately and equi-join them back on lang — which
+    silently DROPPED the NULL-lang group (NULL never equi-joins NULL)
+    while the oracle's single GROUP BY kept it. Now one window + one
+    aggregation, mirroring the oracle: the rank and both counts ride the
+    same shuffle, the join is gone entirely, and NULL-lang documents
+    stay in the report (GROUP BY retains NULL keys identically in both
+    engines). When joining on a group-out key that can be NULL, either
+    eqNullSafe or restructure — plain equi-join loses rows without a
+    whisper."""
     docs = _t(spark, sf_dir, "documents")
-    kept = dedup.exact_dedup(docs, ["lang", "n_chars"], "doc_id").select(
-        "doc_id", "lang"
-    )
-    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    kept_counts = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    w = Window.partitionBy("lang", "n_chars").orderBy(F.col("doc_id").asc())
     return (
-        totals.join(kept_counts, "lang")
-        .select("lang", "n_docs", "n_kept")
+        docs.withColumn("__rn", F.row_number().over(w))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        )
         .orderBy("lang")
     )
 
@@ -4861,6 +4872,10 @@ _PRIORITY = [
     "ann_topk_quantized",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    # NULL-key fix: totals/kept equi-join on lang silently dropped the
+    # NULL-lang group; now one window + aggregation mirroring the oracle
+    # — see tests/test_nullkey_adversaries.py
+    "dedup_exact",
 ]
 
 @_functools.lru_cache(maxsize=1)
