@@ -17,9 +17,18 @@ UDFs anywhere — everything stays in whole-stage codegen):
 
 Scale notes (100 TB): every stage is explode -> groupBy-doc (map-side
 combinable) or a band-key equi-join. Band buckets are the only skew risk —
-identical boilerplate docs pile into one bucket; cap bucket size upstream
-(filter giant buckets, they are degenerate "everything matches" groups) or
-enable AQE skew-join, which the session config does.
+identical boilerplate docs pile into one bucket, and a naive self-join
+emits O(m^2) candidate pairs for an m-doc bucket (a crawl's boilerplate
+cluster is millions of docs; AQE skew-join only spreads that quadratic
+work, it cannot shrink the pair cardinality). Both pair generators
+therefore cap the bucket size: buckets over ``DEDUP_BUCKET_CAP`` emit
+**star pairs to the bucket's min id** (m-1 pairs) instead of all pairs.
+For the dedup use-case this is what matters — every bucket member still
+reaches the same connected component through the hub, and an over-cap
+bucket is a degenerate "everything matches here" group whose pairwise
+similarity values are uninformative anyway. The cap is checked per
+bucket with a window count on the same key the join shuffles on, so it
+adds no new exchange key.
 """
 
 from __future__ import annotations
@@ -42,6 +51,13 @@ MINHASH_COEFFS = TXT.hash_coefficients(MINHASH_K)
 MINHASH_MIN_EST_SIM = 0.8
 
 SIMHASH_BITS = 32
+
+#: Largest band/window bucket whose pairs are fully enumerated. Buckets
+#: over the cap collapse to star pairs (hub = bucket min id). Real
+#: near-dup groups are far below this (sf0.1 measures: max band bucket
+#: 17, max window bucket 4); only boilerplate clusters trip it. Raising
+#: the cap trades pair recall detail for O(cap * m) worst-case output.
+DEDUP_BUCKET_CAP = 512
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -86,7 +102,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def minhash_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+def minhash_candidate_pairs(
+    sig: DataFrame, id_col: str, bucket_cap: int = DEDUP_BUCKET_CAP
+) -> DataFrame:
     """LSH banding as ONE join: explode each signature into its band rows
     (band_idx, band values), self-equi-join on the band, distinct the
     pairs, then join the signature table back twice for the agreement
@@ -99,8 +117,14 @@ def minhash_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     the signature pipeline 2 x bands times; this shape computes it once
     for the band explode and twice for the estimate join-back, and the
     only shuffled objects are (id, band) rows and the candidate id pairs.
-    Band buckets are the skew risk (boilerplate-identical docs); AQE
-    skew-join splits hot buckets.
+    Band buckets are the skew hazard: m boilerplate-identical docs share
+    one bucket and all-pairs enumeration is O(m^2). Buckets over
+    ``bucket_cap`` therefore emit star pairs to the bucket's min id
+    (m-1 pairs) — connected components through the candidate graph are
+    unchanged (every member still reaches the hub), and over-cap buckets
+    are degenerate near-identical groups where the individual pair list
+    carries no extra information. The bucket census is a window count on
+    the SAME band key the join shuffles on (one exchange, reused).
     """
     band_structs = F.array(
         *[
@@ -114,20 +138,40 @@ def minhash_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
             for band in range(MINHASH_BANDS)
         ]
     )
+    # the signature pipeline (token explode + k min-aggregates) feeds five
+    # plan branches (a/b/star band rows + both est join-backs); a lazy
+    # localCheckpoint materializes it once — one row per doc, far cheaper
+    # to store than to recompute, and release_cached_residue sweeps the
+    # blocks between bench runs
+    sig = sig.localCheckpoint(eager=False)
     bands = sig.select(F.col(id_col), F.explode(band_structs).alias("__b"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__b") == F.col("b.__b"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
+    # bucket census as an AGGREGATE, not a window (map-side combine: the
+    # shuffle carries one partial per (task, bucket)), then keep ONLY the
+    # over-cap buckets — that frame is <= |band rows|/cap by construction
+    # and EMPTY on organic corpora, so the anti-join below is a broadcast
+    # of (almost always) nothing and the band rows shuffle exactly once,
+    # for the self-join — the capped plan costs what the uncapped one did
+    hot = (
+        bands.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__bn"), F.min(id_col).alias("__bmin"))
+        .filter(F.col("__bn") > bucket_cap)
     )
+    small = bands.join(hot.select("__b"), "__b", "left_anti")
+    a, b = small.alias("a"), small.alias("b")
+    all_pairs = a.join(
+        b,
+        (F.col("a.__b") == F.col("b.__b"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    star_pairs = (
+        bands.join(hot, "__b")
+        .filter(F.col(id_col) != F.col("__bmin"))
+        .select(F.col("__bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    cand = all_pairs.unionAll(star_pairs).distinct()
     sa = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(MINHASH_K)],
@@ -183,7 +227,10 @@ ROLLING_MIN_SHARED = 5
 
 
 def rolling_window_pairs(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_cap: int = DEDUP_BUCKET_CAP,
 ) -> DataFrame:
     """Chunk-level near-dup pairs via rolling-window fingerprints.
 
@@ -193,8 +240,18 @@ def rolling_window_pairs(
     shared count. Order-sensitive — catches copied passages that token-set
     fingerprints miss. Same co-occurrence-join shape as the Jaccard
     operator: shuffle is postings, never the pair space; 8-token windows
-    are near-unique, so posting lists stay short and the join stays
-    near-linear even at corpus scale.
+    are near-unique on organic text, so posting lists stay short — EXCEPT
+    for boilerplate (m copies of one passage put m docs in each of its
+    window buckets, and all-pairs is O(m^2) per bucket). Window buckets
+    over ``bucket_cap`` therefore contribute star rows to the bucket's
+    min id instead of all pairs: each over-cap hash adds 1 to
+    (bucket_min, member)'s shared count. A boilerplate cluster still
+    exceeds ``ROLLING_MIN_SHARED`` through its hub (it shares ALL its
+    windows), so its members land in one connected component exactly as
+    before, with O(m) pairs instead of O(m^2). The only semantics change
+    is for pairs whose ONLY shared windows are over-cap buckets with
+    scattered hubs — a regime where the pair list is boilerplate noise,
+    not passage copying.
     """
     from polario_spark.plans.parallelism import ensure_parallelism
 
@@ -209,18 +266,38 @@ def rolling_window_pairs(
         + TXT.window_hashes(text_col, ROLLING_WINDOW, "spark", toks_col="__toks")
         + ")"
     )
-    postings = bound.select(F.col(id_col), F.explode(wins).alias("__wh"))
-    a, b = postings.alias("a"), postings.alias("b")
+    # the tokenize + rolling-hash explode feeds four branches (census,
+    # a/b sides, star rows); materialize it once instead of recomputing
+    # the md5 window hashing per branch
+    postings = bound.select(
+        F.col(id_col), F.explode(wins).alias("__wh")
+    ).localCheckpoint(eager=False)
+    # over-cap census only (<= |postings|/cap rows, empty on organic
+    # text): broadcast anti-join leaves the normal-regime plan unchanged
+    # — see minhash_candidate_pairs
+    hot = (
+        postings.groupBy("__wh")
+        .agg(F.count(F.lit(1)).alias("__bn"), F.min(id_col).alias("__bmin"))
+        .filter(F.col("__bn") > bucket_cap)
+    )
+    small = postings.join(hot.select("__wh"), "__wh", "left_anti")
+    a, b = small.alias("a"), small.alias("b")
+    all_rows = a.join(
+        b,
+        (F.col("a.__wh") == F.col("b.__wh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+    star_rows = (
+        postings.join(hot, "__wh")
+        .filter(F.col(id_col) != F.col("__bmin"))
+        .select(F.col("__bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.__wh") == F.col("b.__wh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        all_rows.unionAll(star_rows)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_windows"))
         .filter(F.col("shared_windows") >= ROLLING_MIN_SHARED)
     )
@@ -301,7 +378,11 @@ SELECT node, min(label) AS component FROM __cc_reach GROUP BY node
 """
 
 
-def rolling_window_pairs_sql(table: str, id_col: str, text_col: str) -> str:
+def rolling_window_pairs_sql(
+    table: str, id_col: str, text_col: str, bucket_cap: int = DEDUP_BUCKET_CAP
+) -> str:
+    """Oracle twin of :func:`rolling_window_pairs`, including the over-cap
+    star-row contribution — both engines must agree on capped buckets."""
     wins = (
         "list_distinct("
         + TXT.window_hashes(text_col, ROLLING_WINDOW, "duckdb", toks_col="__toks")
@@ -309,9 +390,23 @@ def rolling_window_pairs_sql(table: str, id_col: str, text_col: str) -> str:
     )
     return f"""
 WITH b AS (SELECT {id_col}, {TXT.tokens(text_col, 'duckdb')} AS __toks FROM {table}),
-p AS (SELECT {id_col}, unnest({wins}) AS __wh FROM b)
-SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS shared_windows
-FROM p a JOIN p b ON a.__wh = b.__wh AND a.{id_col} < b.{id_col}
+p AS (SELECT {id_col}, unnest({wins}) AS __wh FROM b),
+pp AS (
+  SELECT {id_col}, __wh,
+         count(*) OVER (PARTITION BY __wh) AS __bn,
+         min({id_col}) OVER (PARTITION BY __wh) AS __bmin
+  FROM p
+),
+contrib AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM pp a JOIN pp b ON a.__wh = b.__wh AND a.{id_col} < b.{id_col}
+  WHERE a.__bn <= {bucket_cap}
+  UNION ALL
+  SELECT __bmin, {id_col} FROM pp
+  WHERE __bn > {bucket_cap} AND {id_col} != __bmin
+)
+SELECT id_a, id_b, count(*) AS shared_windows
+FROM contrib
 GROUP BY 1, 2
 HAVING count(*) >= {ROLLING_MIN_SHARED}
 """
@@ -340,27 +435,60 @@ GROUP BY {id_col}
 """
 
 
-def minhash_candidate_pairs_sql(table: str, id_col: str, text_col: str) -> str:
+def minhash_candidate_pairs_sql(
+    table: str, id_col: str, text_col: str, bucket_cap: int = DEDUP_BUCKET_CAP
+) -> str:
+    """Oracle twin of :func:`minhash_candidate_pairs`: band rows -> bucket
+    census -> all-pairs under the cap / star pairs over it -> distinct ->
+    signature join-back for est_sim. Mirrors the Spark shape exactly so
+    both engines agree on capped buckets."""
     sig = minhash_signatures_sql(table, id_col, text_col)
     est = (
         "("
         + " + ".join(
-            f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+            f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
             for i in range(MINHASH_K)
         )
         + f") / {float(MINHASH_K)}"
     )
-    band_selects = []
-    for band in range(MINHASH_BANDS):
-        cols = [f"mh{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
-        cond = " AND ".join(f"a.{c} = b.{c}" for c in cols)
-        band_selects.append(
-            f"SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {est} AS est_sim\n"
-            f"FROM sig a JOIN sig b ON {cond} AND a.{id_col} < b.{id_col}\n"
-            f"WHERE {est} >= {MINHASH_MIN_EST_SIM}"
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT {id}, {band} AS bidx, {vals} FROM sig".format(
+            id=id_col,
+            band=band,
+            vals=", ".join(
+                f"mh{band * MINHASH_ROWS + r} AS v{r}"
+                for r in range(MINHASH_ROWS)
+            ),
         )
-    union = "\nUNION\n".join(band_selects)
-    return f"WITH sig AS ({sig})\n{union}"
+        for band in range(MINHASH_BANDS)
+    )
+    vcols = [f"v{r}" for r in range(MINHASH_ROWS)]
+    bkey = ", ".join(["bidx"] + vcols)
+    jcond = " AND ".join(f"a.{c} = b.{c}" for c in ["bidx"] + vcols)
+    return f"""
+WITH sig AS ({sig}),
+bands AS ({band_rows}),
+bb AS (
+  SELECT *, count(*) OVER (PARTITION BY {bkey}) AS __bn,
+         min({id_col}) OVER (PARTITION BY {bkey}) AS __bmin
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+    FROM bb a JOIN bb b ON {jcond} AND a.{id_col} < b.{id_col}
+    WHERE a.__bn <= {bucket_cap}
+    UNION ALL
+    SELECT __bmin, {id_col} FROM bb
+    WHERE __bn > {bucket_cap} AND {id_col} != __bmin
+  )
+)
+SELECT id_a, id_b, {est} AS est_sim
+FROM cand
+JOIN sig sa ON sa.{id_col} = cand.id_a
+JOIN sig sb ON sb.{id_col} = cand.id_b
+WHERE {est} >= {MINHASH_MIN_EST_SIM}
+"""
 
 
 def simhash_sql(table: str, id_col: str, text_col: str) -> str:

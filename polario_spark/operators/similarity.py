@@ -174,25 +174,46 @@ SELECT qid, nid, sim, rank FROM (
 """
 
 
+#: Largest within-block document frequency a gram may have and still
+#: participate in the Jaccard join. Grams over the cap (boilerplate
+#: n-grams shared by huge document clusters) are cut from BOTH the
+#: intersection and the set sizes — the operator computes exact Jaccard
+#: over the df<=cap gram vocabulary. This is the standard set-similarity
+#: df/stopword prune (the crude form of Bayardo et al.'s prefix filter):
+#: an over-cap gram contributes df^2 join rows while carrying no
+#: discriminative signal. sf0.1 measures max within-lang bigram df = 152,
+#: so the default never trips on organic test data.
+NGRAM_DF_CAP = 512
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.6,
+    df_cap: int = NGRAM_DF_CAP,
 ) -> DataFrame:
     """Exact Jaccard over word-bigram sets for within-block pairs, as an
     inverted-index set-similarity join.
 
-    Returns (id_a, id_b, jaccard) for pairs >= threshold.
+    Returns (id_a, id_b, jaccard) for pairs >= threshold. Jaccard is
+    computed over the df<=``df_cap`` gram vocabulary (see NGRAM_DF_CAP):
+    over-cap boilerplate grams are cut from intersection AND set sizes,
+    identically in the oracle. Documents consisting ONLY of over-cap
+    grams (a pure boilerplate cluster) emit no pairs here — full-document
+    duplicates are exact/fingerprint dedup's job, not a similarity
+    join's.
 
     Plan shape: inverted-index co-occurrence join. Explode each doc's
-    distinct grams into postings, self-equi-join on (block, gram-key) so
-    |A ∩ B| falls out of a count per pair — no per-pair array
-    re-materialization or array_intersect, the whole pipeline is int
-    columns through whole-stage codegen. |A ∪ B| = |A| + |B| - |A ∩ B|.
-    Pairs sharing zero grams have jaccard 0 < threshold, so never
-    producing them is exact pruning, not approximation.
+    distinct grams into postings, census per-gram df with a window on the
+    SAME (block, gram) key the join shuffles on, drop over-cap grams,
+    re-census per-doc set sizes, then self-equi-join so |A ∩ B| falls out
+    of a count per pair — no per-pair array re-materialization or
+    array_intersect, the whole pipeline is int columns through
+    whole-stage codegen. |A ∪ B| = |A| + |B| - |A ∩ B|. Pairs sharing
+    zero surviving grams have jaccard 0 < threshold, so never producing
+    them is exact pruning, not approximation.
 
     Two further prunings, both exact:
     - gram keys are xxhash64(gram) — 8-byte join keys instead of strings
@@ -201,30 +222,52 @@ def ngram_jaccard_pairs(
       min(|A|,|B|) >= t * max(|A|,|B|) (+1e-9 guards binary-float t*n,
       e.g. 0.6*5 -> 3.0000000000000004, from over-pruning).
 
-    Scale: shuffle volume is postings (linear in corpus), join output is
-    sum over (block, gram) of df^2 — the skew lever is the block key, so
-    callers should block on (lang, length-bucket, shard) for open-domain
-    corpora; for very large vocabularies a rarity-prefix filter
-    (Bayardo et al., WWW'07) in front of this join cuts df^2 further.
-    AQE's skew-join handles residual hot grams.
+    Scale: shuffle volume is postings (linear in corpus); the df cap
+    bounds join output at sum over (block, gram) of min(df, cap)^2, so a
+    boilerplate cluster of m docs costs O(m) postings instead of O(m^2)
+    pairs. The block key is the residual skew lever — callers should
+    block on (lang, length-bucket, shard) for open-domain corpora; AQE's
+    skew-join handles residual hot grams under the cap.
     """
     docs = ensure_parallelism(docs)
     grams = F.expr(
         f"array_distinct({TXT.word_bigrams(TXT.tokens(text_col, 'spark'), 'spark')})"
     )
-    base = (
-        docs.select(
-            F.col(id_col), *[F.col(c) for c in block_cols], grams.alias("__grams")
-        )
-        .withColumn("__n", F.expr("size(__grams)"))
-        .filter(F.col("__n") > 0)
+    base = docs.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], grams.alias("__grams")
     )
-    postings = base.select(
+    # tokenize + bigram + explode feeds four branches (hot census, the
+    # per-doc recount, and both self-join sides); materialize the int
+    # postings once instead of re-tokenizing per branch
+    exploded = base.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        F.col("__n"),
         F.explode(F.expr("transform(__grams, g -> xxhash64(g))")).alias("__g"),
+    ).localCheckpoint(eager=False)
+    # over-cap grams as an AGGREGATE census (map-side combinable, the
+    # shuffle carries distinct-gram partials, never full postings), then
+    # a left_anti join — the hot frame holds at most |postings|/cap rows
+    # and for natural-language df distributions is tiny, so AQE turns
+    # this into a broadcast anti-join and the postings never shuffle for
+    # the cut. eqNullSafe on the block keys: a NULL block is one census
+    # group (as in the oracle's window PARTITION BY), not a never-matches
+    # key.
+    hot = (
+        exploded.groupBy(*block_cols, "__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > df_cap)
+        .select(*block_cols, "__g")
     )
+    anti_cond = [
+        exploded[c].eqNullSafe(hot[c]) for c in block_cols
+    ] + [exploded["__g"] == hot["__g"]]
+    rare = exploded.join(hot, anti_cond, "left_anti")
+    # set sizes are re-counted AFTER the df cut so |A|, |B|, and |A ∩ B|
+    # all live in the same (capped) vocabulary — Jaccard stays exact.
+    # Again an aggregate (one row per doc) joined back, not a window over
+    # the postings.
+    n_per_doc = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    postings = rare.join(n_per_doc, id_col)
     a, b = postings.alias("a"), postings.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
         F.col("a.__g") == F.col("b.__g"),
@@ -256,12 +299,24 @@ def ngram_jaccard_pairs_sql(
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.6,
+    df_cap: int = NGRAM_DF_CAP,
 ) -> str:
+    """Oracle twin of :func:`ngram_jaccard_pairs`, including the
+    within-block gram df cut — grams with df > cap leave the vocabulary
+    in BOTH engines before intersection/union are measured."""
     grams = f"list_distinct({TXT.word_bigrams(TXT.tokens(text_col, 'duckdb'), 'duckdb')})"
     blocks = ", ".join(block_cols)
     cond = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
     return f"""
-WITH g AS (SELECT {id_col}, {blocks}, {grams} AS __grams FROM {table})
+WITH g0 AS (SELECT {id_col}, {blocks}, unnest({grams}) AS __gram FROM {table}),
+gd AS (
+  SELECT *, count(*) OVER (PARTITION BY {blocks}, __gram) AS __df FROM g0
+),
+g AS (
+  SELECT {id_col}, {blocks}, list(__gram) AS __grams
+  FROM gd WHERE __df <= {df_cap}
+  GROUP BY {id_col}, {blocks}
+)
 SELECT id_a, id_b, jaccard FROM (
   SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
          round(len(list_intersect(a.__grams, b.__grams))::DOUBLE

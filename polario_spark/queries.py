@@ -487,7 +487,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay in the report (GROUP BY retains NULL keys identically in both
     engines). When joining on a group-out key that can be NULL, either
     eqNullSafe or restructure — plain equi-join loses rows without a
-    whisper."""
+    whisper. The final sort is asc_nulls_last because the oracle's bare
+    ORDER BY lang is DuckDB NULLS-LAST while Spark's default asc is
+    NULLS-FIRST — on a NULL-lang corpus the engines would otherwise
+    return the same rows in different orders (r8 ADVICE)."""
     docs = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("lang", "n_chars").orderBy(F.col("doc_id").asc())
     return (
@@ -497,7 +500,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
         )
-        .orderBy("lang")
+        .orderBy(F.col("lang").asc_nulls_last())
     )
 
 
@@ -4824,59 +4827,23 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the earlier hand-curated _DRIVER_GREEN back-list, which required
 #      manual rotation every round.
 _PRIORITY = [
-    # Round-8 code changes under these entries (kept deliberately small
-    # per the r7 verdict so the stalest-green rotation refreshes the
-    # r2-r5 rows):
-    #   - pass_top_freq rewritten as a sorted-run scan (O(n log n)/doc,
-    #     was the last O(|distinct| x |tokens|) HOF) — see SCALE.md
-    "quality_filter_funnel",
-    #   - metastore hygiene: entry-time sweep + atexit drop of bjoin_* dbs
-    "bucketed_join",
-    #   - ledger batch_id now written as bigint (was IntegerType lit,
-    #     mixing INT32/INT64 footers under one column)
-    "streaming_foreachbatch_totals",
-    #   - unescape_partition_value restricted to Spark-writer sequences
-    #     (uppercase hex of the escapable set) for reference-layout interop
-    "hive_roundtrip",
-    # Temporal-adversary fixes (NULL ts excluded from sessionization both
-    # engines; streaming oracles mirror streaming's NULL-event-time drop;
-    # sign-safe floor-mod in the sliding oracle; integer-micros across
-    # the Arrow boundary; gapfill spine span guard) — see
-    # tests/test_temporal_adversaries.py
-    "events_sessions",
-    "session_window_stats",
-    "streaming_events_hourly",
-    "streaming_sliding_counts",
-    "streaming_stateful_sessions",
-    "events_gapfill",
-    # Numeric-adversary fixes (safe_decimal: isnan-guarded TRY_CAST in
-    # both engines — one corrupt NaN/Inf/1e308 no longer kills the exact
-    # sum's job) — see tests/test_numeric_adversaries.py
-    "customer_running_totals",
-    "orders_seasonality",
-    "q11_important_parts",
-    # Calendar-adversary fixes (NULL o_orderdate excluded from the date-
-    # ordered window; month spine gets MAX RECURSION LEVEL 2400 + span
-    # guard) — see tests/test_calendar_adversaries.py
-    "recursive_month_spine",
-    # Vector-adversary fixes (well_formed_vectors now also sheds NaN/Inf/
-    # NULL COMPONENTS, well_formed_sql mirrors it in every oracle; the
-    # whole embedding family's expressions changed, so fresh rows) — see
-    # tests/test_vector_adversaries.py
-    "embedding_dim_stats",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine_lsh_loose",
-    "semantic_dedup",
-    "ann_topk_cosine",
-    "ann_topk_quantized",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    # NULL-key fix: totals/kept equi-join on lang silently dropped the
-    # NULL-lang group; now one window + aggregation mirroring the oracle
-    # — see tests/test_nullkey_adversaries.py
+    # Round-9 code changes under these entries (kept small per the r7
+    # ruling so the stalest-green rotation refreshes the r5/r6 rows):
+    #   - degenerate-bucket cap: star pairs over DEDUP_BUCKET_CAP in the
+    #     minhash/rolling generators, within-block gram df cut in the
+    #     Jaccard join, all mirrored in the oracles — see
+    #     tests/test_skew_adversaries.py and SCALE.md "Degenerate-bucket
+    #     cap (round 9)"
+    "dedup_minhash",
+    "dedup_rolling_windows",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    #   - NULL-lang ordering: final orderBy now asc_nulls_last so Spark
+    #     agrees with the oracle's DuckDB NULLS-LAST default when the
+    #     NULL-lang group is present (r8 ADVICE)
     "dedup_exact",
 ]
+
 
 @_functools.lru_cache(maxsize=1)
 def _latest_green_rounds() -> "dict[str, int]":
