@@ -9,51 +9,81 @@ line-capture and BENCH_r01.json recorded "parsed": null. The stdout line
 is now kept compact (top-10 slowest queries only); the complete per-query
 map is written to bench_full.json next to this script.
 
+Round-9 change — SHARDED fresh sessions. One shared 117-query session
+accumulates JVM state (GC pressure, state-store and broadcast residue),
+and rounds 6-8 each recorded 4-15 s phantom spikes on random sub-2 s
+queries — four benches produced four DIFFERENT phantom entries, every
+one refuted by a fresh-session re-time (SCALE.md). The mechanism is
+environmental stalls amplified by session age, so the fix is to bound
+session age: the query list is split into K contiguous shards (default
+4, $SPARK_GRAFT_BENCH_SHARDS) and each shard runs in its OWN subprocess
+with a fresh JVM, its own warm-up, and its own calibration measurement.
+Per-query times are still min-of-N within the shard; cross-round
+comparisons normalize each entry by ITS shard's calib_sec
+(bench_full.json carries the per-shard map; the top-level calib_sec is
+the mean across shards). If the environment cannot spawn subprocesses,
+the fallback rebuilds the SparkSession in-process per shard — weaker
+isolation (same JVM) but still a bounded-age SQL session.
+
 Each query is timed end-to-end (plan build + execution to a driver-side
-collect) in a shared session, after one tiny warm-up action so JVM/codegen
-startup isn't billed to the first query.
+collect), after one tiny warm-up action so JVM/codegen startup isn't
+billed to the first query.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
-import __spark_entry__ as entry_mod  # noqa: E402
-from polario_spark import get_spark  # noqa: E402
+DEFAULT_SHARDS = 4
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark("polario_spark_bench")
+def _query_names() -> list[str]:
+    import __spark_entry__ as entry_mod
+
+    return list(entry_mod.queries().keys())
+
+
+def _shard_slice(names: list[str], idx: int, k: int) -> list[str]:
+    """Contiguous split: shard i gets names[ceil-balanced block i]."""
+    n = len(names)
+    base, rem = divmod(n, k)
+    start = idx * base + min(idx, rem)
+    return names[start : start + base + (1 if idx < rem else 0)]
+
+
+def run_shard(names: list[str], sf_dir: str, spark) -> dict:
+    """Time the given queries in the provided (fresh) session.
+
+    Returns {"calib_sec": float, "queries": {...}, "runs": {...}}.
+    """
+    import __spark_entry__ as entry_mod
+    from polario_spark.plans import release_cached_residue
+    from polario_spark.sources.tables import TABLES
+
     # warm-up: JVM/codegen plus one footer+row touch per table, so the
     # first measured query doesn't absorb one-time scan setup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     # pre-warm the Python/Arrow worker pool so the first pandas-UDF query
     # isn't billed for 32 worker process startups
     try:
-        spark.range(64).mapInPandas(
-            lambda it: it, schema="id long"
-        ).collect()
+        spark.range(64).mapInPandas(lambda it: it, schema="id long").collect()
     except Exception:
         pass
     # fixed calibration workload, timed AFTER warm-up: a pure-JVM codegen
     # aggregation whose cost depends only on machine speed, never on the
     # query set. Cross-round comparisons should normalize per-query times
-    # by calib_sec — bench runs land on whatever VM instance the round
-    # gets, and instances differ by ~2x in raw speed.
+    # by the owning shard's calib_sec — bench runs land on whatever VM
+    # instance the round gets, and instances differ by ~2x in raw speed.
     calib_start = time.perf_counter()
-    spark.range(200_000_000).selectExpr(
-        "sum(id * 3 + 1)", "avg(id % 7)"
-    ).collect()
+    spark.range(200_000_000).selectExpr("sum(id * 3 + 1)", "avg(id % 7)").collect()
     calib_sec = round(time.perf_counter() - calib_start, 3)
-    from polario_spark.sources.tables import TABLES
-
     for t in TABLES:
         try:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
@@ -61,27 +91,22 @@ def main() -> None:
             pass
 
     # Each query runs REPEATS times and records the MIN: single-run times
-    # in a shared 100-query session are inflated 2-10x by order effects
-    # (GC pressure, state-store residue from earlier streaming queries) —
-    # rounds 2 and 3 both reported phantom regressions on untouched code
-    # until the affected queries were re-timed in isolation. min-of-N is
-    # the standard noise floor estimator for that failure mode.
+    # in a shared session are inflated 2-10x by order effects (GC
+    # pressure, state-store residue from earlier streaming queries) —
+    # min-of-N is the standard noise floor estimator for that failure
+    # mode, and the shard split bounds how much session age the order
+    # effects have to work with.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    queries = entry_mod.queries()
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
-    from polario_spark.plans import release_cached_residue
 
     def _timed_run(fn, name: str, runs: list[float]) -> bool:
         """One timed execution appended to ``runs``; False on query error.
 
         (Round 8 tried an untimed ``System.gc()`` here to consolidate
-        the 4-15 s full-GC pauses that land on random queries in a
-        shared 117-query session. Measured effect: WORSE — the forced
-        GC triggers ContextCleaner, whose asynchronous broadcast/shuffle
-        cleanup then competes with the next timed region; the
-        calib-normalized total went 158 -> 257 on the same code. Pause
-        noise is instead handled by the adaptive extra repeat below plus
-        tools/bench_tripwire.py + the SCALE.md fresh-session protocol.)
+        full-GC pauses; measured WORSE — ContextCleaner's async cleanup
+        lands in the next timed region. See SCALE.md.)
         """
         start = time.perf_counter()
         try:
@@ -93,42 +118,121 @@ def main() -> None:
             print(f"ERROR {name}: {exc}", file=sys.stderr)
             return False
 
-    for name, fn in entry_mod.queries().items():
+    for name in names:
+        fn = queries[name]
         runs: list[float] = []
         for _ in range(repeats):
             if not _timed_run(fn, name, runs):
                 break
             # sweep localCheckpoint blocks OUTSIDE the timer: each repeat
             # rebuilds its plan (and re-checkpoints), so blocks from the
-            # previous run are pure residue — letting them pile up across
-            # ~120 queries is one of the order-effect noise mechanisms
-            # SCALE.md documents
+            # previous run are pure residue
             release_cached_residue(spark)
         ok = [t for t in runs if t >= 0]
+        base_clean = bool(ok) and len(ok) == len(runs)
         # adaptive extra repeat: when the recorded runs disagree >2x, at
-        # least one of them ate a pause min-of-N hasn't averaged out —
-        # buy one more sample so the min is a real number, not the
-        # smaller of two corrupted ones. Bounded: one extra run, only
-        # for the handful of entries whose spread says they need it.
-        if len(ok) == len(runs) and ok and max(ok) > 2 * min(ok):
+        # least one of them ate a pause — buy one more sample so the min
+        # is a real number, not the smaller of two corrupted ones.
+        if base_clean and max(ok) > 2 * min(ok):
             if _timed_run(fn, name, runs):
                 release_cached_residue(spark)
             ok = [t for t in runs if t >= 0]
         all_runs[name] = runs
-        timings[name] = min(ok) if ok and len(ok) == len(runs) else -1.0
+        # a failed BONUS run must not flip a clean entry to errored: with
+        # N clean base samples the min of those is the measurement (r8
+        # ADVICE) — only a base-repeat failure marks the entry errored
+        timings[name] = min(ok) if base_clean else -1.0
+
+    return {"calib_sec": calib_sec, "queries": timings, "runs": all_runs}
+
+
+def _run_shard_subprocess(idx: int, k: int, sf_dir: str, out_path: str) -> bool:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_SHARD"] = f"{idx}/{k}"
+    env["SPARK_GRAFT_BENCH_SHARD_OUT"] = out_path
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.PIPE,
+        cwd=REPO,
+    )
+    if proc.returncode != 0 or not os.path.exists(out_path):
+        tail = (proc.stderr or b"")[-2000:].decode(errors="replace")
+        print(f"shard {idx}/{k} failed (rc={proc.returncode}): {tail}",
+              file=sys.stderr)
+        return False
+    return True
+
+
+def _shard_child() -> None:
+    idx, k = map(int, os.environ["SPARK_GRAFT_BENCH_SHARD"].split("/"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_path = os.environ["SPARK_GRAFT_BENCH_SHARD_OUT"]
+    from polario_spark import get_spark
+
+    spark = get_spark(f"polario_spark_bench_shard{idx}")
+    try:
+        result = run_shard(_shard_slice(_query_names(), idx, k), sf_dir, spark)
+    finally:
+        spark.stop()
+    with open(out_path, "w") as fh:
+        json.dump(result, fh)
+
+
+def main() -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_SHARD"):
+        _shard_child()
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    k = int(os.environ.get("SPARK_GRAFT_BENCH_SHARDS", str(DEFAULT_SHARDS)))
+    names = _query_names()
+    k = max(1, min(k, len(names)))
+
+    shard_results: list[dict] = []
+    shard_of: dict[str, int] = {}
+    for idx in range(k):
+        out_path = os.path.join(REPO, f"bench_shard_{idx}.json")
+        if os.path.exists(out_path):
+            os.remove(out_path)
+        ok = _run_shard_subprocess(idx, k, sf_dir, out_path)
+        if ok:
+            result = json.load(open(out_path))
+            os.remove(out_path)
+        else:
+            # fallback: same-process fresh SQL session (weaker isolation —
+            # same JVM — but still a bounded-age session); used only when
+            # the environment cannot spawn subprocesses
+            from polario_spark import get_spark
+
+            spark = get_spark(f"polario_spark_bench_shard{idx}")
+            try:
+                result = run_shard(_shard_slice(names, idx, k), sf_dir, spark)
+            finally:
+                spark.stop()
+        shard_results.append(result)
+        for name in result["queries"]:
+            shard_of[name] = idx
+
+    timings = {n: t for r in shard_results for n, t in r["queries"].items()}
+    all_runs = {n: rr for r in shard_results for n, rr in r["runs"].items()}
+    shard_calibs = [r["calib_sec"] for r in shard_results]
+    calib_sec = round(sum(shard_calibs) / len(shard_calibs), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     n_errors = sum(1 for t in timings.values() if t < 0)
-    top10 = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
-    )
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    top10 = dict(sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10])
+    sidecar = os.path.join(REPO, "bench_full.json")
     with open(sidecar, "w") as fh:
         json.dump(
             {
                 "sf": sf,
                 "total_sec": total,
                 "calib_sec": calib_sec,
+                "shard_calibs": shard_calibs,
+                "shard_of": shard_of,
                 "n_errors": n_errors,
                 "queries": timings,
                 "runs": all_runs,
@@ -151,7 +255,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools as _functools
 import json as _json
+import os
 import pathlib as _pathlib
 import re
 from collections.abc import Callable
@@ -2597,20 +2598,27 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     every future join/agg on the bucket key; the test asserts the final
     plan is exchange-free on the join path.
 
-    Metastore hygiene: the uuid-named database can't be dropped before
-    the caller collects the returned frame (the plan reads its tables),
-    so cleanup is two-layered — an atexit drop for databases this process
-    created (best-effort; the session may already be stopped), plus an
-    entry-time sweep of any ``bjoin_*`` database some earlier process
-    left behind. A long-lived shared metastore therefore never
-    accumulates more than the live session's registrations."""
+    Metastore hygiene: the database name embeds the owning PID
+    (``bjoin_p{pid}_{uuid}``) and can't be dropped before the caller
+    collects the returned frame (the plan reads its tables), so cleanup
+    is two-layered — an atexit drop for databases this process created
+    (best-effort; the session may already be stopped), plus an
+    entry-time sweep of leftovers. The sweep only drops a database whose
+    owning process is demonstrably gone (PID not alive, or no embedded
+    PID — a pre-round-9 legacy name) — with a shared metastore, a
+    SECOND concurrently-running driver's live database is
+    indistinguishable from a leftover by name alone, and the r8 sweep
+    would have dropped it mid-query (r8 ADVICE). PID recycling can at
+    worst postpone a drop until the recycled PID exits; it never drops a
+    live database, because a live owner's PID is by definition alive."""
     import uuid as _uuid
 
     for old in spark.sql("SHOW DATABASES LIKE 'bjoin_*'").collect():
         name = old[0]
-        if name not in _BJOIN_LIVE_DBS:
-            spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
-    db = f"bjoin_{_uuid.uuid4().hex[:8]}"
+        if name in _BJOIN_LIVE_DBS or _bjoin_owner_alive(name):
+            continue
+        spark.sql(f"DROP DATABASE IF EXISTS {name} CASCADE")
+    db = f"bjoin_p{os.getpid()}_{_uuid.uuid4().hex[:8]}"
     loc = work_dir(spark, "bucketed_join")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     _BJOIN_LIVE_DBS.add(db)
@@ -2647,6 +2655,28 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BJOIN_LIVE_DBS: set[str] = set()
 _BJOIN_ATEXIT_REGISTERED = False
+
+
+def _bjoin_owner_alive(db_name: str) -> bool:
+    """True when the bjoin_* database's embedded owner PID is a live
+    process (``os.kill(pid, 0)``). Names without an embedded PID
+    (pre-round-9 ``bjoin_<hex>``) report False — there is no owner to
+    protect, so the sweep may drop them."""
+    m = re.match(r"bjoin_p(\d+)_", db_name)
+    if m is None:
+        return False
+    pid = int(m.group(1))
+    if pid == os.getpid():
+        # our own leftover not in _BJOIN_LIVE_DBS: safe to drop
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        # exists but owned by another user — definitely alive
+        return True
 
 
 def _register_bjoin_atexit_drop(spark: SparkSession) -> None:

@@ -338,6 +338,34 @@ def test_escape_unescape_property():
     roundtrip()
 
 
+def test_unescape_passthrough_property():
+    """Reference-layout passthrough as a PROPERTY (round-9, verdict item
+    5), complementing the round-trip property above: any string with no
+    '%' cannot contain a writer escape sequence, so unescape must be the
+    identity on it; and a '%' followed by anything but uppercase hex of
+    the writer-escapable set must also pass through untouched."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from polario_spark.hive_dataset import unescape_partition_value as un
+
+    @given(st.text(max_size=40).filter(lambda s: "%" not in s))
+    @settings(max_examples=300, deadline=None)
+    def no_percent_is_identity(v):
+        assert un(v) == v
+
+    no_percent_is_identity()
+
+    # escapes of characters the writer never escapes: uppercase hex, but
+    # the decoded char is outside the escapable set -> keep literal
+    @given(st.sampled_from(["41", "61", "7A", "30", "20", "C3"]))
+    @settings(max_examples=20, deadline=None)
+    def non_escapable_hex_passthrough(hx):
+        assert un(f"v%{hx}") == f"v%{hx}"
+
+    non_escapable_hex_passthrough()
+
+
 def test_unescape_only_decodes_spark_writer_sequences():
     """Round-8 interop fix: the reference writes partition values RAW, so
     a reference-written directory name containing a literal %XX must NOT

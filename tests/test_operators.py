@@ -531,12 +531,31 @@ def test_bucketed_join_metastore_hygiene(spark):
     a dead process is swept on the next invocation."""
     from polario_spark import queries as Q
 
+    import subprocess
+
     # simulate a dead process's leftover: present in the metastore but
-    # absent from the live set
+    # absent from the live set (legacy no-PID name -> sweepable)
     spark.sql("CREATE DATABASE IF NOT EXISTS bjoin_deadbeef")
     Q._BJOIN_LIVE_DBS.discard("bjoin_deadbeef")
-    df = Q.REGISTRY["bucketed_join"].spark(spark, "/root/testdata/sf0.001")
-    assert df.count() > 0
-    names = {r[0] for r in spark.sql("SHOW DATABASES LIKE 'bjoin_*'").collect()}
-    assert "bjoin_deadbeef" not in names  # stale db swept
-    assert names <= Q._BJOIN_LIVE_DBS  # everything left is atexit-tracked
+    # r9 ADVICE: a CONCURRENT driver's live database must survive the
+    # sweep — liveness is decided by the PID embedded in the name
+    helper = subprocess.Popen(["sleep", "60"])
+    live_db = f"bjoin_p{helper.pid}_cafe0000"
+    dead_db = "bjoin_p999999999_dead0000"
+    try:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {live_db}")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {dead_db}")
+        df = Q.REGISTRY["bucketed_join"].spark(spark, "/root/testdata/sf0.001")
+        assert df.count() > 0
+        names = {
+            r[0] for r in spark.sql("SHOW DATABASES LIKE 'bjoin_*'").collect()
+        }
+        assert "bjoin_deadbeef" not in names  # legacy stale db swept
+        assert dead_db not in names  # dead-PID db swept
+        assert live_db in names  # live concurrent owner NOT swept
+        assert names - {live_db} <= Q._BJOIN_LIVE_DBS  # rest atexit-tracked
+    finally:
+        helper.kill()
+        helper.wait()
+        spark.sql(f"DROP DATABASE IF EXISTS {live_db} CASCADE")
+        spark.sql(f"DROP DATABASE IF EXISTS {dead_db} CASCADE")

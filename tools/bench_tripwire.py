@@ -1,28 +1,36 @@
-"""Mechanical bench-regression tripwire (round-8, verdict item 5).
+"""Mechanical bench-regression tripwire (round-8, verdict item 5;
+round-9: exact full-map diff + per-shard calibration).
 
 Rounds 6 and 7 each caught a >2x per-query bench regression BY EYE
 (`dedup_embedding_cosine_lsh`, then `quality_filter_funnel`) — both of
 which the SCALE.md fresh-session protocol later resolved as order-effect
 noise. This script makes that screen mechanical: it diffs the current
-``bench_full.json`` against the previous round's committed numbers and
-prints every entry whose min-of-N worsened more than THRESHOLD x
+``bench_full.json`` against the previous round's numbers and prints
+every entry whose min-of-N worsened more than THRESHOLD x
 calib-normalized despite its code NOT being touched this round (i.e.
 absent from ``queries._PRIORITY``). Those entries are exactly the ones
 the SCALE.md protocol says to re-time in a fresh session before
 believing either number.
 
-Reference: the newest committed ``BENCH_r*.json``'s ``parsed.queries``
-map. The driver keeps only the top-10 slowest there, so for an entry
-absent from it the old time is bounded above by min(top-10) — absence
-from the top-10 IS the evidence it was at least that fast, which is
-precisely how the round-7 `quality_filter_funnel` flag was raised by
-eye ("<=1.5 s in r6 — not in its top-10").
+Reference, in preference order (round-9, closing the r8 verdict's
+"bounded from above" caveat):
 
-Comparisons are calib-normalized (each side's time divided by its run's
-``calib_sec``) so a slower VM moment doesn't trip the wire, and entries
-under MIN_ABS_SEC raw in both runs are ignored — a 0.05 s -> 0.15 s
-jitter is not a regression signal. Exit code 1 when anything trips, so
-the pre-snapshot checklist can gate on it.
+1. The newest COMMITTED ``bench_full.json`` as of the latest driver
+   round commit — ``git show <rev>:bench_full.json`` where ``<rev>`` is
+   the last commit that touched the file at or before the newest
+   ``BENCH_r*.json``'s commit. That is the predecessor round's complete
+   117-entry map, making the >2x screen EXACT for every entry.
+2. Fallback (git unavailable / file never committed): the newest
+   ``BENCH_r*.json``'s ``parsed.queries`` top-10, with absence from the
+   top-10 bounding an entry's old time above by min(top-10).
+
+Comparisons are calib-normalized — each side's time divided by its
+run's ``calib_sec``; when a side carries the round-9 sharded-bench
+fields (``shard_calibs`` + ``shard_of``), the entry's OWN shard calib
+is used instead of the run-wide mean. Entries under MIN_ABS_SEC raw in
+both runs are ignored — a 0.05 s -> 0.15 s jitter is not a regression
+signal. Exit code 1 when anything trips, so the pre-snapshot checklist
+can gate on it.
 
 Usage: python tools/bench_tripwire.py [new_bench_full.json]
 """
@@ -31,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -38,7 +47,53 @@ THRESHOLD = 2.0  # calib-normalized worsening factor that trips
 MIN_ABS_SEC = 0.5  # ignore entries faster than this in BOTH runs
 
 
-def _load_previous() -> tuple[dict[str, float], float, str]:
+def _calib_for(run: dict, name: str) -> float:
+    """Entry's normalizing calibration: its shard's calib when the run is
+    sharded, else the run-wide calib_sec."""
+    shard_of = run.get("shard_of") or {}
+    shard_calibs = run.get("shard_calibs") or []
+    idx = shard_of.get(name)
+    if isinstance(idx, int) and 0 <= idx < len(shard_calibs):
+        return float(shard_calibs[idx]) or 1.0
+    return float(run.get("calib_sec") or 1.0)
+
+
+def _newest_bench_round() -> str | None:
+    rounds = sorted(
+        f for f in os.listdir(REPO)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    return rounds[-1] if rounds else None
+
+
+def _load_previous_full() -> tuple[dict | None, str]:
+    """The complete previous-round map from git history, or (None, why)."""
+    newest = _newest_bench_round()
+    if newest is None:
+        return None, "no BENCH_r*.json"
+    try:
+        round_commit = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--", newest],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if not round_commit:
+            return None, f"{newest} not committed"
+        full_commit = subprocess.run(
+            ["git", "rev-list", "-n1", round_commit, "--", "bench_full.json"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if not full_commit:
+            return None, "bench_full.json never committed before the round"
+        blob = subprocess.run(
+            ["git", "show", f"{full_commit}:bench_full.json"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(blob), f"git {full_commit[:9]}:bench_full.json"
+    except Exception as exc:
+        return None, f"git lookup failed: {exc}"
+
+
+def _load_previous_top10() -> tuple[dict[str, float], float, str]:
     """(top-10 seconds, calib_sec, source) from the newest BENCH_r*.json."""
     rounds = sorted(
         f for f in os.listdir(REPO)
@@ -63,38 +118,62 @@ def main() -> int:
     )
     new = json.load(open(new_path))
     new_q: dict[str, float] = new["queries"]
-    new_calib = float(new.get("calib_sec") or 1.0)
 
-    prev_q, prev_calib, source = _load_previous()
-    if not prev_q:
-        print("tripwire: no committed BENCH_r*.json found — nothing to diff")
-        return 0
-    # absence from the old top-10 bounds an entry's old time from above
-    old_bound = min(t for t in prev_q.values() if t >= 0)
+    prev_full, full_source = _load_previous_full()
 
     sys.path.insert(0, REPO)
     from polario_spark.queries import _PRIORITY  # noqa: E402
 
     touched = set(_PRIORITY)
     tripped = []
+
+    if prev_full is not None:
+        prev_q = prev_full["queries"]
+        source = full_source
+        def old_lookup(name):
+            """(old_raw_sec, old_calib, why) or (None, None, why)."""
+            t = prev_q.get(name)
+            if t is None or t < 0:
+                return None, None, "no clean previous time"
+            return t, _calib_for(prev_full, name), "vs exact (full map)"
+        prev_calib_desc = f"{prev_full.get('calib_sec')}"
+    else:
+        prev_q, prev_calib, source = _load_previous_top10()
+        if not prev_q:
+            print("tripwire: no committed bench reference found — nothing to diff")
+            return 0
+        clean_prev = [t for t in prev_q.values() if t >= 0]
+        # absence from the old top-10 bounds an entry's old time above;
+        # an all-error previous round has no bound — degrade gracefully
+        # (r8 ADVICE) by comparing only the exact entries
+        old_bound = min(clean_prev) if clean_prev else None
+        def old_lookup(name):
+            if name in prev_q:
+                t = prev_q[name]
+                if t < 0:
+                    return None, None, "no clean previous time"
+                return t, prev_calib, "vs exact"
+            if old_bound is None:
+                return None, None, "all-error previous round"
+            return old_bound, prev_calib, "vs top-10 floor bound"
+        prev_calib_desc = f"{prev_calib}"
+
     for name, new_t in sorted(new_q.items()):
         if new_t < 0:
             tripped.append((name, None, new_t, float("inf"), "ERROR"))
             continue
-        exact = name in prev_q
-        old_t = prev_q[name] if exact else old_bound
-        if old_t < 0 or max(old_t, new_t) < MIN_ABS_SEC:
+        old_t, old_calib, why = old_lookup(name)
+        if old_t is None:
             continue
-        ratio = (new_t / new_calib) / max(old_t / prev_calib, 1e-9)
+        if max(old_t, new_t) < MIN_ABS_SEC:
+            continue
+        ratio = (new_t / _calib_for(new, name)) / max(old_t / old_calib, 1e-9)
         if ratio > THRESHOLD and name not in touched:
-            tripped.append(
-                (name, old_t, new_t, ratio,
-                 "vs exact" if exact else "vs top-10 floor bound")
-            )
+            tripped.append((name, old_t, new_t, ratio, why))
 
     print(
         f"tripwire: {len(new_q)} queries vs {source} "
-        f"(calib {prev_calib} -> {new_calib})"
+        f"(prev calib {prev_calib_desc} -> new {new.get('calib_sec')})"
     )
     if not tripped:
         print("tripwire: clean — no untouched entry worsened "
