@@ -402,23 +402,57 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the one integer-string shape BOTH engines' JSON stacks agree on
+#: (round-9 JSON adversary probe): optional minus then 1-18 digits.
+#: Everything else in a numeric JSON slot is cross-engine poison —
+#: DuckDB's ::BIGINT on a JSON value ROUNDS floats (1.9 -> 2) and
+#: RAISES on strings/arrays/objects where Spark's lenient casts return
+#: NULL (and Spark's ANSI CAST would kill the whole job on 'abc');
+#: 19+-digit integers stringify as full digits in Spark but '1e23' in
+#: DuckDB. Gating the STRING form on this regex before a now-safe CAST
+#: makes every such value NULL in both engines by the same rule.
+_JSON_INT_RE = "^-?[0-9]{1,18}$"
+
+
 @_register(
     "events_json_stats",
-    """
+    f"""
+WITH g AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS s
+  FROM events
+)
 SELECT event_type,
        count(*) AS n,
-       round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
-       max(json_extract(props, '$.k')::BIGINT) AS max_k
-FROM events
+       round(avg(k), 4) AS avg_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type,
+         CASE WHEN regexp_matches(s, '{_JSON_INT_RE}') THEN CAST(s AS BIGINT) END AS k
+  FROM g
+)
 GROUP BY event_type
 ORDER BY event_type
 """,
 )
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: JSON path -> typed column -> aggregate.
-    get_json_object runs JVM-side; no Python in the loop."""
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "k", F.get_json_object("props", "$.k").cast("bigint")
+    get_json_object runs JVM-side; no Python in the loop.
+
+    Hardened (round-9 JSON adversary probe): the path value is extracted
+    as a STRING and admitted to the integer domain only through
+    ``_JSON_INT_RE`` — a `{{"k": "abc"}}` row used to KILL the whole job
+    under Spark's ANSI cast while the DuckDB oracle died on its own
+    ::BIGINT, and a `{{"k": 1.9}}` row silently diverged (DuckDB rounds
+    to 2, Spark nulls). Malformed JSON is NULL in Spark's lenient
+    get_json_object and json_valid-guarded in the oracle; duplicate keys
+    are safe here because BOTH engines' path extractors take the FIRST
+    occurrence. Rows with a non-integer k still count in ``n`` — only
+    the typed aggregates exclude them."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.get_json_object("props", "$.k")
+    ev = ev.withColumn(
+        "k", F.when(s.rlike(_JSON_INT_RE), s.cast("bigint"))
     )
     return (
         ev.groupBy("event_type")
@@ -3180,26 +3214,67 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "events_props_map",
-    """
+    f"""
+WITH g AS (
+  SELECT CASE WHEN json_valid(props) THEN props END AS vp FROM events
+),
+h AS (
+  SELECT CASE WHEN json_type(vp) = 'OBJECT' THEN vp END AS op
+  FROM g
+),
+kv AS (
+  SELECT u.e.key AS key, json_extract_string(u.e.value, '$') AS sval
+  FROM (
+    SELECT unnest(map_entries(op::JSON::MAP(VARCHAR, JSON))) AS e
+    FROM h WHERE op IS NOT NULL
+  ) u
+)
 SELECT key, count(*) AS n, min(val) AS min_val, max(val) AS max_val, sum(val)::BIGINT AS sum_val
 FROM (
-  SELECT key, json_extract(props, '$.' || key)::BIGINT AS val
-  FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+  SELECT key,
+         CASE WHEN regexp_matches(sval, '{_JSON_INT_RE}') THEN CAST(sval AS BIGINT) END AS val
+  FROM kv
 )
 GROUP BY key
 ORDER BY key
 """,
 )
 def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured map handling: from_json into map<string,bigint>,
-    explode to (key, value) rows, aggregate per key — the generic
-    properties-bag shape. All JVM-side (from_json + explode)."""
+    """Semi-structured map handling: from_json into a map, explode to
+    (key, value) rows, aggregate per key — the generic properties-bag
+    shape. All JVM-side (from_json + explode).
+
+    Hardened (round-9 JSON adversary probe). Three divergences closed:
+
+    - **duplicate keys**: both engines' map materializations keep BOTH
+      occurrences of `{"k":1,"k":2}` — Spark's from_json map explodes to
+      two rows (the Python-side dict display dedups, the engine does
+      not) and DuckDB's ::MAP cast holds both entries — so plain
+      enumeration agrees naturally. (The OLD oracle was still wrong: it
+      took json_keys twice but json_extract'd the FIRST value for both,
+      counting value 1 twice instead of 1 and 2.)
+    - **value typing**: values decode as STRINGS (map<string,string> /
+      json_extract_string(value,'$'), which collapse `12` and `"12"`
+      identically in both engines) and pass the ``_JSON_INT_RE`` gate
+      before the integer cast — the old map<string,bigint> nulled the
+      WHOLE map when any one value was non-integer, while the oracle's
+      ::BIGINT raised on it.
+    - **path injection**: the old oracle built '$.' || key paths, so a
+      key containing '.' read as a nested path (NULL) while Spark's map
+      explode kept it literal; map_entries is literal on both sides.
+
+    Malformed JSON and non-object documents drop out identically
+    (from_json -> NULL map, which explode skips, in Spark;
+    json_valid/json_type guards in the oracle)."""
     ev = _t(spark, sf_dir, "events")
-    kv = ev.select(
-        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "val")
+    m = F.from_json("props", "map<string,string>")
+    kv = ev.select(F.explode(m).alias("key", "sval"))
+    val = F.when(
+        F.col("sval").rlike(_JSON_INT_RE), F.col("sval").cast("bigint")
     )
     return (
-        kv.groupBy("key")
+        kv.select("key", val.alias("val"))
+        .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("val").alias("min_val"),
@@ -4270,13 +4345,28 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "events_variant_extract",
-    """
+    f"""
+WITH g AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props) THEN props END AS vp
+  FROM events
+),
+h AS (
+  SELECT event_type,
+         CASE WHEN len(json_keys(vp)) = len(list_distinct(json_keys(vp)))
+              THEN json_extract_string(vp, '$.k') END AS s
+  FROM g
+)
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS INTEGER))::BIGINT AS sum_k,
-       min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-FROM events
+       sum(k)::BIGINT AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type,
+         CASE WHEN regexp_matches(s, '{_JSON_INT_RE}') THEN CAST(s AS BIGINT) END AS k
+  FROM h
+)
 GROUP BY event_type
 ORDER BY event_type
 """,
@@ -4287,7 +4377,21 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``variant_get``. Variant keeps the parsed binary form through the
     plan, so repeated field extraction never re-parses the JSON text —
     the 100 TB answer to logs with open schemas (vs from_json, which
-    needs the schema up front, see events_json_stats)."""
+    needs the schema up front, see events_json_stats).
+
+    Hardened (round-9 JSON adversary probe): extraction is as STRING +
+    ``_JSON_INT_RE`` gate, because ``try_variant_get(..., 'int')`` has
+    its OWN third set of numeric coercions (1.9 truncates to 1 where
+    DuckDB's cast rounds to 2 and the string-gate nulls; true -> 1).
+    The string forms agree between variant and DuckDB for everything
+    the regex admits. Duplicate-key objects: Spark's variant builder
+    REJECTS them (try_parse_json -> NULL, all fields null) — the oracle
+    mirrors with a json_keys/distinct census. Caveat, pinned in
+    tests/test_json_adversaries.py: variant rejects duplicates at ANY
+    nesting depth while the oracle's census sees the TOP level; a
+    nested-duplicate document whose $.k is itself a clean integer would
+    diverge — accepted, since such a document is corrupt by the variant
+    spec and the operator's job is to not die on it."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         # try_parse_json, not parse_json: one malformed props row in a
@@ -4295,7 +4399,8 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the typed aggregates below), not abort the whole job
         F.try_parse_json("props").alias("v"),
     )
-    k = F.try_variant_get("v", "$.k", "int")
+    s = F.try_variant_get("v", "$.k", "string")
+    k = F.when(s.rlike(_JSON_INT_RE), s.cast("bigint"))
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -4872,6 +4977,12 @@ _PRIORITY = [
     #     agrees with the oracle's DuckDB NULLS-LAST default when the
     #     NULL-lang group is present (r8 ADVICE)
     "dedup_exact",
+    #   - JSON adversary hardening: string-extract + _JSON_INT_RE gate
+    #     replaces engine-native numeric coercions; dup-key census;
+    #     literal map_entries oracle — see tests/test_json_adversaries.py
+    "events_json_stats",
+    "events_props_map",
+    "events_variant_extract",
 ]
 
 
