@@ -303,3 +303,35 @@ def test_range_join_binned_is_hash_equi_join(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_capped_dedup_census_shapes(spark):
+    """Round-9 degenerate-bucket cap, plan contracts from SCALE.md:
+
+    - the bucket census is an AGGREGATE (map-side combinable partials),
+      never a Window over the postings (a window would sort the full
+      posting stream per bucket key and recompute per plan branch);
+    - the over-cap key filter is a broadcast LeftAnti join (the hot
+      frame is <= |postings|/cap and empty on organic corpora), so the
+      normal-regime pair join keeps its old shape;
+    - no sort-merge or cartesian joins anywhere in the pair pipeline.
+    """
+    from polario_spark.operators import dedup, similarity
+
+    docs = Q._t(spark, SF_DIR, "documents")  # noqa: SLF001
+    sig = dedup.minhash_signatures(docs, "doc_id", "text")
+    frames = {
+        "rolling": dedup.rolling_window_pairs(docs, "doc_id", "text"),
+        "minhash": dedup.minhash_candidate_pairs(sig, "doc_id"),
+        "ngram": similarity.ngram_jaccard_pairs(docs, "doc_id", "text"),
+    }
+    for name, df in frames.items():
+        plan = formatted_plan(df)
+        assert "Window" not in plan, (name, "census must stay an aggregate")
+        assert "Join type: LeftAnti" in plan, (name, "over-cap anti-join missing")
+        # every anti-join in these plans must be broadcast at organic scale
+        assert plan.count("BroadcastHashJoin LeftAnti") == plan.count(
+            "Join type: LeftAnti"
+        ) or "SortMergeJoin LeftAnti" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, (name, "pair join lost broadcast")
