@@ -314,17 +314,29 @@ def connected_components(
     smallest doc id reachable through the pair graph — the canonical
     representative every duplicate collapses to.
 
-    Each iteration is one join + one map-side-combinable min-agg; labels
-    are localCheckpoint()ed so lineage (and the replayed shuffle DAG)
-    stays O(1) instead of O(iterations). Converges in diameter(G) rounds;
-    near-dup clusters are shallow (dup groups are cliques-ish), so 3-5
-    rounds in practice. At 100 TB the same loop holds — the per-round
-    shuffle is |E|, never the transitive closure, and the early-exit
-    count() touches only the label frame. (The production-hardened
-    variant of this loop is the large-star/small-star algorithm of
-    Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14 — same primitive rounds, provably fewer of them on
-    high-diameter graphs.)
+    Each iteration is one |E| join + one label-frame self-join (pointer
+    jumping: node's label shrinks to its label's label, so label chains
+    halve every round) + one map-side-combinable min-agg; labels are
+    localCheckpoint()ed so lineage (and the replayed shuffle DAG) stays
+    O(1) instead of O(iterations). Edge propagation alone needs
+    diameter(G) rounds — a chain of m successively-shifted near-dup docs
+    (A~B~C~...) has diameter m and would silently exhaust any fixed
+    iteration budget; with the jump step the combined loop converges in
+    O(log diameter) rounds (hash-to-min style, cf. Rastogi et al.,
+    "Finding Connected Components in Map-Reduce in Logarithmic Rounds",
+    ICDE'13; Kiveris et al., SoCC'14), so ``max_iterations=25`` covers
+    any graph a real corpus can produce (2^25-hop chains). Safety over
+    silence: if the budget is somehow exhausted before convergence the
+    loop RAISES rather than returning not-yet-propagated labels — an
+    unconverged label frame is a wrong answer, not a degraded one. At
+    100 TB the same loop holds — the per-round shuffle is |E| + |V|,
+    never the transitive closure, and the early-exit count() touches
+    only the label frame.
+
+    Pointer-jump safety: label(u) is always the id of a node reachable
+    from u (it starts as u and only ever moves to a label some reachable
+    node holds), so label(label(u)) is reachable too — the jump can
+    never escape u's component, it only shortcuts within it.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -334,13 +346,26 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    converged = False
     for _ in range(max_iterations):
         propagated = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), F.col("label"))
         )
+        # pointer jumping: every label is itself a node of the graph, so
+        # its current label is one lookup away; min(label, label-of-label)
+        # halves chain depth per round, turning diameter-bound convergence
+        # into log-diameter
+        jumped = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.node"))
+            .select(
+                F.col("l1.node").alias("node"), F.col("l2.label").alias("label")
+            )
+        )
         new_labels = (
             labels.union(propagated)
+            .union(jumped)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
@@ -353,7 +378,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — with pointer jumping that needs a component of "
+            f"diameter > 2^{max_iterations}; raise max_iterations"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -131,6 +131,37 @@ def test_connected_components(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain(spark):
+    """Diameter-adversary probe: a 200-link chain (successively-shifted
+    near-dups A~B~C~... produce exactly this graph shape). Edge
+    propagation alone moves the min label ONE hop per round, so the old
+    diameter-bound loop silently returned unconverged (wrong) labels once
+    diameter > max_iterations; the pointer-jump step makes convergence
+    O(log diameter), so 200 hops fit comfortably in far fewer than the
+    default 25 rounds — pinned here with an explicit budget of 12
+    (2^12 >> 200, log2(200) ~ 7.6)."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    comp = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs, max_iterations=12).collect()
+    }
+    assert comp == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """An unconverged label frame is a wrong answer — the loop must raise,
+    never return it. max_iterations=1 cannot finish a diameter-4 chain
+    (the convergence-confirming round alone needs a second pass)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iterations=1)
+
+
 def test_quality_filter_flags(spark):
     short_doc = "one two three"  # fails pass_len (3 tokens)
     repetitive = " ".join(["spam"] * 40)  # fails diversity + top_freq
