@@ -64,9 +64,12 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep exactly one row per key: the one with the smallest id.
 
     Deterministic alternative to ``df.dropDuplicates(key_cols)``. Executes
-    as a single hash-aggregate / window over the key shuffle.
+    as a single hash-aggregate / window over the key shuffle. NULL ids
+    rank LAST (Spark's default asc is NULLS FIRST, which would crown a
+    NULL-id row the survivor over every real id — and diverge from the
+    SQL engines' NULLS-LAST ``ORDER BY id`` formulation of the same rule).
     """
-    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc_nulls_last())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -347,25 +350,29 @@ def connected_components(
         "label", F.col("node")
     )
     converged = False
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         propagated = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), F.col("label"))
         )
+        combined = labels.union(propagated)
         # pointer jumping: every label is itself a node of the graph, so
         # its current label is one lookup away; min(label, label-of-label)
         # halves chain depth per round, turning diameter-bound convergence
-        # into log-diameter
-        jumped = (
-            labels.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.node"))
-            .select(
-                F.col("l1.node").alias("node"), F.col("l2.label").alias("label")
+        # into log-diameter. Skipped in round 0, where labels are still
+        # the identity map and the jump is provably a no-op.
+        if i > 0:
+            jumped = (
+                labels.alias("l1")
+                .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.node"))
+                .select(
+                    F.col("l1.node").alias("node"),
+                    F.col("l2.label").alias("label"),
+                )
             )
-        )
+            combined = combined.union(jumped)
         new_labels = (
-            labels.union(propagated)
-            .union(jumped)
+            combined
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()

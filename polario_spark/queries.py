@@ -333,7 +333,9 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
-        .orderBy("hour", "event_type")
+        .orderBy(
+            F.col("hour").asc_nulls_last(), F.col("event_type").asc_nulls_last()
+        )
     )
 
 
@@ -398,7 +400,7 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_value"),
         )
-        .orderBy("user_id")
+        .orderBy(F.col("user_id").asc_nulls_last())
     )
 
 
@@ -461,7 +463,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
         )
-        .orderBy("event_type")
+        .orderBy(F.col("event_type").asc_nulls_last())
     )
 
 
@@ -486,7 +488,9 @@ ORDER BY 1, 2
 def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window aggregate drained to a memory
     sink — must equal the batch events_hourly result exactly."""
-    return hourly_counts(spark, sf_dir).orderBy("hour", "event_type")
+    return hourly_counts(spark, sf_dir).orderBy(
+            F.col("hour").asc_nulls_last(), F.col("event_type").asc_nulls_last()
+        )
 
 
 # ===========================================================================
@@ -565,7 +569,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_id"),
         )
         .filter(F.col("group_size") > 1)
-        .orderBy("canonical_id")
+        .orderBy(F.col("canonical_id").asc_nulls_last())
     )
 
 
@@ -604,7 +608,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_id"),
         )
         .filter(F.col("group_size") > 1)
-        .orderBy("canonical_id")
+        .orderBy(F.col("canonical_id").asc_nulls_last())
     )
 
 
@@ -689,7 +693,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
             F.round(F.avg("avg_token_len"), 4).alias("avg_token_len"),
         )
-        .orderBy("lang")
+        .orderBy(F.col("lang").asc_nulls_last())
     )
 
 
@@ -713,7 +717,9 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("lang").alias("labeled"), pred.alias("predicted"))
         .groupBy("labeled", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("labeled", "predicted")
+        .orderBy(
+            F.col("labeled").asc_nulls_last(), F.col("predicted").asc_nulls_last()
+        )
     )
 
 
@@ -751,7 +757,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
             F.max("n_tokens").alias("max_tokens"),
         )
-        .orderBy("source")
+        .orderBy(F.col("source").asc_nulls_last())
     )
 
 
@@ -770,7 +776,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         text_analysis.repetition_frame(docs, "text")
         .select("doc_id", *sig)
-        .orderBy("doc_id")
+        .orderBy(F.col("doc_id").asc_nulls_last())
     )
 
 
@@ -847,7 +853,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .orderBy("doc_id", "rank")
+        .orderBy(F.col("doc_id").asc_nulls_last(), "rank")
     )
 
 
@@ -906,7 +912,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
             F.col("best.score").alias("score"),
         )
-        .orderBy("survivor_id")
+        .orderBy(F.col("survivor_id").asc_nulls_last())
     )
 
 
@@ -934,12 +940,19 @@ def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number, which AQE executes with partial per-task top-k pruning."""
     docs = _t(spark, sf_dir, "documents")
     hsh = F.expr(TXT.md5_int32("cast(doc_id as string)", "spark"))
-    w = Window.partitionBy("lang").orderBy(hsh.asc(), F.col("doc_id").asc())
+    # asc_nulls_last on BOTH window keys: a NULL doc_id hashes to a NULL
+    # rank key, and Spark's default NULLS-FIRST would pull those rows INTO
+    # the top-k sample while the oracle's DuckDB NULLS-LAST excludes them —
+    # different docs selected, a value divergence, not just row order
+    # (round-9 NULL-key ordering probe)
+    w = Window.partitionBy("lang").orderBy(
+        hsh.asc_nulls_last(), F.col("doc_id").asc_nulls_last()
+    )
     return (
         docs.select("doc_id", "lang")
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= 5)
-        .orderBy("lang", "sample_rank")
+        .orderBy(F.col("lang").asc_nulls_last(), "sample_rank")
     )
 
 
@@ -955,7 +968,7 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     math shared with the oracle, content carried as an md5 hash."""
     docs = _t(spark, sf_dir, "documents")
     return text_analysis.chunk_documents(docs, "text").orderBy(
-        "doc_id", "chunk_id"
+        F.col("doc_id").asc_nulls_last(), "chunk_id"
     )
 
 
@@ -1024,7 +1037,7 @@ def _decontam_plan(
     return (
         per_doc.select("doc_id", "n_grams", "n_hit", overlap)
         .filter(F.col("overlap") >= min_overlap)
-        .orderBy("doc_id")
+        .orderBy(F.col("doc_id").asc_nulls_last())
     )
 
 
@@ -1222,7 +1235,7 @@ def exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup_frac,
         )
         .filter(F.col("dup_frac") >= EXSUB_MIN_DUP_FRAC)
-        .orderBy("doc_id")
+        .orderBy(F.col("doc_id").asc_nulls_last())
     )
 
 
@@ -1271,7 +1284,7 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("lang")
-        .orderBy("doc_id")
+        .orderBy(F.col("doc_id").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start_off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
@@ -1285,7 +1298,7 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("seq_tokens"),
         )
-        .orderBy("lang", "seq_id")
+        .orderBy(F.col("lang").asc_nulls_last(), "seq_id")
     )
 
 
@@ -1323,7 +1336,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("byte_len").alias("total_bytes"),
             F.round(F.avg("first_byte"), 4).alias("avg_first_byte"),
         )
-        .orderBy("source")
+        .orderBy(F.col("source").asc_nulls_last())
     )
 
 
@@ -1361,7 +1374,7 @@ def hive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
-        .orderBy("lang")
+        .orderBy(F.col("lang").asc_nulls_last())
     )
 
 
@@ -1737,7 +1750,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("nrm"), 4).alias("min_norm"),
             F.round(F.max("nrm"), 4).alias("max_norm"),
         )
-        .orderBy("label")
+        .orderBy(F.col("label").asc_nulls_last())
     )
 
 
@@ -2316,7 +2329,7 @@ ORDER BY user_id
 def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState sessionization (30-min gap) — the custom
     stateful streaming operator, verified against batch sessionization."""
-    return streaming_events.stateful_sessions(spark, sf_dir).orderBy("user_id")
+    return streaming_events.stateful_sessions(spark, sf_dir).orderBy(F.col("user_id").asc_nulls_last())
 
 
 # ===========================================================================
@@ -2385,7 +2398,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .orderBy("event_type")
+        .orderBy(F.col("event_type").asc_nulls_last())
     )
 
 
@@ -2424,7 +2437,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("__sum"), 2).alias("sum_value"),
             F.round(F.max("__max"), 2).alias("max_value"),
         )
-        .orderBy("event_type")
+        .orderBy(F.col("event_type").asc_nulls_last())
     )
 
 
@@ -2876,7 +2889,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "exact_users",
         within.alias("hll_within_rsd"),
-    ).orderBy("event_type")
+    ).orderBy(F.col("event_type").asc_nulls_last())
 
 
 @_register(
@@ -3018,7 +3031,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chunk_len").alias("sampled_bytes"),
             F.sum("checksum").alias("checksum_total"),
         )
-        .orderBy("doc_id")
+        .orderBy(F.col("doc_id").asc_nulls_last())
     )
 
 
@@ -3056,7 +3069,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
         )
-        .orderBy("source")
+        .orderBy(F.col("source").asc_nulls_last())
     )
 
 
@@ -3088,7 +3101,7 @@ def events_rolling_hour_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.count(F.lit(1)).over(w).alias("events_last_hour"),
         )
-        .orderBy("user_id", "event_id")
+        .orderBy(F.col("user_id").asc_nulls_last(), "event_id")
     )
 
 
@@ -3126,7 +3139,7 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("lang", "bigram", "n")
-        .orderBy("lang", F.col("n").desc(), "bigram")
+        .orderBy(F.col("lang").asc_nulls_last(), F.col("n").desc(), "bigram")
     )
 
 
@@ -3383,7 +3396,7 @@ def events_hot_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_hours"),
             F.sum(hot).alias("n_hot"),
         )
-        .orderBy("event_type")
+        .orderBy(F.col("event_type").asc_nulls_last())
     )
 
 
@@ -3555,7 +3568,7 @@ def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )
-        .orderBy("lang", "split")
+        .orderBy(F.col("lang").asc_nulls_last(), "split")
     )
 
 
@@ -3609,7 +3622,7 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.sum(n).alias(f"n_{n}") for n in _FILTER_FLAGS],
             F.sum(all_pass).alias("n_pass_all"),
         )
-        .orderBy("source")
+        .orderBy(F.col("source").asc_nulls_last())
     )
 
 
@@ -4276,7 +4289,7 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
             F.last("sv", ignorenulls=True).over(w).alias("ffill_sum_value"),
         )
-        .orderBy("event_type", "hour")
+        .orderBy(F.col("event_type").asc_nulls_last(), "hour")
     )
 
 
@@ -4339,7 +4352,7 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scanned
         .select("day", "event_type", "n_events", "sum_value")
-        .orderBy("day", "event_type")
+        .orderBy("day", F.col("event_type").asc_nulls_last())
     )
 
 
@@ -4410,7 +4423,7 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
-        .orderBy("event_type")
+        .orderBy(F.col("event_type").asc_nulls_last())
     )
 
 
@@ -4852,7 +4865,7 @@ def zipwith_consecutive_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("dot"), 4).alias("min_dot"),
             F.round(F.max("dot"), 4).alias("max_dot"),
         )
-        .orderBy("label")
+        .orderBy(F.col("label").asc_nulls_last())
     )
 
 

@@ -259,7 +259,7 @@ def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
-        .orderBy("event_type")
+        .orderBy(F.col("event_type").asc_nulls_last())
     )
 
 
@@ -360,7 +360,7 @@ def foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_events"),
             F.round(F.sum("sv"), 2).alias("sum_value"),
         )
-        .orderBy("event_type")
+        .orderBy(F.col("event_type").asc_nulls_last())
     )
 
 

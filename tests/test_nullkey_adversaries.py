@@ -37,7 +37,32 @@ AFFECTED = [
     "lang_id_confusion",
     "text_quality",
     "events_hot_hours",
+    # round-9 additions: entries whose top-k / rank windows or group keys
+    # touch poisoned columns and were NOT in the r8 sweep
+    "stratified_topk_sample",   # NULL doc_id hash ranked into the sample pre-fix
+    "chunk_documents",
+    "events_json_stats",
 ]
+
+#: final-sort key columns per entry, for the ORDER-sensitive check below.
+#: The value comparison above sorts rows before comparing, which MASKS
+#: engine disagreement on where NULL keys sort (Spark default asc is
+#: NULLS FIRST, DuckDB's bare ORDER BY is NULLS LAST — the r8 ADVICE
+#: caught exactly that on dedup_exact). Every entry here now pins the
+#: full cross-engine sequence of its sort keys on the poisoned corpus.
+ORDERED = {
+    "dedup_exact": ["lang"],
+    "dedup_fingerprint": ["canonical_id"],
+    "dedup_keep_best": ["survivor_id"],
+    "lang_id_confusion": ["labeled", "predicted"],
+    "text_quality": ["lang"],
+    "token_stats": ["source"],
+    "repetition_signals": ["doc_id"],
+    "events_hot_hours": ["event_type"],
+    "events_json_stats": ["event_type"],
+    "stratified_topk_sample": ["lang", "sample_rank"],
+    "chunk_documents": ["doc_id", "chunk_id"],
+}
 
 
 @pytest.fixture(scope="module")
@@ -101,6 +126,23 @@ def test_keyed_entries_survive_null_keys(spark, adv_dir, adv_duck, name):
     drows = _normalize(rel.fetchall(), list(rel.columns))
     assert len(srows) == len(drows), name
     assert srows == drows, name
+
+
+@pytest.mark.parametrize("name", sorted(ORDERED))
+def test_null_keys_sort_identically_across_engines(spark, adv_dir, adv_duck, name):
+    """Row-ORDER parity under NULL keys: the sequence of final-sort key
+    tuples must be identical across engines (the sorted-row value check
+    cannot see this). Only the sort-key columns are compared — within-tie
+    row order is legitimately nondeterministic in both engines."""
+    fn = entry_mod.queries()[name]
+    oracle = entry_mod.oracle_sql()[name]
+    cols = ORDERED[name]
+    sdf = fn(spark, adv_dir)
+    skeys = [tuple(str(r[c]) for c in cols) for r in sdf.collect()]
+    rel = adv_duck.sql(oracle)
+    idx = [list(rel.columns).index(c) for c in cols]
+    dkeys = [tuple(str(r[i]) for i in idx) for r in rel.fetchall()]
+    assert skeys == dkeys, name
 
 
 def test_dedup_exact_reports_null_lang_group(spark, adv_dir):
