@@ -901,9 +901,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
+            # smallest-id tie-break via bitwise NOT, not negation:
+            # ~id = -id - 1 reverses int64 order bijectively with NO
+            # overflow, while -id raises at min-int64 under ANSI — one
+            # hash-derived edge id killed the query (round-9 id-domain
+            # probe)
             F.max_by(
                 F.struct("doc_id", "score"),
-                F.struct(F.col("score"), (-F.col("doc_id")).alias("neg")),
+                F.struct(F.col("score"), F.bitwise_not(F.col("doc_id")).alias("neg")),
             ).alias("best"),
         )
         .filter(F.col("n_copies") > 1)
@@ -4830,7 +4835,9 @@ SELECT a.label,
          AS min_dot,
        round(max(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
          AS max_dot
-FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+FROM embeddings a JOIN embeddings b
+  ON b.vec_id = CASE WHEN a.vec_id = 9223372036854775807
+                     THEN NULL ELSE a.vec_id + 1 END
 GROUP BY a.label
 ORDER BY a.label
 """,
@@ -4842,13 +4849,21 @@ def zipwith_consecutive_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector and its successor, summarized per label. Fine for per-row pair
     arithmetic; bulk pairwise scoring goes through the tiled GEMM path
     (dedup_embedding_cosine) because higher-order fns are interpreted,
-    not codegen'd — that boundary is the point of this entry."""
+    not codegen'd — that boundary is the point of this entry.
+
+    The successor key is try_subtract, not ``-``: with hash-derived ids
+    spanning all of int64 (the realistic id scheme at corpus scale), a
+    single min-int64 row overflowed the ANSI subtraction and KILLED the
+    whole query — and the oracle's ``a.vec_id + 1`` died symmetrically at
+    max-int64 (round-9 id-domain probe). The domain-edge row simply has
+    no predecessor/successor, like any id whose neighbor is absent."""
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(
         "vec_id", "label", F.col("embedding").alias("ea")
     )
     b = emb.select(
-        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("eb")
+        F.try_subtract(F.col("vec_id"), F.lit(1)).alias("vec_id"),
+        F.col("embedding").alias("eb"),
     )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
@@ -4996,6 +5011,16 @@ _PRIORITY = [
     "events_json_stats",
     "events_props_map",
     "events_variant_extract",
+    #   - id-domain hardening (round-9 session 2): try_subtract successor
+    #     key + guarded oracle in zipwith; bitwise-NOT tie-break in
+    #     keep_best (−id overflows at min-int64 under ANSI) — see
+    #     tests/test_idrange_adversaries.py
+    "zipwith_consecutive_dot",
+    "dedup_keep_best",
+    #   - stratified sample: rank-window keys now asc_nulls_last (a NULL
+    #     doc_id hash used to be ranked INTO the sample, oracle ranked it
+    #     out) — see tests/test_nullkey_adversaries.py ORDERED check
+    "stratified_topk_sample",
 ]
 
 
