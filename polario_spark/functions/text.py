@@ -132,7 +132,12 @@ def word_ngrams(tokens_expr: str, n: int, dialect: str) -> str:
             f"else transform(sequence(1, size({tokens_expr}) - {n} + 1), "
             f"i -> {win}) end"
         )
-    win = f"array_to_string(({tokens_expr})[i:i+{n - 1}], ' ')"
+    # element access, NOT a [i:i+n-1] slice: DuckDB list slicing inside a
+    # lambda is O(list length) per invocation, which turns the transform
+    # quadratic — a single 300k-token document stalled the oracle for
+    # minutes (round-9 huge-doc probe), while n indexed accesses are O(1)
+    # each. range() caps i at len-n+1, so every access is in bounds.
+    win = " || ' ' || ".join(f"({tokens_expr})[i+{j}]" for j in range(n))
     # duckdb range(a, b) is end-exclusive: b <= a yields [] as wanted
     return (
         f"list_transform(range(1, greatest(len({tokens_expr}) - {n} + 1, 0) + 1), "
@@ -173,10 +178,16 @@ def window_hashes(
             f"transform(sequence(1, greatest(size({toks}) - {w} + 1, 1)), "
             f"i -> {md5_int32(win, 'spark')})"
         )
-    win = f"array_to_string(({toks})[i:i+{w - 1}], ' ')"
+    # element access instead of a lambda-inner slice (O(len) per window in
+    # DuckDB -> quadratic; see word_ngrams). In-bounds only when
+    # len >= w, so the short-doc "one hash of everything" case is split
+    # out explicitly.
+    win = " || ' ' || ".join(f"({toks})[i+{j}]" for j in range(w))
+    short = md5_int32(f"array_to_string({toks}, ' ')", "duckdb")
     return (
-        f"list_transform(range(1, greatest(len({toks}) - {w} + 1, 1) + 1), "
-        f"i -> {md5_int32(win, 'duckdb')})"
+        f"CASE WHEN len({toks}) < {w} THEN [{short}] "
+        f"ELSE list_transform(range(1, len({toks}) - {w} + 1 + 1), "
+        f"i -> {md5_int32(win, 'duckdb')}) END"
     )
 
 

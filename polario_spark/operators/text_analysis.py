@@ -295,26 +295,56 @@ def chunk_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def chunk_documents_sql(table: str = "documents", text_col: str = "text") -> str:
-    """DuckDB twin of chunk_documents — identical integer geometry, same
-    CTE-bound token array."""
-    toks = "__toks"
-    n = f"len({toks})"
+    """DuckDB twin of chunk_documents — identical integer geometry.
+
+    Shape (round-9 huge-doc probe): the old form was a LATERAL
+    ``unnest(range(0, n_chunks))`` that carried the bound token LIST into
+    every chunk row and sliced it there — DuckDB copies the list per
+    lateral row, so ONE 300k-token document turned the oracle quadratic
+    (minutes for three documents). Now the list is consumed exactly once
+    by ``unnest`` + ``generate_subscripts``, each token row computes its
+    at-most-2 covering chunk ids arithmetically (stride 40 < width 50 →
+    overlap ≤ 2), and per-chunk content re-assembles via an ordered
+    ``string_agg`` — everything linear in document length. Bonus fix: on
+    a NULL text the old lateral emitted a spurious
+    (doc, 0, NULL, NULL) row where Spark's explode emits nothing; the
+    explode-based form emits nothing in both engines.
+
+    The re-assembly keys on a synthetic per-row id (``__rid``), NOT on
+    doc_id: Spark's side is per-row (explode, no join), so a NULL or
+    duplicated doc_id must not pool tokens across source rows here
+    either — the r8 rule (never equi-join on a grouped-out nullable
+    key) applied to an oracle."""
+    n = "len(__toks)"
     n_chunks = (
         f"case when {n} = 0 then 0 else "
         f"1 + ((greatest({n} - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE} - 1) "
         f"// {CHUNK_STRIDE}) end"
     )
-    chunk = (
-        f"array_to_string(({toks})[1 + k * {CHUNK_STRIDE}:"
-        f"{CHUNK_TOKENS} + k * {CHUNK_STRIDE}], ' ')"
-    )
     return f"""
 WITH b AS (
-  SELECT doc_id, {TXT.tokens(text_col, 'duckdb')} AS __toks FROM {table}
+  SELECT doc_id, row_number() OVER () AS __rid,
+         {TXT.tokens(text_col, 'duckdb')} AS __toks
+  FROM {table}
+),
+meta AS (SELECT __rid, {n_chunks} AS n_chunks FROM b),
+t AS (
+  SELECT doc_id, __rid, unnest(__toks) AS tok,
+         generate_subscripts(__toks, 1) AS pos
+  FROM b
+),
+tk AS (
+  SELECT t.doc_id, t.__rid, t.tok, t.pos, u2.k
+  FROM t JOIN meta USING (__rid),
+       unnest(range(
+         CASE WHEN t.pos <= {CHUNK_TOKENS} THEN 0
+              ELSE (t.pos - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} END,
+         least((t.pos - 1) // {CHUNK_STRIDE}, meta.n_chunks - 1) + 1
+       )) AS u2(k)
 )
-SELECT doc_id,
+SELECT any_value(doc_id) AS doc_id,
        k AS chunk_id,
-       len(({toks})[1 + k * {CHUNK_STRIDE}:{CHUNK_TOKENS} + k * {CHUNK_STRIDE}]) AS n_chunk_tokens,
-       md5({chunk}) AS chunk_hash
-FROM b, unnest(range(0, {n_chunks})) AS u(k)
+       count(*) AS n_chunk_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+FROM tk GROUP BY __rid, k
 """

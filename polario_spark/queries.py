@@ -1096,13 +1096,19 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "decontamination_overlap_8gram",
     f"""
-WITH g AS (
-  SELECT doc_id, unnest(list_distinct({TXT.word_ngrams(TXT.tokens('text', 'duckdb'), 8, 'duckdb')})) AS g
-  FROM documents WHERE doc_id % 10 != 8
+WITH tk AS (
+  -- tokens BOUND once per row: the ngram lambda's element accesses
+  -- would otherwise re-run the tokenizer per position — quadratic on a
+  -- megabyte document (round-9 huge-doc probe)
+  SELECT doc_id, {TXT.tokens('text', 'duckdb')} AS __toks FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct({TXT.word_ngrams('__toks', 8, 'duckdb')})) AS g
+  FROM tk WHERE doc_id % 10 != 8
 ),
 b AS (
-  SELECT DISTINCT unnest(list_distinct({TXT.word_ngrams(TXT.tokens('text', 'duckdb'), 8, 'duckdb')})) AS g
-  FROM documents WHERE doc_id % 10 = 8
+  SELECT DISTINCT unnest(list_distinct({TXT.word_ngrams('__toks', 8, 'duckdb')})) AS g
+  FROM tk WHERE doc_id % 10 = 8
 ),
 tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
 hit AS (SELECT g.doc_id, count(*) AS n_hit FROM g JOIN b USING (g) GROUP BY g.doc_id)
@@ -1172,9 +1178,14 @@ def _exsub_grams(docs: DataFrame) -> DataFrame:
 @_register(
     "exact_substring_dup",
     f"""
-WITH g AS (
-  SELECT doc_id, unnest(list_distinct({TXT.word_ngrams(TXT.tokens('text', 'duckdb'), EXSUB_N, 'duckdb')})) AS g
-  FROM documents
+WITH tk AS (
+  -- bound tokens; inline tokenizer in the ngram lambda is quadratic on
+  -- huge documents (see decontamination_overlap_8gram)
+  SELECT doc_id, {TXT.tokens('text', 'duckdb')} AS __toks FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct({TXT.word_ngrams('__toks', EXSUB_N, 'duckdb')})) AS g
+  FROM tk
 ),
 df AS (SELECT g, count(*) AS df FROM g GROUP BY g),
 dup AS (SELECT g FROM df WHERE df >= 2),
@@ -5021,6 +5032,16 @@ _PRIORITY = [
     #     doc_id hash used to be ranked INTO the sample, oracle ranked it
     #     out) — see tests/test_nullkey_adversaries.py ORDERED check
     "stratified_topk_sample",
+    #   - huge-doc probe (round-9 session 2): DuckDB oracle forms
+    #     linearized (element access instead of slice-in-lambda, bound
+    #     tokens instead of inline tokenizer, explode instead of
+    #     list-carrying lateral) — values unchanged, forms changed, so
+    #     the driver should re-hash these — see
+    #     tests/test_hugedoc_adversaries.py
+    "chunk_documents",
+    "exact_substring_dup",
+    "decontamination_overlap_8gram",
+    "repetition_signals",
 ]
 
 
