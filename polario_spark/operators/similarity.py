@@ -262,12 +262,34 @@ def ngram_jaccard_pairs(
         exploded[c].eqNullSafe(hot[c]) for c in block_cols
     ] + [exploded["__g"] == hot["__g"]]
     rare = exploded.join(hot, anti_cond, "left_anti")
+    # Two duplicate-id guards (round-9 dup-id probe — a re-crawled corpus
+    # re-emits an id with a different payload): postings collapse to ONE
+    # row per (id, block, gram) so two same-(id, block) rows merge into
+    # one gram SET (the oracle's list(DISTINCT ...) twin), and sizes key
+    # on (id, block), NOT id alone — an id re-ingested under another
+    # block must not inflate this block's |A|. The collapse keeps every
+    # downstream aggregate a plain map-side-combinable count (a
+    # countDistinct at the PAIR level instead was 3-6x slower — per-pair
+    # hash sets over the join output), and it rides the (block, gram)
+    # exchange the self-join needs anyway: HashPartitioning(block, g)
+    # satisfies the distinct's ClusteredDistribution(id, block, g)
+    # (subset rule), so dropDuplicates after the explicit repartition
+    # plans with NO additional shuffle.
+    # (A localCheckpoint here was tried and measured WORSE — 6.6 s vs
+    # 3.6 s warm at sf0.1: materializing the deduped postings blocks
+    # AQE's exchange reuse across the three consuming branches, which
+    # already dedups the identical REPARTITION_BY_COL subtrees.)
+    rare = rare.repartition(*block_cols, "__g").dropDuplicates(
+        [id_col, *block_cols, "__g"]
+    )
     # set sizes are re-counted AFTER the df cut so |A|, |B|, and |A ∩ B|
     # all live in the same (capped) vocabulary — Jaccard stays exact.
     # Again an aggregate (one row per doc) joined back, not a window over
     # the postings.
-    n_per_doc = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    postings = rare.join(n_per_doc, id_col)
+    n_per_doc = rare.groupBy(id_col, *block_cols).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    postings = rare.join(n_per_doc, [id_col, *block_cols])
     a, b = postings.alias("a"), postings.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
         F.col("a.__g") == F.col("b.__g"),
@@ -275,11 +297,16 @@ def ngram_jaccard_pairs(
         F.least(F.col("a.__n"), F.col("b.__n")) + F.lit(1e-9)
         >= F.lit(threshold) * F.greatest(F.col("a.__n"), F.col("b.__n")),
     ]
+    # the pair group includes the block keys: a duplicate id re-ingested
+    # under a second block can make the same (id_a, id_b) co-occur in two
+    # blocks, and the oracle's per-block join emits one row per
+    # (pair, block) — pooling them would mix the two blocks' vocabularies
     co = (
         a.join(b, cond)
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}") for c in block_cols],
             F.col("a.__n").alias("__na"),
             F.col("b.__n").alias("__nb"),
         )
@@ -313,7 +340,9 @@ gd AS (
   SELECT *, count(*) OVER (PARTITION BY {blocks}, __gram) AS __df FROM g0
 ),
 g AS (
-  SELECT {id_col}, {blocks}, list(__gram) AS __grams
+  -- DISTINCT: two re-ingested rows under the same (id, block) merge
+  -- into one gram SET, the countDistinct twin of the Spark side
+  SELECT {id_col}, {blocks}, list(DISTINCT __gram) AS __grams
   FROM gd WHERE __df <= {df_cap}
   GROUP BY {id_col}, {blocks}
 )
