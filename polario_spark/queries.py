@@ -1328,8 +1328,11 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT d.source,
        count(*) AS n_docs,
        sum(octet_length(encode(d.text)))::BIGINT AS total_bytes,
-       round(avg(ascii(substr(d.text, 1, 1))), 4) AS avg_first_byte
+       round(avg(CASE WHEN d.text = '' THEN -1
+                 ELSE ('0x' || substring(to_hex(encode(substring(d.text, 1, 1))), 1, 2))::INT
+            END), 4) AS avg_first_byte
 FROM documents d
+WHERE d.text IS NOT NULL
 GROUP BY d.source
 ORDER BY d.source
 """,
@@ -1337,8 +1340,17 @@ ORDER BY d.source
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: attach payload -> Arrow-batched mapInPandas
     feature extraction -> join metadata -> aggregate. The decode step is a
-    deterministic stand-in (container has no codecs); the plumbing is real."""
-    docs = _t(spark, sf_dir, "documents")
+    deterministic stand-in (container has no codecs); the plumbing is real.
+
+    Binary corrupt-row policy: NULL payloads (unreadable media) are
+    excluded — here as a pushed-down scan filter (and again inside the
+    kernel for library callers), in the oracle as the WHERE. The oracle
+    models BYTES, not code points: the first byte of a UTF-8 document is
+    its lead byte (0xF0 for an emoji), which `ascii(substr(text,1,1))`
+    would silently misreport as the code point, and the empty payload is
+    the kernel's -1 sentinel where `ascii('')` is 0 — both pinned by
+    tests/test_binary_adversaries.py."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # `source` rides through the Arrow stage (carry_cols) instead of a
     # features-back-to-docs self-join — one Arrow column copy replaces
     # two full shuffles of the corpus
@@ -3017,7 +3029,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH payloads AS (
   SELECT doc_id, to_hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-  FROM documents WHERE doc_id % 50 = 0
+  FROM documents WHERE doc_id % 50 = 0 AND text IS NOT NULL
 ),
 chunks AS (
   SELECT doc_id, unnest(range(0, (n + 63) // 64, 4)) AS chunk_idx, hx
@@ -3037,8 +3049,15 @@ ORDER BY doc_id
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (every 4th 64-byte chunk) via
-    1:N mapInPandas, aggregated per document."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    1:N mapInPandas, aggregated per document.
+
+    Binary corrupt-row policy: NULL payloads produce zero frames (scan
+    filter here + kernel skip for library callers, WHERE in the oracle);
+    the `% 50` id filter already excludes NULL ids before the kernel —
+    see tests/test_binary_adversaries.py."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 50 == 0) & F.col("text").isNotNull()
+    )
     frames = frame_sample(with_binary_payload(docs, "text"), "doc_id")
     return (
         frames.groupBy("doc_id")
@@ -5042,6 +5061,13 @@ _PRIORITY = [
     "exact_substring_dup",
     "decontamination_overlap_8gram",
     "repetition_signals",
+    #   - binary-payload hardening (round-9 session 3): NULL-payload
+    #     exclusion (scan filter + kernel guard, WHERE in the oracle),
+    #     byte-accurate first_byte oracle (to_hex of the lead byte, not
+    #     ascii() code points), byte-bounded kernel slicing — see
+    #     tests/test_binary_adversaries.py
+    "multimodal_features",
+    "multimodal_frame_sample",
 ]
 
 
