@@ -146,7 +146,14 @@ def word_ngrams(tokens_expr: str, n: int, dialect: str) -> str:
 
 
 def lines(col: str, dialect: str) -> str:
-    """Non-empty trimmed lines of a text column (newline-delimited)."""
+    """Non-empty trimmed lines of a text column (newline-delimited).
+
+    The DuckDB side must trim an EXPLICIT ``' '`` set: bare ``trim()``
+    strips Unicode whitespace there (U+00A0 NBSP included) while Spark's
+    ``trim()`` strips only ASCII space — a round-9 cross-engine fuzz of
+    this module caught an NBSP-leading line diverging between the
+    repetition_signals plan and its oracle (tests/test_text_fuzz.py).
+    """
     if dialect == "spark":
         return (
             f"filter(transform(split({col}, chr(10)), x -> trim(x)), "
@@ -154,7 +161,7 @@ def lines(col: str, dialect: str) -> str:
         )
     return (
         f"list_filter(list_transform(string_split({col}, chr(10)), "
-        f"x -> trim(x)), x -> x != '')"
+        f"x -> trim(x, ' ')), x -> x != '')"
     )
 
 
@@ -181,9 +188,13 @@ def window_hashes(
     # element access instead of a lambda-inner slice (O(len) per window in
     # DuckDB -> quadratic; see word_ngrams). In-bounds only when
     # len >= w, so the short-doc "one hash of everything" case is split
-    # out explicitly.
+    # out explicitly. coalesce: DuckDB array_to_string([]) is NULL where
+    # Spark array_join([]) is '' — without it a ZERO-token document
+    # hashes to [md5('')] in Spark but [NULL] here, and the NULL gram
+    # silently drops the doc from the rolling-window candidate join
+    # while Spark buckets all empty docs together (round-9 text fuzz).
     win = " || ' ' || ".join(f"({toks})[i+{j}]" for j in range(w))
-    short = md5_int32(f"array_to_string({toks}, ' ')", "duckdb")
+    short = md5_int32(f"coalesce(array_to_string({toks}, ' '), '')", "duckdb")
     return (
         f"CASE WHEN len({toks}) < {w} THEN [{short}] "
         f"ELSE list_transform(range(1, len({toks}) - {w} + 1 + 1), "
