@@ -54,10 +54,25 @@ def cosine(a: str, b: str, dialect: str) -> str:
     if dialect == "duckdb":
         # keep list_cosine_similarity for the well-formed case (bitwise
         # parity with the Spark quotient at round(,4) is established);
-        # the CASE only reroutes zero vectors to the clamp convention
+        # the CASE reroutes the whole CLAMP REGION — any norm < NORM_EPS,
+        # not just exactly-zero vectors — to the clamped quotient. A
+        # denormal-component vector (all 1e-45f: norm ~8e-45, a real
+        # failure mode of fp16/fp32 embedding jobs) has a NONZERO dot
+        # with itself, so the old `dot = 0` test let
+        # list_cosine_similarity normalize it to sim 1.0 while the
+        # Spark/numpy side (norms clamped to NORM_EPS everywhere —
+        # operators/similarity.py GEMM kernels and the spark branch
+        # below) scores it ~1e-65: ten silent extra oracle pairs on the
+        # round-9 denormal probe (tests/test_vector_magnitude_adversaries).
+        # Inside the reroute branch the full clamped quotient is used, so
+        # the routing threshold itself need not split bitwise-identically
+        # with Spark: at any norm >= NORM_EPS the clamp is the identity
+        # and both branches compute the same quotient.
         return (
-            f"(CASE WHEN list_dot_product(({a})::DOUBLE[], ({a})::DOUBLE[]) = 0 "
-            f"OR list_dot_product(({b})::DOUBLE[], ({b})::DOUBLE[]) = 0 THEN 0.0 "
+            f"(CASE WHEN sqrt(list_dot_product(({a})::DOUBLE[], ({a})::DOUBLE[])) < {NORM_EPS} "
+            f"OR sqrt(list_dot_product(({b})::DOUBLE[], ({b})::DOUBLE[])) < {NORM_EPS} "
+            f"THEN ({dot(a, b, dialect)} / "
+            f"({norm_clamped(a, dialect)} * {norm_clamped(b, dialect)})) "
             f"ELSE list_cosine_similarity(({a})::DOUBLE[], ({b})::DOUBLE[]) END)"
         )
     return (

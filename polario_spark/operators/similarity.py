@@ -361,10 +361,27 @@ SELECT id_a, id_b, jaccard FROM (
 #: tasks stay cache-friendly and well under executor memory at any scale.
 COSINE_TILE = 1024
 
+#: Largest well-formed |component|. Finite-but-huge components (float32
+#: tops out at ~3.4e38, which ``isfinite`` happily admits) make every
+#: downstream double aggregate ORDER-SENSITIVE at the digits the driver
+#: hashes: a dot/norm near 1e38 carries ulp ~2e22, so Spark's fold,
+#: numpy's blocked GEMM sum, and DuckDB's list_dot_product loop each
+#: land on a different last few ulps — and round(·, 4) of a 39-digit
+#: number preserves ALL of them (round-9 huge-magnitude probe: avg/min/
+#: max columns of embedding_norm_stats / zipwith_consecutive_dot /
+#: embedding_dim_stats all diverged cross-engine). Determinism at
+#: round(,4) needs the cross-order error n*ulp(64*c^2) < 5e-5, i.e.
+#: c < ~7e3 at dim 64; 1e3 keeps 50x margin. Real embedding components
+#: are O(1) (clean testdata max |x| = 0.58), so anything near the cap is
+#: float32 garbage from a corrupt row — shed it like NaN/Inf, with the
+#: identical predicate in the oracle.
+VEC_COMPONENT_CAP = "1e3"
+
 
 def well_formed_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Drop rows whose vector is NULL, not exactly ``dim`` long, or
-    contains any NULL / NaN / infinite component.
+    contains any NULL / NaN / infinite / over-``VEC_COMPONENT_CAP``
+    component.
 
     Real corpora carry corrupt rows (truncated arrays, nulls from failed
     embedding jobs). The GEMM paths ``np.stack`` a group's vectors into
@@ -376,7 +393,9 @@ def well_formed_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     NaN, which Spark's ``>= threshold`` rejects but DuckDB's total order
     ACCEPTS (NaN sorts above every real) — a silent cross-engine
     divergence — and the int8 quantizer's NaN->BIGINT cast kills the
-    job under ANSI. A malformed vector cannot participate in any
+    job under ANSI. Finite-but-huge components are corruption too — they
+    push double aggregates into order-sensitive territory (see
+    ``VEC_COMPONENT_CAP``). A malformed vector cannot participate in any
     similarity comparison anyway, so the operators exclude them with
     this codegen filter at the scan (pushdown-friendly, no Python);
     ``well_formed_sql`` is the oracle's identical predicate.
@@ -386,7 +405,7 @@ def well_formed_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         & (F.size(F.col(vec_col)) == dim)
         & F.expr(
             f"forall({vec_col}, x -> x is not null and not isnan(x) "
-            f"and abs(x) < double('Infinity'))"
+            f"and abs(x) <= {VEC_COMPONENT_CAP})"
         )
     )
 
@@ -397,12 +416,14 @@ def well_formed_sql(vec_col: str, dim: int) -> str:
     Must stay extensionally identical to the Spark filter: entries embed
     it in their oracles (directly or as a filtered-subquery table arg)
     so both engines see exactly the same corpus after shedding corrupt
-    vectors. ``isfinite`` is false for both NaN and ±Inf in DuckDB.
+    vectors. ``isfinite`` is false for both NaN and ±Inf in DuckDB; the
+    magnitude clause compares float32 components upcast exactly to
+    double on both sides, so the cap splits identically.
     """
     return (
         f"{vec_col} IS NOT NULL AND len({vec_col}) = {dim} AND "
         f"len(list_filter({vec_col}, "
-        f"x -> x IS NULL OR NOT isfinite(x))) = 0"
+        f"x -> x IS NULL OR NOT isfinite(x) OR abs(x) > {VEC_COMPONENT_CAP})) = 0"
     )
 
 

@@ -1758,18 +1758,28 @@ SELECT label,
        round(min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS min_norm,
        round(max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS max_norm
 FROM embeddings
+WHERE {similarity.well_formed_sql('embedding', 64)}
 GROUP BY label
 ORDER BY label
 """,
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column profiling: L2 norms via higher-order functions, grouped
-    by label."""
+    by label.
+
+    Profiles the WELL-FORMED corpus (round-9 huge-magnitude probe): a
+    finite-but-huge float32 component (3e38 passes ``isfinite``) makes
+    the per-label norm sums order-sensitive at the digits round(,4)
+    preserves — Spark's partial-agg combine and DuckDB's scan order each
+    produce a different last-ulp avg, a cross-engine (and run-to-run)
+    hash flip. ``well_formed_vectors`` sheds those rows with the
+    identical predicate in the oracle; on any real embedding corpus the
+    filter is the identity (zero vectors stay and report norm 0)."""
     from polario_spark.functions import vector as VEC
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "nrm", F.expr(VEC.norm("embedding", "spark"))
-    )
+    emb = similarity.well_formed_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding", 64
+    ).withColumn("nrm", F.expr(VEC.norm("embedding", "spark")))
     return (
         emb.groupBy("label")
         .agg(
@@ -4856,7 +4866,9 @@ def order_value_extremes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "zipwith_consecutive_dot",
-    """
+    f"""
+WITH wf AS (SELECT * FROM embeddings
+            WHERE {similarity.well_formed_sql('embedding', 64)})
 SELECT a.label,
        count(*) AS n_pairs,
        round(avg(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
@@ -4865,7 +4877,7 @@ SELECT a.label,
          AS min_dot,
        round(max(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
          AS max_dot
-FROM embeddings a JOIN embeddings b
+FROM wf a JOIN wf b
   ON b.vec_id = CASE WHEN a.vec_id = 9223372036854775807
                      THEN NULL ELSE a.vec_id + 1 END
 GROUP BY a.label
@@ -4886,8 +4898,17 @@ def zipwith_consecutive_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     single min-int64 row overflowed the ANSI subtraction and KILLED the
     whole query — and the oracle's ``a.vec_id + 1`` died symmetrically at
     max-int64 (round-9 id-domain probe). The domain-edge row simply has
-    no predecessor/successor, like any id whose neighbor is absent."""
-    emb = _t(spark, sf_dir, "embeddings")
+    no predecessor/successor, like any id whose neighbor is absent.
+
+    Dots are taken over the WELL-FORMED corpus (round-9 huge-magnitude
+    probe): a finite 3e38 float32 component yields per-pair dots near
+    1e77 whose last-ulp value differs between Spark's fold and DuckDB's
+    list_dot_product (and whose per-label averages are summation-order-
+    sensitive) — shedding corrupt vectors restores the determinism
+    round(,4) hashing needs; identity on any real corpus."""
+    emb = similarity.well_formed_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding", 64
+    )
     a = emb.select(
         "vec_id", "label", F.col("embedding").alias("ea")
     )
