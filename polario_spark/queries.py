@@ -5089,6 +5089,23 @@ _PRIORITY = [
     #     tests/test_binary_adversaries.py
     "multimodal_features",
     "multimodal_frame_sample",
+    #   - vector-magnitude hardening (round-9 session 4): the shared
+    #     well_formed predicate now sheds |x| > VEC_COMPONENT_CAP and the
+    #     DuckDB cosine builder reroutes the whole sub-NORM_EPS clamp
+    #     region, so every embedding-family oracle's TEXT changed and the
+    #     driver should re-hash the family — see
+    #     tests/test_vector_magnitude_adversaries.py
+    #     (zipwith_consecutive_dot already queued above)
+    "embedding_norm_stats",
+    "embedding_dim_stats",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_loose",
+    "semantic_dedup",
+    "ann_topk_cosine",
+    "ann_topk_quantized",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
 ]
 
 
