@@ -237,13 +237,19 @@ def ngram_jaccard_pairs(
         F.col(id_col), *[F.col(c) for c in block_cols], grams.alias("__grams")
     )
     # tokenize + bigram + explode feeds four branches (hot census, the
-    # per-doc recount, and both self-join sides); materialize the int
-    # postings once instead of re-tokenizing per branch
+    # per-doc recount, and both self-join sides), but needs NO
+    # materialization barrier: every branch consumes the postings through
+    # the same canonical (block, g) exchange, and AQE's exchange reuse
+    # runs the scan+tokenize map stage once for all of them. A
+    # localCheckpoint here was tried and REMOVED — measured 3.4 s vs
+    # 3.2 s warm at sf0.1 (the checkpoint only added an RDD materialize),
+    # and at scale it would pin the full posting stream on executor
+    # storage that exchange files already provide for free.
     exploded = base.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.explode(F.expr("transform(__grams, g -> xxhash64(g))")).alias("__g"),
-    ).localCheckpoint(eager=False)
+    )
     # over-cap grams as an AGGREGATE census (map-side combinable, the
     # shuffle carries distinct-gram partials, never full postings), then
     # a left_anti join — the hot frame holds at most |postings|/cap rows
