@@ -66,7 +66,7 @@ def brute_force_topk_sql(
 WITH q AS (SELECT {id_col} AS qid, {vec_col} AS __qvec FROM {table} WHERE {query_pred}),
      c AS (SELECT {id_col} AS nid, {vec_col} AS __cvec FROM {table})
 SELECT qid, nid, sim, rank FROM (
-  SELECT qid, nid, round({sim}, 4) AS sim,
+  SELECT qid, nid, round({sim}, 4) + 0.0 AS sim,
          row_number() OVER (PARTITION BY qid ORDER BY round({sim}, 4) DESC, nid ASC) AS rank
   FROM q JOIN c ON qid != nid
 ) WHERE rank <= {k}
@@ -167,7 +167,7 @@ v AS (SELECT {id_col}, {quant} AS __qv FROM s),
 q AS (SELECT {id_col} AS qid, __qv AS __qa FROM v WHERE {id_col} % {IVF_QUERY_STRIDE} = 0),
 c AS (SELECT {id_col} AS nid, __qv AS __qb FROM v)
 SELECT qid, nid, sim, rank FROM (
-  SELECT qid, nid, round({sim}, 4) AS sim,
+  SELECT qid, nid, round({sim}, 4) + 0.0 AS sim,
          row_number() OVER (PARTITION BY qid ORDER BY round({sim}, 4) DESC, nid ASC) AS rank
   FROM q JOIN c ON qid != nid
 ) WHERE rank <= {k}
@@ -732,7 +732,7 @@ WITH sigs AS (
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         round({sim}, 4) AS sim
+         round({sim}, 4) + 0.0 AS sim
   FROM sigs a JOIN sigs b
     ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
 )
@@ -756,7 +756,7 @@ def cosine_pairs_sql(
 WITH e AS (SELECT {id_col} AS id, {vec_col} AS __v FROM {table}
            WHERE {well_formed_sql(vec_col, dim)})
 SELECT id_a, id_b, sim FROM (
-  SELECT a.id AS id_a, b.id AS id_b, round({sim}, 4) AS sim
+  SELECT a.id AS id_a, b.id AS id_b, round({sim}, 4) + 0.0 AS sim
   FROM e a JOIN e b ON a.id < b.id
 ) WHERE sim >= {threshold}
 """
@@ -1024,7 +1024,7 @@ probes AS (
              ORDER BY {VEC.cosine('e.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
     FROM e CROSS JOIN cent WHERE e.id % {IVF_QUERY_STRIDE} = 0) WHERE rn <= {IVF_NPROBE})
 SELECT qid, nid, sim, rank FROM (
-  SELECT p.qid, a.nid, round({VEC.cosine('p.__q', 'a.__v', 'duckdb')}, 4) AS sim,
+  SELECT p.qid, a.nid, round({VEC.cosine('p.__q', 'a.__v', 'duckdb')}, 4) + 0.0 AS sim,
          row_number() OVER (PARTITION BY p.qid
            ORDER BY round({VEC.cosine('p.__q', 'a.__v', 'duckdb')}, 4) DESC, a.nid ASC) AS rank
   FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid != a.nid
@@ -1196,7 +1196,7 @@ assigned AS (
     FROM e CROSS JOIN cent) WHERE rn = 1),
 pairs AS (
   SELECT a.cell, a.id AS id_a, b.id AS id_b,
-         round({VEC.cosine('a.__v', 'b.__v', 'duckdb')}, 4) AS sim
+         round({VEC.cosine('a.__v', 'b.__v', 'duckdb')}, 4) + 0.0 AS sim
   FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id)
 SELECT id_b AS vec_id, cell, count(*) AS n_dups, max(sim) AS max_sim
 FROM pairs WHERE sim >= {eps}

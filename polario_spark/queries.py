@@ -4005,8 +4005,11 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ols_price_per_brand",
     """
 SELECT p_brand,
-       round(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
-       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       -- + 0.0 normalizes a rounded near-zero-negative slope/intercept
+       -- to +0.0, matching the Python kernel's identical normalization
+       -- (round-9 negative-zero probe)
+       round(regr_slope(l_extendedprice, l_quantity), 2) + 0.0 AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) + 0.0 AS intercept,
        count(*) AS n
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -4045,8 +4048,12 @@ def ols_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "p_brand": [pdf["p_brand"].iloc[0]],
-                "slope": [round(slope, 2)],
-                "intercept": [round(my - slope * mx, 2)],
+                # + 0.0: Python round keeps -0.0 for near-zero-negative
+                # inputs; normalize to +0.0 on both engines (the oracle
+                # adds the same) so the formatted hash cannot split on
+                # the sign of zero
+                "slope": [round(slope, 2) + 0.0],
+                "intercept": [round(my - slope * mx, 2) + 0.0],
                 "n": [len(pdf)],
             }
         )
@@ -4871,12 +4878,16 @@ WITH wf AS (SELECT * FROM embeddings
             WHERE {similarity.well_formed_sql('embedding', 64)})
 SELECT a.label,
        count(*) AS n_pairs,
+       -- + 0.0: DuckDB round keeps the sign of a near-zero-negative
+       -- aggregate (-0.00004 -> -0.0) where Spark's round returns +0.0;
+       -- dots are sign-indefinite, so normalize (round-9 negative-zero
+       -- probe)
        round(avg(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
-         AS avg_dot,
+         + 0.0 AS avg_dot,
        round(min(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
-         AS min_dot,
+         + 0.0 AS min_dot,
        round(max(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4)
-         AS max_dot
+         + 0.0 AS max_dot
 FROM wf a JOIN wf b
   ON b.vec_id = CASE WHEN a.vec_id = 9223372036854775807
                      THEN NULL ELSE a.vec_id + 1 END
@@ -5106,6 +5117,13 @@ _PRIORITY = [
     "ann_topk_quantized",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    #   - negative-zero normalization (round-9 session 4): rounded
+    #     sign-indefinite columns (ANN sims, consecutive-dot stats, OLS
+    #     slope/intercept) now add `+ 0.0` so DuckDB's sign-keeping round
+    #     cannot hash-split from Spark's always-+0.0 round — see
+    #     tests/test_numeric_adversaries.py negative-zero family
+    #     (the embedding entries above are already queued)
+    "ols_price_per_brand",
 ]
 
 

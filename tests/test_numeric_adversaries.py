@@ -28,6 +28,7 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from pyspark.sql import functions as F
 from polario_spark.sources.tables import TABLES
 
 CLEAN_SF = "/root/testdata/sf0.001"
@@ -135,3 +136,83 @@ def test_safe_decimal_expression_parity():
         None, None, None, None, None, None,
         "100000000000.000000", "123.456789", "0.000000",
     ]
+
+
+# ---------------------------------------------------------------------------
+# Round-9 negative-zero family: DuckDB's round() keeps the sign of a
+# near-zero-negative double (round(-0.00004, 4) -> -0.0) while Spark's
+# JVM round always returns +0.0 — a formatted-hash flip ("−0.000000" vs
+# "0.000000") on any sign-indefinite rounded column whose value lands in
+# (-5e-5, 0). Sign-indefinite columns (ANN sims, consecutive-dot stats,
+# OLS slope/intercept) normalize the ROUNDED value with `+ 0.0`
+# (IEEE: -0.0 + 0.0 = +0.0) on whichever sides can produce -0.0.
+# ---------------------------------------------------------------------------
+
+
+def test_negative_zero_round_normalization_cross_engine(spark):
+    """Pin the mechanism: the raw rounds DISAGREE on the sign of zero and
+    the `+ 0.0` normalization makes them agree."""
+    con = duckdb.connect()
+    raw_d = con.sql("SELECT round((-0.00004)::DOUBLE, 4)").fetchall()[0][0]
+    norm_d = con.sql("SELECT round((-0.00004)::DOUBLE, 4) + 0.0").fetchall()[0][0]
+    raw_s = spark.sql("SELECT round(CAST(-0.00004 AS DOUBLE), 4)").collect()[0][0]
+    assert math.copysign(1, raw_d) < 0, "DuckDB stopped signing zero — drop the guard?"
+    assert math.copysign(1, raw_s) > 0
+    assert math.copysign(1, norm_d) > 0
+    assert f"{norm_d:.6f}" == f"{raw_s:.6f}" == "0.000000"
+    # Python round (the applyInPandas OLS kernel) signs zero like DuckDB
+    assert math.copysign(1, round(-0.004, 2)) < 0
+    assert math.copysign(1, round(-0.004, 2) + 0.0) > 0
+
+
+def test_ann_topk_tiny_negative_sim_matches_oracle(spark, tmp_path):
+    """Operator-level pin: a corpus whose top-k CONTAINS a tiny negative
+    cosine must hash identically across engines. Pre-fix this diverged:
+    the oracle reported -0.0 where Spark reported 0.0."""
+    from polario_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_sql,
+    )
+
+    dim = 8
+    # q = e0; neighbors nearly orthogonal with a tiny NEGATIVE projection
+    # on e0 -> cosine ~ -1e-5, rounds to -0.0 in DuckDB, +0.0 in Spark
+    rows = [(0, [1.0] + [0.0] * (dim - 1))]
+    for i in range(1, 6):
+        v = [0.0] * dim
+        v[0] = -1e-5
+        v[i % (dim - 1) + 1] = 1.0
+        rows.append((i, v))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        }
+    )
+    path = tmp_path / "vecs.parquet"
+    pq.write_table(tbl, path)
+
+    emb = spark.read.parquet(str(path))
+    sdf = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=5
+    ).filter(F.col("qid") == 0)
+    srows = sorted(
+        (r.qid, r.nid, f"{r.sim:.6f}", r.rank) for r in sdf.collect()
+    )
+    assert any(s[2] == "0.000000" for s in srows), "probe corpus no longer hits 0"
+    assert not any(s[2].startswith("-0.000000") for s in srows)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW vecs AS SELECT * FROM read_parquet('{path}')"
+    )
+    drows = sorted(
+        (r[0], r[1], f"{r[2]:.6f}", r[3])
+        for r in con.sql(
+            brute_force_topk_sql("vecs", "vec_id = 0", k=5)
+        ).fetchall()
+    )
+    assert srows == drows
