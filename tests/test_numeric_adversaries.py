@@ -216,3 +216,24 @@ def test_ann_topk_tiny_negative_sim_matches_oracle(spark, tmp_path):
         ).fetchall()
     )
     assert srows == drows
+
+
+def test_round_tie_mechanism_divergence_is_known(spark):
+    """Documented cross-engine LIMIT (not a defect fixed): the engines
+    disagree on rounding a double whose SHORTEST decimal rendering ends
+    exactly on the tie digit. Spark rounds the shortest-decimal
+    rendering HALF_UP (BigDecimal.valueOf path): round(1.5e-4, 4) ->
+    0.0002. DuckDB scales by 10^k and rints the binary value (the
+    double nearest 1.5e-4 is below the true tie): -> 0.0001. The
+    divergence window is ~1 ulp around ties — measure-zero for organic
+    double aggregates (all testdata numerics are double; there is no
+    decimal-vs-double asymmetry where the window would widen to exact
+    half-cent averages) — so the repo documents it in SCALE.md instead
+    of nudging every round. This test pins the MECHANISM: if either
+    engine changes its tie behavior, it fails and the SCALE.md entry
+    must be re-adjudicated."""
+    con = duckdb.connect()
+    d = con.sql("SELECT round((1.5e-4)::DOUBLE, 4)").fetchall()[0][0]
+    s = spark.sql("SELECT round(CAST(1.5e-4 AS DOUBLE), 4)").collect()[0][0]
+    assert f"{d:.6f}" == "0.000100", d
+    assert f"{s:.6f}" == "0.000200", s
