@@ -258,15 +258,24 @@ def ngram_jaccard_pairs(
     # the cut. eqNullSafe on the block keys: a NULL block is one census
     # group (as in the oracle's window PARTITION BY), not a never-matches
     # key.
+    # hot's keys are RENAMED before the join: ``hot`` derives from
+    # ``exploded``, so ``exploded[c] == hot[c]`` carries the same
+    # attribute id on both sides and only works through Spark's
+    # trivially-true-self-join disambiguation heuristic (it warned on
+    # every run); distinct names make the condition unambiguous by
+    # construction.
     hot = (
         exploded.groupBy(*block_cols, "__g")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") > df_cap)
-        .select(*block_cols, "__g")
+        .select(
+            *[F.col(c).alias(f"__hot_{c}") for c in block_cols],
+            F.col("__g").alias("__hot_g"),
+        )
     )
     anti_cond = [
-        exploded[c].eqNullSafe(hot[c]) for c in block_cols
-    ] + [exploded["__g"] == hot["__g"]]
+        F.col(c).eqNullSafe(F.col(f"__hot_{c}")) for c in block_cols
+    ] + [F.col("__g") == F.col("__hot_g")]
     rare = exploded.join(hot, anti_cond, "left_anti")
     # Two duplicate-id guards (round-9 dup-id probe — a re-crawled corpus
     # re-emits an id with a different payload): postings collapse to ONE
