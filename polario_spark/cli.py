@@ -53,7 +53,11 @@ def concat_csv(paths: list[Path]) -> int:
     import csv as _csv
 
     def _header(p: Path) -> list[str]:
-        with open(p, newline="") as fh:
+        # utf-8-sig: a UTF-8 BOM is file metadata, not the first header
+        # cell. The reference's Polars reader skips it, so a BOM'd file
+        # must concatenate with an unBOM'd one carrying the same header
+        # (round-9 BOM probe — the plain reader refused the pair).
+        with open(p, newline="", encoding="utf-8-sig") as fh:
             return next(_csv.reader(fh), [])
 
     first_header = _header(paths[0])
@@ -75,6 +79,12 @@ def concat_csv(paths: list[Path]) -> int:
         .option("escape", '"')
         .csv([str(p.absolute()) for p in paths])
     )
+    # Spark's CSV reader keeps a UTF-8 BOM in the first column name;
+    # strip it so the parquet schema matches the reference's
+    # BOM-skipping reader
+    if df.columns and df.columns[0].startswith("\ufeff"):
+        renamed = [df.columns[0].lstrip("\ufeff"), *df.columns[1:]]
+        df = df.toDF(*renamed)
     df.show()
     output = Path(paths[0].stem + ".parquet").absolute()
     if output.exists():

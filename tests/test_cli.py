@@ -127,3 +127,19 @@ def test_json_verbs_keep_null_fields(spark, tmp_path, capsys):
     assert cli.main(["json_head", str(pq)]) == 0
     rows = json.loads(capsys.readouterr().out)
     assert all(set(r) == {"id", "name"} for r in rows)
+
+
+def test_concat_csv_strips_utf8_bom(spark, tmp_path, monkeypatch):
+    """A UTF-8 BOM is file metadata, not data: the reference's Polars
+    reader skips it, so a BOM'd CSV must (a) concatenate with an
+    unBOM'd file carrying the same logical header and (b) produce a
+    parquet whose first column name has no BOM. Pre-fix, the header
+    check read the BOM into the first header cell and REFUSED the pair
+    (round-9 BOM probe)."""
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "x1.csv").write_bytes(b"\xef\xbb\xbfa,b\r\n1,foo\r\n")
+    (tmp_path / "x2.csv").write_text("a,b\n2,bar\n")
+    assert cli.main(["concat_csv", "x1.csv", "x2.csv"]) == 0
+    back = spark.read.parquet(str(tmp_path / "x1.parquet"))
+    assert back.columns == ["a", "b"]
+    assert sorted(map(tuple, back.collect())) == [("1", "foo"), ("2", "bar")]
