@@ -41,6 +41,8 @@ NASTY = [
     "x" * 500, ("word " * 200).strip(), "ıİIi",
     "fullａｂwidth", "ﬁnancial ﬂow", "  line sep  para sep",
     "quote'quote\"dquote", "back\\slash", "percent%sign", "null\x01ctl\x02",
+    # NUL bytes are legal in parquet strings and real in crawl data
+    "nul\x00byte", "\x00", "\x00lead", "trail\x00", "a\x00b c\x00d",
     "ţ ť ŧ", "ñoño ÑOÑO", "ø Ø å Å", "đ Đ", "검색 엔진",
 ]
 
