@@ -304,7 +304,12 @@ def test_escape_matches_spark_writer_layout(spark, tmp_path):
     names exactly — pin it against what the writer actually creates."""
     from polario_spark.hive_dataset import escape_partition_value
 
-    values = ["a/b", "a=b", "a%b", "a*b", "a?b", "a'b", 'a"b', "a\\b", "a[b]^c{d"]
+    values = [
+        "a/b", "a=b", "a%b", "a*b", "a?b", "a'b", 'a"b', "a\\b", "a[b]^c{d",
+        # control chars escape to %XX; astral-plane unicode stays literal
+        # (round-9 probe — pinned so the two escape tables cannot drift)
+        "a\nb", "a\tb", "a\rb", "a\x7fb", "e😀moji",
+    ]
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(values)], "v long, p string"
     )
