@@ -175,3 +175,58 @@ COPY (
     drows = norm(rel.fetchall(), list(rel.columns))
     assert len(srows) == len(drows), name
     assert srows == drows, name
+
+
+def test_invalid_utf8_parquet_behavior_is_pinned(spark, tmp_path):
+    """Documented cross-engine LIMIT (round-9 probe): a parquet string
+    column carrying INVALID UTF-8 (real in crawl data — sloppy writers
+    pass raw bytes through) splits the engines at the SCAN:
+
+    - Spark decodes with U+FFFD replacement characters and the job
+      SURVIVES — the production-relevant behavior; replacement chars
+      then flow through the tokenizer like any other non-word char.
+    - DuckDB refuses the whole scan ("Invalid string encoding found in
+      Parquet file"), so the oracle cannot ingest such a file AT ALL —
+      cross-engine verification of this corpus class is impossible by
+      construction, and the failure is LOUD (a job error), never a
+      silent divergence.
+
+    If DuckDB ever gains lenient decoding this pin fails and the class
+    becomes verifiable — add it to the corrupt-row policies then."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [b"good", b"bad\xff\xfebytes", b"\x80start", b"ok"]
+    offsets = [0]
+    data = b""
+    for v in vals:
+        data += v
+        offsets.append(len(data))
+    arr = pa.Array.from_buffers(
+        pa.utf8(),
+        len(vals),
+        [
+            None,
+            pa.py_buffer(pa.array(offsets, pa.int32()).buffers()[1]),
+            pa.py_buffer(data),
+        ],
+    )
+    path = str(tmp_path / "badutf8.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": arr}),
+        path,
+    )
+
+    rows = (
+        spark.read.parquet(path)
+        .selectExpr("doc_id", "text")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.text for r in rows] == [
+        "good", "bad��bytes", "�start", "ok",
+    ]
+
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="[Ii]nvalid string encoding"):
+        con.sql(f"SELECT text FROM read_parquet('{path}')").fetchall()
