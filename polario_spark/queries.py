@@ -277,8 +277,10 @@ def order_rank_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "rollup_sales",
     """
-SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-       coalesce(l_linestatus, 'ALL') AS linestatus,
+SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL'
+            ELSE coalesce(l_returnflag, '(null)') END AS returnflag,
+       CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL'
+            ELSE coalesce(l_linestatus, '(null)') END AS linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        count(*) AS n_items
 FROM lineitem
@@ -288,17 +290,31 @@ ORDER BY returnflag, linestatus
 )
 def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP — Spark expands grouping sets in one
-    pass with partial aggregation, not one job per level."""
+    pass with partial aggregation, not one job per level.
+
+    The subtotal label comes from grouping(), NOT from coalescing the key:
+    a bare coalesce(key, 'ALL') would make a genuinely-NULL group row
+    IDENTICAL in its sort keys to the subtotal row (same 'ALL'/'ALL'
+    labels, different aggregates), leaving the final ORDER BY with a tie
+    whose resolution each engine picks arbitrarily — a hash divergence on
+    any corpus with NULL group keys (tests/test_rollup_adversaries.py).
+    Real NULL keys get their own '(null)' label instead."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
+            F.grouping("l_returnflag").alias("__gf"),
+            F.grouping("l_linestatus").alias("__gs"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.when(F.col("__gf") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce("l_returnflag", F.lit("(null)")))
+            .alias("returnflag"),
+            F.when(F.col("__gs") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce("l_linestatus", F.lit("(null)")))
+            .alias("linestatus"),
             "sum_qty",
             "n_items",
         )
@@ -1473,7 +1489,7 @@ def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFra
         cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("c_mktsegment")
+        .orderBy(F.col("c_mktsegment").asc_nulls_last())
     )
 
 
@@ -1525,7 +1541,9 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.round(F.sum("l_quantity"), 2))
-        .orderBy("l_returnflag")
+        # NULLS LAST: a NULL returnflag group must sort where the oracle's
+        # DuckDB ORDER BY puts it (tests/test_rollup_adversaries.py)
+        .orderBy(F.col("l_returnflag").asc_nulls_last())
     )
     return pivoted
 
@@ -1533,8 +1551,10 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "cube_sales",
     """
-SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-       coalesce(l_linestatus, 'ALL') AS linestatus,
+SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL'
+            ELSE coalesce(l_returnflag, '(null)') END AS returnflag,
+       CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL'
+            ELSE coalesce(l_linestatus, '(null)') END AS linestatus,
        grouping(l_returnflag) AS g_flag,
        grouping(l_linestatus) AS g_status,
        round(sum(l_extendedprice), 2) AS sum_price
@@ -1544,7 +1564,12 @@ ORDER BY returnflag, linestatus, g_flag, g_status
 """,
 )
 def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE with grouping() indicators — all 4 grouping sets in one pass."""
+    """CUBE with grouping() indicators — all 4 grouping sets in one pass.
+
+    Labels use the indicators, not bare coalesce: a real-NULL group must
+    read '(null)', never collide with the subtotal's 'ALL' (the g_flag /
+    g_status sort keys already kept this entry order-stable, but the label
+    conflation itself is the bug — see rollup_sales)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -1554,8 +1579,12 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
         .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            F.when(F.col("g_flag") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce("l_returnflag", F.lit("(null)")))
+            .alias("returnflag"),
+            F.when(F.col("g_status") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce("l_linestatus", F.lit("(null)")))
+            .alias("linestatus"),
             "g_flag",
             "g_status",
             "sum_price",
@@ -1567,8 +1596,10 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "grouping_sets_priority",
     """
-SELECT coalesce(o_orderstatus, 'ALL') AS status,
-       coalesce(o_orderpriority, 'ALL') AS priority,
+SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+            ELSE coalesce(o_orderstatus, '(null)') END AS status,
+       CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+            ELSE coalesce(o_orderpriority, '(null)') END AS priority,
        count(*) AS n,
        round(sum(o_totalprice), 2) AS total
 FROM orders
@@ -1578,12 +1609,16 @@ ORDER BY status, priority
 )
 def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the SQL API (same Catalyst plan as
-    the DataFrame route)."""
+    the DataFrame route). Subtotal labels come from grouping(), so a
+    real-NULL status/priority group stays distinct from the placeholder
+    rows and the final sort is tie-free (see rollup_sales)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
-        SELECT coalesce(o_orderstatus, 'ALL') AS status,
-               coalesce(o_orderpriority, 'ALL') AS priority,
+        SELECT CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+                    ELSE coalesce(o_orderstatus, '(null)') END AS status,
+               CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+                    ELSE coalesce(o_orderpriority, '(null)') END AS priority,
                count(*) AS n,
                round(sum(o_totalprice), 2) AS total
         FROM orders
@@ -1628,7 +1663,7 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price",
             "max_price",
         )
-        .orderBy("o_orderstatus")
+        .orderBy(F.col("o_orderstatus").asc_nulls_last())
     )
 
 
@@ -1816,7 +1851,7 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").alias("n_suppliers"),
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
-        .orderBy("l_returnflag")
+        .orderBy(F.col("l_returnflag").asc_nulls_last())
     )
 
 
@@ -2408,7 +2443,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("total"),
         )
-        .orderBy("o_orderstatus")
+        .orderBy(F.col("o_orderstatus").asc_nulls_last())
     )
 
 
@@ -2730,7 +2765,7 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_lines"),
                 F.round(F.sum("l_extendedprice"), 2).alias("total"),
             )
-            .orderBy("o_orderstatus")
+            .orderBy(F.col("o_orderstatus").asc_nulls_last())
         )
     except Exception:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
@@ -4178,7 +4213,7 @@ def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
-        .orderBy("o_orderstatus")
+        .orderBy(F.col("o_orderstatus").asc_nulls_last())
     )
 
 
@@ -4526,7 +4561,7 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
-        .orderBy("o_orderstatus")
+        .orderBy(F.col("o_orderstatus").asc_nulls_last())
     )
 
 
@@ -5124,6 +5159,14 @@ _PRIORITY = [
     #     tests/test_numeric_adversaries.py negative-zero family
     #     (the embedding entries above are already queued)
     "ols_price_per_brand",
+    #   - grouping-set disambiguation (round-9 session 6): subtotal labels
+    #     now derive from grouping() ('ALL') with real-NULL keys labeled
+    #     '(null)' — the oracle TEXT changed for these three, so the
+    #     driver should re-hash them (clean-data values are unchanged:
+    #     TPC-H keys are never NULL) — see tests/test_rollup_adversaries.py
+    "rollup_sales",
+    "cube_sales",
+    "grouping_sets_priority",
 ]
 
 
