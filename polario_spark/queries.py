@@ -5167,6 +5167,14 @@ _PRIORITY = [
     "rollup_sales",
     "cube_sales",
     "grouping_sets_priority",
+    #   - streaming-state hardening (round-9 session 6): dedup_counts
+    #     moved to dropDuplicatesWithinWatermark (plain dropDuplicates
+    #     never evicts key state when the event-time column is not a
+    #     dedup key — unbounded state, probed); sessionizer split into
+    #     sessionize_transform + drain_sessions with the arrival-order
+    #     contract pinned — see tests/test_streaming_state_adversaries.py
+    "streaming_dedup_counts",
+    "streaming_stateful_sessions",
 ]
 
 

@@ -148,16 +148,23 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator: per-user sessionization with a
-    30-minute inactivity gap via ``applyInPandasWithState``.
+def sessionize_transform(stream: DataFrame) -> DataFrame:
+    """Per-user 30-minute-gap sessionization over an event stream, via
+    ``applyInPandasWithState`` — the transform only, so probes can attach
+    it to a source whose micro-batching they control
+    (tests/test_streaming_state_adversaries.py uses maxFilesPerTrigger=1).
 
-    The canonical arbitrary-state shape: groupBy(user) -> pandas function
-    receiving (key, batch iterator, GroupState); state carries (last event
-    ts, open session count) across micro-batches, so sessions stitch
-    correctly even when a user's events span triggers. The memory-sink
-    drain emits each user's final (n_sessions, total_events) — identical
-    to the batch lag/cumsum sessionization, which is the oracle.
+    Contract — ARRIVAL order across micro-batches: state carries only
+    (last event ts, session/event counts), so each batch's events are
+    sorted WITHIN the batch and appended after everything already
+    processed. When per-user arrival is event-time-ordered (the common
+    log-shipping case) this equals the batch lag/cumsum sessionization
+    exactly; a cross-batch straggler (event time before state.last_ts)
+    is instead stitched at its arrival position — it never re-opens a
+    closed session, and a successor in its batch measures its gap from
+    the straggler. O(1)-per-key state cannot honor any stronger
+    contract; event-time-exact sessions are the batch `events_sessions`
+    / `session_window_stats` entries.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -189,8 +196,8 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    out = (
-        _event_stream(spark, sf_dir)
+    return (
+        stream
         # sessionization is undefined for an unknown event time, and a
         # NaT reaching the pandas handler crashes the int64 ts cast
         # (round-8 temporal-adversary probe) — exclude at the scan, as
@@ -212,6 +219,11 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def drain_sessions(spark: SparkSession, out: DataFrame) -> DataFrame:
+    """Drain a ``sessionize_transform`` stream to a memory sink and reduce
+    update-mode rows (one per user per trigger) to each user's final row."""
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark):
         query = (
@@ -233,15 +245,45 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(w_latest)
 
 
+def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with a
+    30-minute inactivity gap — ``sessionize_transform`` over the events
+    stream, drained to its per-user final rows. On per-user time-ordered
+    arrival (any single drain of the fixture) the result is identical to
+    the batch lag/cumsum sessionization, which is the oracle; the
+    cross-batch arrival-order contract is documented on the transform."""
+    return drain_sessions(spark, sessionize_transform(_event_stream(spark, sf_dir)))
+
+
 def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exact dedup: dropDuplicates on (user_id, event_type)
-    keyed state with a watermark bounding it, then a per-type count of the
-    deduped stream. Append-mode drain to a memory sink, aggregated after —
-    the shape of an ingest pipeline that must admit each (user, type) once."""
+    """Streaming exact dedup on (user_id, event_type) keyed state, then a
+    per-type count of the deduped stream. Append-mode drain to a memory
+    sink, aggregated after — the shape of an ingest pipeline that must
+    admit each (user, type) once.
+
+    Uses ``dropDuplicatesWithinWatermark``, NOT ``dropDuplicates``: with
+    plain dropDuplicates a watermark does not evict key state unless the
+    event-time column is itself one of the dedup keys — the round-9 probe
+    (tests/test_streaming_state_adversaries.py) showed a key admitted at
+    10:00 still suppressing duplicates long after the watermark passed
+    its horizon, i.e. state grows with |distinct keys| FOREVER, a 100 TB
+    scale-killer hiding behind a watermark that only filters late input.
+    The WithinWatermark variant expires each key once the watermark
+    passes its first-seen event time + delay: state is bounded by the
+    horizon's key arrival rate, duplicates are suppressed exactly within
+    the horizon, and a recurrence beyond it is re-admitted (at-least-once
+    beyond the horizon — global exactness is the batch dedup family).
+    Rows with NULL event time are admitted and deduped within each
+    micro-batch, but their key state does not survive the trigger (expiry
+    treats the unknown event time as already past — probed), so a
+    NULL-ts duplicate in a LATER batch is re-admitted; a single drain of
+    a static fixture sees them all in one batch and matches the batch
+    oracle exactly. Exclude or default NULL event times upstream when
+    exact NULL-key dedup matters."""
     stream = (
         _event_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark):

@@ -1,0 +1,336 @@
+"""Round-9 streaming STATE adversary suite: semantics that only appear
+when keyed state is evicted or carried ACROSS micro-batches.
+
+The registry's streaming entries drain the whole fixture with
+``processAllAvailable`` — a static directory arrives as ONE micro-batch,
+so keyed state never crosses a trigger boundary and the watermark never
+evicts anything before the drain ends. These probes feed adversarial
+multi-batch sequences (file drops between processAllAvailable calls, so
+batch order is deterministic) to pin the two state behaviors a 100 TB
+deployment actually lives with:
+
+1. **Keyed-dedup re-admission** (`dropDuplicates` + watermark): once the
+   watermark passes a key's eviction horizon its state is dropped and a
+   recurrence is admitted as never-seen. That is the documented cost of
+   BOUNDING dedup state; the probe pins it so the contract stays
+   explicit — streaming dedup is exact within the watermark horizon,
+   at-least-once beyond it (global exactness = the batch dedup family).
+
+2. **Arrival-order sessionization** (`sessionize_transform`): state is
+   O(1) per key — (last_ts, counts) — so cross-batch stitching is in
+   ARRIVAL order, exact when per-user arrival is event-time-ordered and
+   an explicit approximation when it is not. The probe pins both the
+   agreeing case and a measured divergence (streaming 3 sessions where
+   the batch event-time oracle says 2), so the approximation is
+   documented with numbers, not assumed away.
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from polario_spark.streaming.events import drain_sessions, sessionize_transform
+
+_DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_SESS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _write_dedup_batch(src, name, rows):
+    """rows: (user_id, event_type, ts)."""
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        str(src / name),
+    )
+
+
+def _write_sess_batch(src, name, rows, start_id):
+    """rows: (user_id, ts); event_id assigned sequentially."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(
+                    range(start_id, start_id + len(rows)), pa.int64()
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        str(src / name),
+    )
+
+
+def _start_memory_query(stream_df, tmp_path, mode):
+    name = f"probe_{uuid.uuid4().hex[:8]}"
+    query = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"chk_{name}"))
+        .start()
+    )
+    return name, query
+
+
+def test_plain_dropduplicates_state_is_never_evicted(spark, tmp_path):
+    """THE TRAP this suite exists for: with plain ``dropDuplicates`` a
+    watermark does NOT evict key state when the event-time column is not
+    among the dedup keys — a (user 1, click) admitted at 10:00 still
+    suppresses its duplicate at 23:00, two full batches after the
+    watermark (21:00 delay 1 h) passed any plausible horizon. State grows
+    with |distinct keys| forever; the watermark only filters late input.
+    This pins WHY dedup_counts uses dropDuplicatesWithinWatermark — if
+    Spark ever changes plain-dropDuplicates eviction, this fails and the
+    choice should be revisited."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_dedup_batch(
+        src,
+        "b1.parquet",
+        [
+            (1, "click", datetime(2026, 1, 1, 10, 0)),
+            (9, "view", datetime(2026, 1, 1, 20, 0)),  # watermark -> 19:00
+        ],
+    )
+    stream = (
+        spark.readStream.schema(_DEDUP_SCHEMA)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name, query = _start_memory_query(stream, tmp_path, "append")
+    try:
+        query.processAllAvailable()
+        # an intermediate batch advances the watermark AND gives the
+        # state store a cleanup opportunity it (correctly) does not take
+        _write_dedup_batch(
+            src, "b2.parquet", [(9, "scroll", datetime(2026, 1, 1, 22, 0))]
+        )
+        query.processAllAvailable()
+        _write_dedup_batch(
+            src, "b3.parquet", [(1, "click", datetime(2026, 1, 1, 23, 0))]
+        )
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    clicks = [
+        r
+        for r in spark.table(name).collect()
+        if r.user_id == 1 and r.event_type == "click"
+    ]
+    assert len(clicks) == 1, (
+        "plain dropDuplicates suppressed forever (unbounded state)"
+    )
+
+
+def test_within_watermark_dedup_readmits_key_after_horizon(spark, tmp_path):
+    """The operator dedup_counts actually uses: state for (1, click) at
+    10:00 expires once the watermark (21:00 after b2, delay 1 h) passes
+    its first-seen time + delay, so the recurrence at 23:00 is
+    RE-ADMITTED. Bounded state = at-least-once beyond the horizon."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_dedup_batch(
+        src,
+        "b1.parquet",
+        [
+            (1, "click", datetime(2026, 1, 1, 10, 0)),
+            (9, "view", datetime(2026, 1, 1, 20, 0)),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(_DEDUP_SCHEMA)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    name, query = _start_memory_query(stream, tmp_path, "append")
+    try:
+        query.processAllAvailable()
+        _write_dedup_batch(
+            src, "b2.parquet", [(9, "scroll", datetime(2026, 1, 1, 22, 0))]
+        )
+        query.processAllAvailable()
+        _write_dedup_batch(
+            src, "b3.parquet", [(1, "click", datetime(2026, 1, 1, 23, 0))]
+        )
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    clicks = [
+        r
+        for r in spark.table(name).collect()
+        if r.user_id == 1 and r.event_type == "click"
+    ]
+    assert len(clicks) == 2, (
+        "evicted-key recurrence must be re-admitted (bounded-state dedup)"
+    )
+
+
+def test_within_watermark_dedup_exact_inside_horizon(spark, tmp_path):
+    """The exactness half of the contract: a duplicate arriving in a
+    later micro-batch but INSIDE the watermark horizon is suppressed. A
+    NULL-event-time key is deduped WITHIN a batch but its state does not
+    survive the trigger (expiry treats the unknown event time as already
+    past), so its cross-batch duplicate is re-admitted — measured here
+    and documented on dedup_counts; exclude or default NULL event times
+    upstream when exact NULL-key dedup matters."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_dedup_batch(
+        src,
+        "b1.parquet",
+        [
+            (1, "click", datetime(2026, 1, 1, 10, 0)),
+            (2, "view", None),
+            (9, "view", datetime(2026, 1, 1, 10, 30)),  # watermark -> 08:30
+        ],
+    )
+    stream = (
+        spark.readStream.schema(_DEDUP_SCHEMA)
+        .parquet(str(src))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    name, query = _start_memory_query(stream, tmp_path, "append")
+    try:
+        query.processAllAvailable()
+        _write_dedup_batch(
+            src,
+            "b2.parquet",
+            [
+                (1, "click", datetime(2026, 1, 1, 10, 45)),  # in-horizon dup
+                (2, "view", None),                            # NULL-ts dup
+            ],
+        )
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    rows = spark.table(name).collect()
+    clicks = [r for r in rows if r.user_id == 1 and r.event_type == "click"]
+    nullts = [r for r in rows if r.user_id == 2 and r.event_type == "view"]
+    assert len(clicks) == 1, "in-horizon duplicate must be suppressed"
+    # NULL-ts key: state expired at the trigger boundary -> the batch-2
+    # duplicate is re-admitted (2 rows). In-batch dedup still holds: each
+    # batch contributed exactly one row despite any within-batch dups.
+    assert len(nullts) == 2, (
+        "NULL-ts key state must not survive the micro-batch (measured)"
+    )
+
+
+def _drain_sessions_multibatch(spark, tmp_path, batches):
+    """Run sessionize_transform over a file stream, feeding ``batches``
+    (lists of (user_id, ts)) strictly one micro-batch at a time."""
+    src = tmp_path / f"sess_{uuid.uuid4().hex[:8]}"
+    src.mkdir()
+    _write_sess_batch(src, "b0.parquet", batches[0], 0)
+    out = sessionize_transform(
+        spark.readStream.schema(_SESS_SCHEMA).parquet(str(src))
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(src) + "_chk")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_sess_batch(src, f"b{i}.parquet", rows, 100 * i)
+            query.processAllAvailable()
+    finally:
+        query.stop()
+    latest = (
+        "SELECT user_id, n_sessions, total_events FROM ("
+        f"  SELECT *, row_number() OVER (PARTITION BY user_id"
+        f"     ORDER BY total_events DESC) AS rn FROM {name}"
+        ") WHERE rn = 1"
+    )
+    return {
+        r.user_id: (r.n_sessions, r.total_events)
+        for r in spark.sql(latest).collect()
+    }
+
+
+def test_stateful_sessions_match_batch_oracle_on_ordered_arrival(spark, tmp_path):
+    """When per-user arrival is event-time-ordered, state carried across
+    micro-batches MID-SESSION must stitch exactly like the batch
+    lag/cumsum oracle: 10:00,10:10 | 10:20 (same session across the
+    trigger), 12:00 (new) => 2 sessions, 4 events."""
+    out = _drain_sessions_multibatch(
+        spark,
+        tmp_path,
+        [
+            [(7, datetime(2026, 1, 1, 10, 0)), (7, datetime(2026, 1, 1, 10, 10))],
+            [(7, datetime(2026, 1, 1, 10, 20)), (7, datetime(2026, 1, 1, 12, 0))],
+        ],
+    )
+    assert out == {7: (2, 4)}
+
+
+def test_stateful_sessions_are_arrival_order_across_batches(spark, tmp_path):
+    """The pinned approximation, with a measured divergence. Arrival:
+    batch 1 = 10:00, 12:00; batch 2 = straggler 10:05 + successor 12:10.
+
+    - streaming (arrival order): batch 1 opens sessions at 10:00 and
+      12:00; in batch 2 the straggler's gap vs last_ts=12:00 is negative
+      (no new session) but the successor 12:10 measures its gap from the
+      STRAGGLER (125 min > 30) and opens a spurious third session
+      => (3 sessions, 4 events).
+    - batch event-time oracle on the same rows: {10:00,10:05} |
+      {12:00,12:10} => (2 sessions, 4 events).
+
+    The divergence is the operator's documented contract (arrival order,
+    O(1) state); this test fails if someone silently "fixes" it into
+    unbounded-state buffering or breaks the within-batch sort."""
+    rows_b1 = [(7, datetime(2026, 1, 1, 10, 0)), (7, datetime(2026, 1, 1, 12, 0))]
+    rows_b2 = [(7, datetime(2026, 1, 1, 10, 5)), (7, datetime(2026, 1, 1, 12, 10))]
+    out = _drain_sessions_multibatch(spark, tmp_path, [rows_b1, rows_b2])
+    assert out == {7: (3, 4)}
+
+    # the batch event-time oracle over the SAME rows says 2 sessions —
+    # computed here so the divergence is measured inside the test, not
+    # asserted from a comment
+    sdf = spark.createDataFrame(
+        [(u, t) for (u, t) in rows_b1 + rows_b2], "user_id long, ts timestamp"
+    )
+    gap = F.unix_micros("ts") - F.unix_micros(
+        F.lag("ts").over(Window.partitionBy("user_id").orderBy("ts"))
+    )
+    batch = (
+        sdf.withColumn(
+            "new_s",
+            (F.coalesce(gap, F.lit(10**18)) > 30 * 60 * 1_000_000).cast("int"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {r.user_id: (r.n_sessions, r.n) for r in batch} == {7: (2, 4)}
