@@ -148,53 +148,84 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sessionization inactivity gap and the watermark delay bounding the
+#: sessionizer's state lifetime.
+SESSION_GAP_MIN = 30
+SESSION_WATERMARK = "1 hour"
+
+
 def sessionize_transform(stream: DataFrame) -> DataFrame:
     """Per-user 30-minute-gap sessionization over an event stream, via
     ``applyInPandasWithState`` — the transform only, so probes can attach
     it to a source whose micro-batching they control
-    (tests/test_streaming_state_adversaries.py uses maxFilesPerTrigger=1).
+    (tests/test_streaming_state_adversaries.py drops files between
+    processAllAvailable calls).
 
-    Contract — ARRIVAL order across micro-batches: state carries only
-    (last event ts, session/event counts), so each batch's events are
-    sorted WITHIN the batch and appended after everything already
-    processed. When per-user arrival is event-time-ordered (the common
-    log-shipping case) this equals the batch lag/cumsum sessionization
-    exactly; a cross-batch straggler (event time before state.last_ts)
-    is instead stitched at its arrival position — it never re-opens a
-    closed session, and a successor in its batch measures its gap from
-    the straggler. O(1)-per-key state cannot honor any stronger
-    contract; event-time-exact sessions are the batch `events_sessions`
-    / `session_window_stats` entries.
+    **State is BOUNDED via EventTimeTimeout + delta emission.** Each
+    trigger emits per-user DELTAS (sessions opened, events seen this
+    trigger); state carries only the user's last event time, and a
+    timeout at last_ts + gap lets the watermark evict any user idle past
+    the session gap — their already-emitted deltas fully describe their
+    closed sessions. The earlier design (NoTimeout + cumulative counts,
+    drain takes each user's max row) kept one state row per user EVER
+    SEEN — unbounded at 100 TB; with eviction, state is bounded by the
+    number of users active within the watermark horizon.
+
+    Contract — ARRIVAL order across micro-batches: events are sorted
+    WITHIN a batch and appended after everything already processed.
+    When per-user arrival is event-time-ordered this equals the batch
+    lag/cumsum sessionization exactly — including across an eviction,
+    because a post-eviction event is (by the watermark that caused the
+    eviction) more than the gap after the user's last event, i.e. a new
+    session in event time too. A cross-batch straggler is stitched at
+    its arrival position instead of re-opening a closed session.
+    O(1)-per-key state cannot honor a stronger contract; event-time-
+    exact sessions are the batch `events_sessions` /
+    `session_window_stats` entries.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    GAP_US = 30 * 60 * 1_000_000
+    GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+    GAP_MS = SESSION_GAP_MIN * 60 * 1_000
 
     def sessionize(key, pdfs, state: GroupState):
         import pandas as pd
 
-        if state.exists:
-            last_us, n_sessions, n_events = state.get
-        else:
-            last_us, n_sessions, n_events = None, 0, 0
+        def deltas(n_sessions, n_events):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "d_sessions": pd.Series([n_sessions], dtype="int64"),
+                    "d_events": pd.Series([n_events], dtype="int64"),
+                }
+            )
+
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: no on-time event can extend
+            # this user's session; everything countable was already
+            # emitted as deltas — drop the state row.
+            state.remove()
+            return
+        (last_us,) = state.get if state.exists else (None,)
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["__us", "event_id"])
         us = rows["__us"].to_numpy()
-        if len(us):
-            prev = us.copy()
-            prev[1:] = us[:-1]
-            prev[0] = last_us if last_us is not None else us[0] - GAP_US - 1
-            n_sessions += int((us - prev > GAP_US).sum())
-            last_us = int(us[-1])
-            n_events += len(us)
-        state.update((last_us, n_sessions, n_events))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_sessions": [n_sessions],
-                "total_events": [n_events],
-            }
+        if not len(us):
+            return
+        prev = us.copy()
+        prev[1:] = us[:-1]
+        prev[0] = last_us if last_us is not None else us[0] - GAP_US - 1
+        d_sessions = int((us - prev > GAP_US).sum())
+        last_us = int(us[-1])
+        state.update((last_us,))
+        # expire once the watermark proves the gap elapsed; must be set
+        # strictly beyond the current watermark (a batch of pure
+        # stragglers could otherwise compute a timeout already in the
+        # past, which EventTimeTimeout rejects)
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + GAP_MS, state.getCurrentWatermarkMs() + 1)
         )
+        yield deltas(d_sessions, len(us))
 
     return (
         stream
@@ -203,27 +234,47 @@ def sessionize_transform(stream: DataFrame) -> DataFrame:
         # (round-8 temporal-adversary probe) — exclude at the scan, as
         # the batch sessionization entries and their oracles do
         .filter(F.col("ts").isNotNull())
-        # convert to integer micros JVM-SIDE: raw timestamps must not
-        # cross the Arrow boundary — pandas datetime64[ns] tops out at
-        # 2262-04-11, so a single year-9999 event would crash the
-        # worker during Arrow->pandas conversion (round-8 probe). The
-        # narrow (user_id, event_id, us) projection also shrinks the
-        # Arrow transfer to exactly what the handler reads.
-        .select("user_id", "event_id", F.unix_micros("ts").alias("__us"))
+        # EventTimeTimeout needs a watermark; define it on a CLAMPED
+        # twin of ts so (a) a single year-9999 poison event cannot jump
+        # the watermark to end-of-time and mass-evict every user, (b)
+        # the watermarked column that must ride along to the stateful
+        # operator stays inside pandas' datetime64[ns] range (raw
+        # year-9999 would crash the Arrow->pandas conversion — round-8
+        # probe), and (c) pre-epoch events (1930 crawl garbage — round-8
+        # fixture) survive the FIRST batch: the initial watermark is
+        # epoch 0 and the late-row filter compares this column, so an
+        # unclamped pre-1970 timestamp would be silently "late" before
+        # any data arrived, diverging from the batch oracle. Session
+        # math still uses true event times via the integer __us column,
+        # converted JVM-side.
+        .withColumn(
+            "__ts_w",
+            F.least(
+                F.greatest(
+                    F.col("ts"), F.lit("1970-01-01 00:00:01").cast("timestamp")
+                ),
+                F.lit("2260-01-01 00:00:00").cast("timestamp"),
+            ),
+        )
+        .withWatermark("__ts_w", SESSION_WATERMARK)
+        .select(
+            "user_id", "event_id", F.unix_micros("ts").alias("__us"), "__ts_w"
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             sessionize,
-            outputStructType="user_id long, n_sessions long, total_events long",
-            stateStructType="last_us long, n_sessions long, n_events long",
+            outputStructType="user_id long, d_sessions long, d_events long",
+            stateStructType="last_us long",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
 
 def drain_sessions(spark: SparkSession, out: DataFrame) -> DataFrame:
-    """Drain a ``sessionize_transform`` stream to a memory sink and reduce
-    update-mode rows (one per user per trigger) to each user's final row."""
+    """Drain a ``sessionize_transform`` stream to a memory sink and SUM
+    the per-trigger deltas into each user's final
+    (n_sessions, total_events) row."""
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark):
         query = (
@@ -236,13 +287,15 @@ def drain_sessions(spark: SparkSession, out: DataFrame) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    # update mode appends one row per (user, trigger); keep each user's last
-    w_latest = (
-        "SELECT user_id, n_sessions, total_events FROM ("
-        f"  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY total_events DESC) AS rn FROM {name}"
-        ") WHERE rn = 1"
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               sum(d_sessions) AS n_sessions,
+               sum(d_events) AS total_events
+        FROM {name}
+        GROUP BY user_id
+        """
     )
-    return spark.sql(w_latest)
 
 
 def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

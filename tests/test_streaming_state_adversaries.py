@@ -16,13 +16,15 @@ deployment actually lives with:
    explicit — streaming dedup is exact within the watermark horizon,
    at-least-once beyond it (global exactness = the batch dedup family).
 
-2. **Arrival-order sessionization** (`sessionize_transform`): state is
-   O(1) per key — (last_ts, counts) — so cross-batch stitching is in
-   ARRIVAL order, exact when per-user arrival is event-time-ordered and
-   an explicit approximation when it is not. The probe pins both the
-   agreeing case and a measured divergence (streaming 3 sessions where
-   the batch event-time oracle says 2), so the approximation is
-   documented with numbers, not assumed away.
+2. **Sessionizer contract** (`sessionize_transform`): state is O(1) per
+   key (last_ts only; per-trigger deltas are emitted, not cumulative
+   counts), bounded by EventTimeTimeout eviction. The pinned behaviors:
+   ordered arrival == the batch event-time oracle exactly (including
+   across a mid-session trigger and across an eviction); stragglers
+   older than the watermark are DROPPED at the stateful operator's
+   input; stragglers inside the allowed lateness are stitched at their
+   ARRIVAL position. Each divergence from the batch oracle is measured
+   in-test with both engines' numbers, not assumed away.
 """
 
 from __future__ import annotations
@@ -267,15 +269,13 @@ def _drain_sessions_multibatch(spark, tmp_path, batches):
             query.processAllAvailable()
     finally:
         query.stop()
-    latest = (
-        "SELECT user_id, n_sessions, total_events FROM ("
-        f"  SELECT *, row_number() OVER (PARTITION BY user_id"
-        f"     ORDER BY total_events DESC) AS rn FROM {name}"
-        ") WHERE rn = 1"
+    totals = (
+        f"SELECT user_id, sum(d_sessions) AS n_sessions,"
+        f" sum(d_events) AS total_events FROM {name} GROUP BY user_id"
     )
     return {
         r.user_id: (r.n_sessions, r.total_events)
-        for r in spark.sql(latest).collect()
+        for r in spark.sql(totals).collect()
     }
 
 
@@ -295,32 +295,11 @@ def test_stateful_sessions_match_batch_oracle_on_ordered_arrival(spark, tmp_path
     assert out == {7: (2, 4)}
 
 
-def test_stateful_sessions_are_arrival_order_across_batches(spark, tmp_path):
-    """The pinned approximation, with a measured divergence. Arrival:
-    batch 1 = 10:00, 12:00; batch 2 = straggler 10:05 + successor 12:10.
-
-    - streaming (arrival order): batch 1 opens sessions at 10:00 and
-      12:00; in batch 2 the straggler's gap vs last_ts=12:00 is negative
-      (no new session) but the successor 12:10 measures its gap from the
-      STRAGGLER (125 min > 30) and opens a spurious third session
-      => (3 sessions, 4 events).
-    - batch event-time oracle on the same rows: {10:00,10:05} |
-      {12:00,12:10} => (2 sessions, 4 events).
-
-    The divergence is the operator's documented contract (arrival order,
-    O(1) state); this test fails if someone silently "fixes" it into
-    unbounded-state buffering or breaks the within-batch sort."""
-    rows_b1 = [(7, datetime(2026, 1, 1, 10, 0)), (7, datetime(2026, 1, 1, 12, 0))]
-    rows_b2 = [(7, datetime(2026, 1, 1, 10, 5)), (7, datetime(2026, 1, 1, 12, 10))]
-    out = _drain_sessions_multibatch(spark, tmp_path, [rows_b1, rows_b2])
-    assert out == {7: (3, 4)}
-
-    # the batch event-time oracle over the SAME rows says 2 sessions —
-    # computed here so the divergence is measured inside the test, not
-    # asserted from a comment
-    sdf = spark.createDataFrame(
-        [(u, t) for (u, t) in rows_b1 + rows_b2], "user_id long, ts timestamp"
-    )
+def _batch_session_oracle(spark, rows):
+    """Event-time lag/cumsum sessionization over the given (user, ts)
+    rows — the exact-semantics reference the streaming contract is
+    measured against."""
+    sdf = spark.createDataFrame(list(rows), "user_id long, ts timestamp")
     gap = F.unix_micros("ts") - F.unix_micros(
         F.lag("ts").over(Window.partitionBy("user_id").orderBy("ts"))
     )
@@ -333,4 +312,71 @@ def test_stateful_sessions_are_arrival_order_across_batches(spark, tmp_path):
         .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    assert {r.user_id: (r.n_sessions, r.n) for r in batch} == {7: (2, 4)}
+    return {r.user_id: (r.n_sessions, r.n) for r in batch}
+
+
+def test_stateful_sessions_drop_stragglers_beyond_watermark(spark, tmp_path):
+    """A cross-batch straggler OLDER than the watermark is dropped at the
+    stateful operator's input (standard watermark semantics — this is
+    what makes EventTimeTimeout eviction sound). Arrival: batch 1 =
+    10:00, 12:00 (watermark -> 11:00 at delay 1 h); batch 2 = straggler
+    10:05 (< 11:00, DROPPED) + successor 12:10 (10 min gap, same
+    session). Streaming: (2 sessions, 3 events); the batch event-time
+    oracle over all four rows says (2, 4) — the divergence is exactly
+    the dropped late row, pinned here with both numbers."""
+    rows_b1 = [(7, datetime(2026, 1, 1, 10, 0)), (7, datetime(2026, 1, 1, 12, 0))]
+    rows_b2 = [(7, datetime(2026, 1, 1, 10, 5)), (7, datetime(2026, 1, 1, 12, 10))]
+    out = _drain_sessions_multibatch(spark, tmp_path, [rows_b1, rows_b2])
+    assert out == {7: (2, 3)}
+    assert _batch_session_oracle(spark, rows_b1 + rows_b2) == {7: (2, 4)}
+
+
+def test_stateful_sessions_stitch_inhorizon_stragglers_in_arrival_order(
+    spark, tmp_path
+):
+    """A straggler INSIDE the allowed lateness is admitted but stitched
+    at its ARRIVAL position (state is O(1)/key — last_ts only). Arrival:
+    batch 1 = 10:00, 11:30 (watermark -> 10:30); batch 2 = straggler
+    10:45 (admitted: newer than the watermark, older than last_ts) +
+    successor 12:30.
+
+    - streaming: b1 opens sessions at 10:00 and 11:30 (90 min gap); in
+      b2 the straggler's gap vs last_ts=11:30 is negative (no session)
+      and the successor 12:30 measures 105 min from the STRAGGLER ->
+      opens one more => (3 sessions, 4 events).
+    - batch event-time oracle: 10:00 |45'| 10:45 |45'| 11:30 |60'| 12:30
+      — every gap exceeds 30 min => (4 sessions, 4 events).
+
+    The divergence is the operator's documented contract; this test
+    fails if someone silently "fixes" it into unbounded-state buffering
+    or breaks the within-batch sort."""
+    rows_b1 = [(7, datetime(2026, 1, 1, 10, 0)), (7, datetime(2026, 1, 1, 11, 30))]
+    rows_b2 = [(7, datetime(2026, 1, 1, 10, 45)), (7, datetime(2026, 1, 1, 12, 30))]
+    out = _drain_sessions_multibatch(spark, tmp_path, [rows_b1, rows_b2])
+    assert out == {7: (3, 4)}
+    assert _batch_session_oracle(spark, rows_b1 + rows_b2) == {7: (4, 4)}
+
+
+def test_stateful_sessions_state_evicted_after_idle_gap(spark, tmp_path):
+    """Eviction correctness across an actual timeout: user 7 goes idle,
+    another user's events advance the watermark past 7's last_ts + gap
+    (EventTimeTimeout fires, state dropped), then user 7 returns with an
+    on-time event. The return must count as a NEW session and the
+    already-emitted deltas must survive the eviction — totals are exact:
+    user 7 = (2 sessions, 2 events), user 9 = (2, 2) (their own 2 h gap
+    also splits). This is the bounded-state half the old NoTimeout
+    design could not provide."""
+    out = _drain_sessions_multibatch(
+        spark,
+        tmp_path,
+        [
+            # b1: user 7 active; user 9's 12:00 -> watermark 11:00 > 10:00+30'
+            [(7, datetime(2026, 1, 1, 10, 0)), (9, datetime(2026, 1, 1, 12, 0))],
+            # b2: only user 9 -> user 7 has no data, timeout fires, state
+            # removed (watermark moves to 13:00)
+            [(9, datetime(2026, 1, 1, 14, 0))],
+            # b3: user 7 returns, on-time -> fresh state, new session
+            [(7, datetime(2026, 1, 1, 15, 0))],
+        ],
+    )
+    assert out == {7: (2, 2), 9: (2, 2)}
