@@ -5175,6 +5175,11 @@ _PRIORITY = [
     #     contract pinned — see tests/test_streaming_state_adversaries.py
     "streaming_dedup_counts",
     "streaming_stateful_sessions",
+    #   - foreachBatch ledger made replay-idempotent (round-9 session 6):
+    #     per-batch_id dynamic partition overwrite instead of append, so
+    #     a restarted query's re-delivered batch rewrites its own
+    #     partition instead of double-counting
+    "streaming_foreachbatch_totals",
 ]
 
 

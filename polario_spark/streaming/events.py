@@ -401,28 +401,26 @@ def static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``foreachBatch`` sink: per-micro-batch partial aggregates appended
-    to a parquet ledger, compacted to final totals after the drain.
+#: partials-ledger schema for the foreachBatch sink (batch_id is the
+#: dynamic-overwrite partition key; the explicit read schema lets the
+#: read-back work on an empty/missing ledger without footer inference)
+_LEDGER_SCHEMA = "event_type string, n bigint, sv double, batch_id bigint"
 
-    foreachBatch is the streaming escape hatch for sinks Spark lacks
-    (JDBC upserts, MERGE INTO, multi-table writes): the function receives
-    each micro-batch as a *batch* DataFrame plus a batch_id for
-    idempotence (re-delivered batches can be skipped/overwritten by id —
-    here each id writes its own files, so replays overwrite
-    deterministically). Appending map-side partials and aggregating at
-    read keeps the per-batch work tiny; the ledger compaction is the same
-    partial->final pattern every distributed agg uses."""
-    from polario_spark.workdir import work_dir
 
-    out = work_dir(spark, "foreachbatch_totals") + "/partials"
-    # seed the ledger with a zero-row frame of the partials schema: an
-    # empty stream runs zero micro-batches, so without the seed the
-    # read-back below would fail on a nonexistent path instead of
-    # degrading to empty totals
-    spark.createDataFrame(
-        [], "event_type string, n bigint, sv double, batch_id bigint"
-    ).write.mode("append").parquet(out)
+def ledger_sink(out: str):
+    """foreachBatch function writing each micro-batch's partial
+    aggregates to ``out`` partitioned by batch_id, with dynamic partition
+    overwrite — the idempotence mechanism, module-level so the replay
+    probe (tests/test_streaming_state_adversaries.py) can drive it
+    directly.
+
+    A restarted query RE-DELIVERS the last uncommitted batch with the
+    SAME batch_id. With a plain ``mode("append")`` ledger (the previous
+    design) the replay appends a second copy of the batch's partials and
+    the compaction double-counts — the exact failure the batch_id exists
+    to prevent, and invisible in a single drain (no restarts). Dynamic
+    overwrite on the batch_id partition makes the replay rewrite its own
+    partition byte-for-byte: sink(df, n) twice == once."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -431,24 +429,29 @@ def foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n"),
                 F.sum("value").alias("sv"),
             )
-            # cast: F.lit types a small Python int as IntegerType, which
-            # would mix INT32 footers into a ledger whose seed declares
-            # batch_id bigint — any later schema-inferred read of the
-            # idempotence key could then fail depending on which footer
-            # drives inference
+            # cast: F.lit types a small Python int as IntegerType; the
+            # ledger read declares batch_id bigint
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out)
         )
 
-    stream = _event_stream(spark, sf_dir)
-    with _state_partitions(spark):
-        query = stream.writeStream.foreachBatch(sink).start()
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-    back = spark.read.parquet(out)
+    return sink
+
+
+def read_ledger_totals(spark: SparkSession, out: str) -> DataFrame:
+    """Compact the partials ledger to final per-type totals. The explicit
+    schema covers the empty-stream case (zero micro-batches -> no files
+    under ``out``) without a seed write — a seed data file at the root
+    would conflict with the batch_id=N partition directories."""
+    import os
+
+    if not os.path.isdir(out):
+        back = spark.createDataFrame([], _LEDGER_SCHEMA)
+    else:
+        back = spark.read.schema(_LEDGER_SCHEMA).parquet(out)
     return (
         back.groupBy("event_type")
         .agg(
@@ -457,6 +460,32 @@ def foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("event_type").asc_nulls_last())
     )
+
+
+def foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink: per-micro-batch partial aggregates written
+    to a parquet ledger (one partition per batch_id, dynamic overwrite),
+    compacted to final totals after the drain.
+
+    foreachBatch is the streaming escape hatch for sinks Spark lacks
+    (JDBC upserts, MERGE INTO, multi-table writes): the function receives
+    each micro-batch as a *batch* DataFrame plus a batch_id for
+    idempotence. ``ledger_sink`` documents (and the replay probe pins)
+    why the batch_id must drive a per-batch OVERWRITE rather than an
+    append. Writing map-side partials and aggregating at read keeps the
+    per-batch work tiny; the ledger compaction is the same
+    partial->final pattern every distributed agg uses."""
+    from polario_spark.workdir import work_dir
+
+    out = work_dir(spark, "foreachbatch_totals") + "/partials"
+    stream = _event_stream(spark, sf_dir)
+    with _state_partitions(spark):
+        query = stream.writeStream.foreachBatch(ledger_sink(out)).start()
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    return read_ledger_totals(spark, out)
 
 
 def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -196,13 +196,15 @@ def test_restart_recovers_window_state_from_checkpoint(spark, tmp_path):
     assert emitted() == [(10, 1), (13, 2)]
 
 
-def test_foreachbatch_ledger_batch_id_is_int64_everywhere(spark):
-    """Round-8 fix: the foreachBatch sink writes batch_id as bigint. Before,
-    F.lit(batch_id) typed small ints as IntegerType, so the ledger mixed
-    INT32 sink footers with the INT64 seed footer for the SAME column —
-    any schema-inferred read of the idempotence key could then fail
-    depending on which footer drove inference. Assert every parquet
-    footer under the partials dir agrees on int64."""
+def test_foreachbatch_ledger_layout_is_partitioned_by_batch_id(spark):
+    """Round-9 idempotence layout: the ledger is PARTITIONED by batch_id
+    (dynamic overwrite per batch — the replay-safety mechanism, pinned
+    behaviorally in tests/test_streaming_state_adversaries.py). Assert
+    the physical layout: batch_id=N partition directories, batch_id
+    absent from the data-file footers (it lives in the path), and the
+    explicit-schema read-back typing it int64 — which also retires the
+    round-8 INT32/INT64 mixed-footer hazard by construction (a partition
+    value has no footer to disagree with)."""
     import glob as _glob
     import os
 
@@ -217,8 +219,18 @@ def test_foreachbatch_ledger_batch_id_is_int64_everywhere(spark):
     )
     dirs = sorted(_glob.glob(os.path.join(app_root, "foreachbatch_totals-*")))
     assert dirs, "foreachbatch workdir not found"
-    files = _glob.glob(os.path.join(dirs[-1], "partials", "*.parquet"))
-    assert len(files) >= 2  # seed + at least one micro-batch
+    parts = _glob.glob(os.path.join(dirs[-1], "partials", "batch_id=*"))
+    assert parts, "ledger must be partitioned by batch_id"
+    files = _glob.glob(
+        os.path.join(dirs[-1], "partials", "batch_id=*", "*.parquet")
+    )
+    assert files, "partition dirs must hold data files"
     for f in files:
-        typ = pq.read_schema(f).field("batch_id").type
-        assert typ == pa.int64(), (f, typ)
+        names = pq.read_schema(f).names
+        assert "batch_id" not in names, (f, names)
+    from polario_spark.streaming.events import _LEDGER_SCHEMA
+
+    back = spark.read.schema(_LEDGER_SCHEMA).parquet(
+        os.path.join(dirs[-1], "partials")
+    )
+    assert dict(back.dtypes)["batch_id"] == "bigint"

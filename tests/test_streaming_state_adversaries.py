@@ -380,3 +380,47 @@ def test_stateful_sessions_state_evicted_after_idle_gap(spark, tmp_path):
         ],
     )
     assert out == {7: (2, 2), 9: (2, 2)}
+
+
+def test_foreachbatch_ledger_replay_is_idempotent(spark, tmp_path):
+    """Restart semantics: a recovered query RE-DELIVERS the last
+    uncommitted micro-batch with the SAME batch_id. The ledger sink must
+    absorb the replay — sink(df, n) twice == once — or every restart
+    double-counts that batch's partials (the pre-fix append-mode ledger
+    did exactly that, invisibly: single drains never replay)."""
+    from polario_spark.streaming.events import ledger_sink, read_ledger_totals
+
+    out = str(tmp_path / "partials")
+    sink = ledger_sink(out)
+    b0 = spark.createDataFrame(
+        [("click", 1.0), ("click", 2.0), ("view", 4.0)],
+        "event_type string, value double",
+    )
+    b1 = spark.createDataFrame(
+        [("click", 8.0)], "event_type string, value double"
+    )
+    sink(b0, 0)
+    sink(b0, 0)  # the replay
+    sink(b1, 1)
+    totals = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in read_ledger_totals(spark, out).collect()
+    }
+    assert totals == {"click": (3, 11.0), "view": (1, 4.0)}
+
+
+def test_foreachbatch_ledger_empty_stream_yields_empty_totals(spark, tmp_path):
+    """Zero micro-batches -> no ledger directory -> empty totals with the
+    final schema, not a missing-path error (the old design needed a seed
+    write for this; a root-level seed file would now conflict with the
+    batch_id=N partition layout)."""
+    from polario_spark.streaming.events import read_ledger_totals
+
+    out = str(tmp_path / "never_written")
+    df = read_ledger_totals(spark, out)
+    assert df.collect() == []
+    assert [f.name for f in df.schema.fields] == [
+        "event_type",
+        "n_events",
+        "sum_value",
+    ]
