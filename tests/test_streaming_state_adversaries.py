@@ -424,3 +424,83 @@ def test_foreachbatch_ledger_empty_stream_yields_empty_totals(spark, tmp_path):
         "n_events",
         "sum_value",
     ]
+
+
+def test_sessionizer_state_survives_restart_via_checkpoint_and_ledger(
+    spark, tmp_path
+):
+    """End-to-end exactly-once across a STOP/RESTART: sessionize_transform
+    drained through the replay-idempotent ledger sink (durable, unlike
+    the memory sink), with applyInPandasWithState state recovered from
+    the checkpoint. Run 1 processes a mid-session prefix (10:00, 10:10)
+    and stops; run 2 is a NEW query on the same checkpoint absorbing the
+    continuation (10:20 same session, 12:00 new). Correct totals require
+    BOTH halves: the recovered last_ts=10:10 state (else 10:20 opens a
+    spurious session -> 3) and ledger replay-idempotence (else a
+    re-delivered batch double-counts events). Expected: (2 sessions,
+    4 events). This also freezes the state schema (last_us long) into a
+    checkpoint — if a future edit changes it incompatibly, this test is
+    what fails."""
+    from pyspark.sql import functions as SF
+
+    src = tmp_path / "evsrc"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "ledger")
+
+    # same idempotence layout as ledger_sink, carrying the sessionizer's
+    # delta columns instead of the event partials
+    def run(run_idx):
+        stream = sessionize_transform(
+            spark.readStream.schema(_SESS_SCHEMA).parquet(str(src))
+        )
+
+        def sink(batch_df, batch_id):
+            (
+                batch_df.withColumn(
+                    "batch_id", SF.lit(batch_id).cast("long")
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out)
+            )
+
+        query = (
+            stream.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", chk)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+    _write_sess_batch(
+        src,
+        "b1.parquet",
+        [(7, datetime(2026, 1, 1, 10, 0)), (7, datetime(2026, 1, 1, 10, 10))],
+        0,
+    )
+    run(0)
+    _write_sess_batch(
+        src,
+        "b2.parquet",
+        [(7, datetime(2026, 1, 1, 10, 20)), (7, datetime(2026, 1, 1, 12, 0))],
+        10,
+    )
+    run(1)
+    back = spark.read.schema(
+        "user_id long, d_sessions long, d_events long, batch_id bigint"
+    ).parquet(out)
+    totals = {
+        r.user_id: (r.n_sessions, r.total_events)
+        for r in back.groupBy("user_id")
+        .agg(
+            SF.sum("d_sessions").alias("n_sessions"),
+            SF.sum("d_events").alias("total_events"),
+        )
+        .collect()
+    }
+    assert totals == {7: (2, 4)}
