@@ -365,11 +365,21 @@ def static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The static side is a plain batch DataFrame broadcast into every
     micro-batch — no state store is involved, so the join costs nothing
-    beyond the hash table and re-reads the dimension per trigger (picking
-    up dimension updates for free). This is the canonical streaming
-    enrichment shape; at 100 TB/day the dim stays broadcast as long as it
-    fits (~10s of MB), otherwise it becomes a shuffled stream-static join
-    on the same code.
+    beyond the hash table. This is the canonical streaming enrichment
+    shape; at 100 TB/day the dim stays broadcast as long as it fits
+    (~10s of MB), otherwise it becomes a shuffled stream-static join on
+    the same code.
+
+    **The dimension snapshot is frozen at query start** (probed, round
+    9): the parquet file LISTING is resolved when the plan is built, so
+    a dim file added later is silently invisible to every subsequent
+    micro-batch (its rows just stop matching — no error), and a dim
+    file replaced in place fails the stream loudly with
+    FAILED_READ_FILE. Both behaviors are pinned in
+    tests/test_streaming_state_adversaries.py. For genuinely refreshable
+    dimensions use a table format with snapshot isolation (Delta — see
+    delta_dataset.py) or restart the query on dim publish; do not rely
+    on per-trigger re-reads of a raw parquet directory.
     """
     dim = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")

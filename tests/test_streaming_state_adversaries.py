@@ -504,3 +504,106 @@ def test_sessionizer_state_survives_restart_via_checkpoint_and_ledger(
         .collect()
     }
     assert totals == {7: (2, 4)}
+
+
+def _start_enrich_query(spark, src, dimdir, tmp_path):
+    stream = spark.readStream.schema(
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+    ).parquet(str(src))
+    dim = spark.read.parquet(str(dimdir))
+    joined = stream.join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "inner"
+    )
+    return _start_memory_query(joined, tmp_path, "append")
+
+
+def _write_dim_file(dimdir, key, seg):
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([key], pa.int64()),
+                "c_mktsegment": pa.array([seg], pa.string()),
+            }
+        ),
+        str(dimdir / f"{uuid.uuid4().hex[:6]}.parquet"),
+    )
+
+
+def _write_enrich_batch(src, name, uids):
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(uids, pa.int64()),
+                "ts": pa.array(
+                    [datetime(2026, 1, 1, 10, i) for i in range(len(uids))],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(src / name),
+    )
+
+
+def test_stream_static_join_dim_snapshot_is_frozen_at_start(spark, tmp_path):
+    """static_enrich's trap, measured: the static side's parquet file
+    LISTING is resolved at plan time, so a dim file ADDED mid-stream is
+    silently invisible — batch 2's user-2 event finds no dim row and is
+    dropped by the inner join without any error. (The docstring used to
+    claim updates were picked up per trigger; this pins the truth.)"""
+    src = tmp_path / "src"
+    src.mkdir()
+    dimdir = tmp_path / "dim"
+    dimdir.mkdir()
+    _write_dim_file(dimdir, 1, "A")
+    _write_enrich_batch(src, "b1.parquet", [1])
+    name, query = _start_enrich_query(spark, src, dimdir, tmp_path)
+    try:
+        query.processAllAvailable()
+        _write_dim_file(dimdir, 2, "B")  # new dim key, NEW file, old intact
+        _write_enrich_batch(src, "b2.parquet", [1, 2])
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    rows = sorted(
+        (r.user_id, r.c_mktsegment) for r in spark.table(name).collect()
+    )
+    # user 1 enriched in both batches; user 2 silently dropped — the
+    # frozen listing never saw the new file
+    assert rows == [(1, "A"), (1, "A")]
+
+
+def test_stream_static_join_fails_loudly_on_replaced_dim_files(spark, tmp_path):
+    """The complement: REPLACING the dim files in place (delete + write,
+    the naive "publish a new dim version" move) fails the stream loudly
+    with FAILED_READ_FILE on the next trigger — the frozen listing still
+    points at the deleted file. Loud is the acceptable polarity; the
+    silent-staleness case above is the one that eats data."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "src"
+    src.mkdir()
+    dimdir = tmp_path / "dim"
+    dimdir.mkdir()
+    _write_dim_file(dimdir, 1, "A")
+    _write_enrich_batch(src, "b1.parquet", [1])
+    name, query = _start_enrich_query(spark, src, dimdir, tmp_path)
+    try:
+        query.processAllAvailable()
+        for f in dimdir.iterdir():
+            os.remove(f)
+        _write_dim_file(dimdir, 1, "B")
+        _write_enrich_batch(src, "b2.parquet", [1])
+        import pytest as _pytest
+
+        with _pytest.raises(StreamingQueryException, match="FILE_NOT_EXIST|FAILED_READ_FILE"):
+            query.processAllAvailable()
+            query.awaitTermination(30)
+    finally:
+        query.stop()
