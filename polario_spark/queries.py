@@ -1705,7 +1705,7 @@ WITH tagged AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
          CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
   FROM events
-  WHERE event_type IN ('click', 'purchase')
+  WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
 ), enriched AS (
   SELECT user_id, event_id, event_type, us,
          last_value(click_us IGNORE NULLS) OVER (
@@ -1724,10 +1724,17 @@ ORDER BY user_id, purchase_id
 def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (most recent click before each purchase, per user) as a
     single merge-carry window — no join at all, one shuffle on user_id.
-    Spark lacks a native as-of join; this composition IS the scalable form."""
+    Spark lacks a native as-of join; this composition IS the scalable form.
+
+    NULL event times are excluded at the scan (mirrored in the oracle):
+    "as of an unknown time" is undefined, and the engines disagree on
+    where a NULL ordering key sits in the window frame (Spark NULLS
+    FIRST, DuckDB NULLS LAST), so a NULL-ts purchase would get a
+    different prev_click per engine — tests/test_asof_window_adversaries.py."""
     ev = (
         _t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("click", "purchase"))
+        .filter(F.col("ts").isNotNull())
         .withColumn("us", F.unix_micros("ts"))
         .withColumn(
             "click_us", F.when(F.col("event_type") == "click", F.col("us"))
@@ -1780,7 +1787,13 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("window_start_us", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("window_start_us", "event_type")
+        # NULL-ts events land in a NULL window group (identically in both
+        # engines — NULL propagates through the modulo arithmetic); the
+        # sort must agree on where that group goes (DuckDB: NULLS LAST)
+        .orderBy(
+            F.col("window_start_us").asc_nulls_last(),
+            F.col("event_type").asc_nulls_last(),
+        )
     )
 
 
@@ -3160,7 +3173,7 @@ SELECT user_id, event_id,
        count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS events_last_hour
 FROM events
-WHERE user_id % 100 = 0
+WHERE user_id % 100 = 0 AND ts IS NOT NULL
 ORDER BY user_id, event_id
 """,
 )
@@ -3168,8 +3181,17 @@ def events_rolling_hour_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame over event time: per event, how many of the
     user's events fall in the trailing hour — the rate-limit / burst
     detection shape. RANGE frames bound by VALUE, so the frame follows the
-    timestamps regardless of row density; one shuffle+sort per user."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    timestamps regardless of row density; one shuffle+sort per user.
+
+    NULL event times are excluded at the scan (mirrored in the oracle):
+    a trailing-hour rate of an event with unknown time is undefined, and
+    the engines place a NULL RANGE ordering key at opposite ends of the
+    partition — tests/test_asof_window_adversaries.py."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 100 == 0)
+        .filter(F.col("ts").isNotNull())
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
@@ -5180,6 +5202,13 @@ _PRIORITY = [
     #     a restarted query's re-delivered batch rewrites its own
     #     partition instead of double-counting
     "streaming_foreachbatch_totals",
+    #   - window-frame NULL-ordering hardening (round-9 session 6): NULL
+    #     event times excluded from the frame-ordered entries (oracle
+    #     TEXT changed: AND ts IS NOT NULL) — the engines place a NULL
+    #     ordering key at opposite ends of a window partition — see
+    #     tests/test_asof_window_adversaries.py
+    "asof_click_before_purchase",
+    "events_rolling_hour_rate",
 ]
 
 
