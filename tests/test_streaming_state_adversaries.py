@@ -6,8 +6,10 @@ The registry's streaming entries drain the whole fixture with
 so keyed state never crosses a trigger boundary and the watermark never
 evicts anything before the drain ends. These probes feed adversarial
 multi-batch sequences (file drops between processAllAvailable calls, so
-batch order is deterministic) to pin the two state behaviors a 100 TB
-deployment actually lives with:
+batch order is deterministic) to pin the state behaviors a 100 TB
+deployment actually lives with — keyed-dedup eviction, sessionizer
+delta/timeout semantics, ledger replay idempotence, checkpoint restart,
+and the frozen stream-static dim snapshot:
 
 1. **Keyed-dedup re-admission** (`dropDuplicates` + watermark): once the
    watermark passes a key's eviction horizon its state is dropped and a
