@@ -775,9 +775,61 @@ SELECT id_a, id_b, sim FROM (
 #: center — a deterministic stand-in for trained k-means centers), probe
 #: count, and the query-set stride (co-prime with the centroid stride so
 #: queries are not the centroids themselves).
-IVF_CENTROID_STRIDE = 50
 IVF_NPROBE = 2
 IVF_QUERY_STRIDE = 97
+
+
+def adaptive_centroid_stride(n: int) -> int:
+    """Corpus-size-aware centroid stride: the smallest power of two whose
+    SQUARE exceeds ``n`` — i.e. sqrt(n) <= stride < 2*sqrt(n), so the
+    default centroid count ``K = n / stride`` tracks ~sqrt(n)/2..sqrt(n).
+
+    Why sqrt(n) and not a constant: IVF/SemDeDup total cost is
+    assignment (n*K cosines) plus within-cell work (~n^2/K pair sims for
+    SemDeDup, query*cell-size probes for IVF); both are minimized at
+    K ~ sqrt(n), giving O(n^1.5) total. Round 9's volume-scaling probe
+    measured the old FIXED stride (50, i.e. K = n/50) at alpha = 1.74
+    (semantic_dedup, 10x->30x step) — the n*K assignment term is
+    O(n^2/50), a plan that dies at 100 TB. A fixed centroid COUNT fails
+    the same way on the other term (cells grow linearly, within-cell
+    work goes quadratic) — measured alpha = 3.08 on the fixed-k-means
+    entry before this change.
+
+    Pure integer math (shift/compare) so the DuckDB oracle replays the
+    exact same value via ``_adaptive_stride_sql`` — no float log2/ceil
+    whose 1-ulp libm differences near power-of-4 corpus sizes could
+    flip the two engines onto different centroid sets.
+    """
+    s = 0
+    while (1 << (2 * s)) <= n:
+        s += 1
+    return 1 << s
+
+
+def _adaptive_stride_sql(src: str = "e") -> str:
+    """Scalar-subquery twin of ``adaptive_centroid_stride`` over the CTE
+    ``src`` (one column set with ``id``): yields one column ``st``.
+    Integer shifts only — bitwise-identical to the Python derivation."""
+    return (
+        f"(SELECT min(1::BIGINT << s) AS st FROM generate_series(0, 31) t(s), "
+        f"(SELECT count(*) AS n FROM {src}) c WHERE (1::BIGINT << (2*s)) > c.n)"
+    )
+
+
+def default_stride_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """The default deterministic centroid set: ids divisible by the
+    adaptive stride (reproducible, oracle-friendly — no RNG, no sample).
+    Costs one count() job at plan-build time (map-side count, one scan);
+    callers that build several consumers over the same centroid set
+    should call this ONCE and pass the frame down so the count isn't
+    repeated and the broadcast subplan stays byte-identical (AQE then
+    collapses the duplicate BroadcastExchange into a ReusedExchange)."""
+    stride = adaptive_centroid_stride(corpus.count())
+    return corpus.filter(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
+    )
 
 
 def kmeans_centroids(
@@ -818,7 +870,8 @@ def kmeans_centroids(
         F.col(id_col).alias("nid"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
     ).withColumn("__nv", F.expr(VEC.norm_clamped("__v", "spark")))
-    cent = vecs.filter(F.col("nid") % IVF_CENTROID_STRIDE == 0).select(
+    init_stride = adaptive_centroid_stride(corpus.count())
+    cent = vecs.filter(F.col("nid") % init_stride == 0).select(
         F.col("nid").alias("cid"),
         F.col("__v").alias("__cent"),
         F.col("__nv").alias("__nc"),
@@ -833,7 +886,7 @@ def kmeans_centroids(
             .agg(
                 F.max_by(
                     F.struct(F.col("cid"), F.col("__v")),
-                    F.struct(csim.alias("s"), (-F.col("cid")).alias("c")),
+                    F.struct(csim.alias("s"), F.bitwise_not(F.col("cid")).alias("c")),
                 ).alias("__best")
             )
             .select(
@@ -880,9 +933,7 @@ def _prepared_centroids(
     base = (
         centroids
         if centroids is not None
-        else corpus.filter(F.col(id_col) % IVF_CENTROID_STRIDE == 0).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
-        )
+        else default_stride_centroids(corpus, id_col, vec_col)
     )
     return F.broadcast(
         base.withColumn("__nc", F.expr(VEC.norm_clamped("__cent", "spark")))
@@ -900,8 +951,9 @@ def assign_cells(
     vector — (nid, __v, __nv, cell) — where ``cell`` is the id of the
     nearest centroid (max cosine, smallest cid on ties).
 
-    Default centroids are the deterministic stride subset
-    ``id % IVF_CENTROID_STRIDE == 0`` (reproducible, oracle-friendly);
+    Default centroids are the deterministic adaptive-stride subset
+    (``default_stride_centroids``: ids divisible by a power-of-two
+    stride sized so K ~ sqrt(n) — reproducible, oracle-friendly);
     pass ``centroids=kmeans_centroids(corpus)`` for Lloyd-refined cells.
 
     Norms are bound ONCE per centroid / corpus vector before the pair
@@ -932,7 +984,7 @@ def assign_cells(
         .agg(
             F.max_by(
                 F.struct(F.col("cid"), F.col("__v"), F.col("__nv")),
-                F.struct(csim.alias("s"), (-F.col("cid")).alias("c")),
+                F.struct(csim.alias("s"), F.bitwise_not(F.col("cid")).alias("c")),
             ).alias("__best")
         )
         .select(
@@ -957,8 +1009,9 @@ def ivf_topk(
     corpus into cells (each vector assigned to its nearest centroid);
     a query scans only its ``IVF_NPROBE`` nearest cells instead of the
     whole corpus, cutting work by ~|cells|/nprobe at some recall cost.
-    Default centroids are the deterministic subset vec_id % stride == 0
-    (reproducible, oracle-friendly); pass ``centroids=kmeans_centroids(
+    Default centroids are the deterministic adaptive-stride subset
+    (``default_stride_centroids``, K ~ sqrt(n) — reproducible,
+    oracle-friendly); pass ``centroids=kmeans_centroids(
     corpus)`` for Lloyd-refined cells (the registry entry materializes
     those to parquet and oracles the probe+search over the materialized
     table — see ``ivf_topk_sql(cent_sql=...)``). On a real cluster the
@@ -970,6 +1023,11 @@ def ivf_topk(
     so callers can swap exact for approximate.
     """
     corpus = ensure_parallelism(corpus)
+    # resolve the default centroid set ONCE so the adaptive-stride
+    # count() job runs once and the probe cells / assignment cells come
+    # from the same frame (same subplan -> AQE ReusedExchange)
+    if centroids is None:
+        centroids = default_stride_centroids(corpus, id_col, vec_col)
     # assignment + norm binding shared with semdedup_dropped — see
     # assign_cells for the broadcast/argmax scale rationale; the probe
     # step reuses the SAME _prepared_centroids definition assign_cells
@@ -1014,8 +1072,8 @@ def ivf_topk_sql(
     has to be replayed in SQL; only the probe + search is re-derived."""
     if cent_sql is None:
         cent_sql = (
-            f"SELECT id AS cid, __v AS __cent FROM e "
-            f"WHERE id % {IVF_CENTROID_STRIDE} = 0"
+            f"SELECT id AS cid, __v AS __cent FROM e, {_adaptive_stride_sql('e')} "
+            f"WHERE id % st = 0"
         )
     return f"""
 WITH e AS (SELECT {id_col} AS id, {vec_col} AS __v FROM {table}),
@@ -1196,7 +1254,7 @@ def semdedup_sql(
     return f"""
 WITH e AS (SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS __v FROM {table}
            WHERE {well_formed_sql(vec_col, dim)}),
-cent AS (SELECT id AS cid, __v AS __cent FROM e WHERE id % {IVF_CENTROID_STRIDE} = 0),
+cent AS (SELECT id AS cid, __v AS __cent FROM e, {_adaptive_stride_sql('e')} WHERE id % st = 0),
 assigned AS (
   SELECT id, __v, cid AS cell FROM (
     SELECT e.id, e.__v, cent.cid,
