@@ -5169,6 +5169,12 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "dedup_embedding_cosine_lsh_loose",
+    #   - adaptive sqrt(n) centroid sizing (round-9 session 7): the
+    #     default IVF/SemDeDup centroid stride is now corpus-size-aware
+    #     (operators/similarity.py adaptive_centroid_stride, mirrored by
+    #     a scalar subquery in the oracles), so semantic_dedup /
+    #     ann_ivf_topk / ann_ivf_kmeans_topk values change at every sf —
+    #     see SCALE.md "Volume-scaling probe"
     "semantic_dedup",
     "ann_topk_cosine",
     "ann_topk_quantized",

@@ -221,3 +221,51 @@ def spark_tokens(texts):
         .select("toks")
         .collect()
     )
+
+
+@given(
+    st.one_of(
+        st.integers(min_value=0, max_value=2**40),
+        # saturate the boundary neighborhoods where a float log2
+        # derivation could flip: n near powers of four
+        st.integers(min_value=0, max_value=20).flatmap(
+            lambda s: st.integers(min_value=max(0, 4**s - 2), max_value=4**s + 2)
+        ),
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_adaptive_centroid_stride_properties(n):
+    """The sqrt(n) centroid-sizing contract (no Spark, no DuckDB):
+
+    - stride is a power of two with stride^2 > n >= (stride/2)^2, so the
+      default centroid count K = n/stride sits in [sqrt(n)/2, sqrt(n)] —
+      the O(n^1.5) operating point for IVF probe / SemDeDup pair work
+      (see adaptive_centroid_stride's docstring and SCALE.md's
+      volume-scaling probe section);
+    - monotone non-decreasing in n (more data can never mean a finer
+      stride, so centroid sets shrink-or-hold as corpora grow).
+    """
+    st_n = similarity.adaptive_centroid_stride(n)
+    assert st_n & (st_n - 1) == 0 and st_n >= 1
+    assert st_n * st_n > n
+    assert st_n == 1 or (st_n // 2) * (st_n // 2) <= n
+    assert similarity.adaptive_centroid_stride(n + 1) >= st_n
+
+
+def test_adaptive_centroid_stride_matches_duckdb_twin():
+    """The scalar-subquery SQL twin must yield the same stride as the
+    Python derivation for every count in the boundary sweep — this is
+    what keeps the Spark centroid set and the oracle centroid set
+    identical at any sf (a 1-value divergence would silently re-cell the
+    whole corpus on one engine)."""
+    import duckdb
+
+    con = duckdb.connect()
+    ns = [0, 1, 2, 3, 4, 5, 15, 16, 17, 199, 200, 255, 256, 257, 2000]
+    ns += [4**s + d for s in range(1, 16) for d in (-1, 0, 1)]
+    for n in ns:
+        sql = similarity._adaptive_stride_sql("e").replace(
+            "FROM e", f"FROM range({n}) e(id)"
+        )
+        got = con.sql(f"SELECT st FROM {sql}").fetchone()[0]
+        assert got == similarity.adaptive_centroid_stride(n), n
