@@ -549,7 +549,12 @@ LSH_BITS_PER_BAND = 4
 LSH_N_BANDS = 16
 
 
-def _lsh_index_pairs(dim: int, n_bits: int, seed: int = LSH_SEED):
+def _lsh_index_pairs(
+    dim: int,
+    n_bits: int,
+    seed: int = LSH_SEED,
+    bits_per_band: int = LSH_BITS_PER_BAND,
+):
     """Deterministic (a, b) coordinate pairs defining sign-test hyperplanes.
 
     Uniqueness is enforced WITHIN each band only (a repeated plane inside
@@ -564,13 +569,13 @@ def _lsh_index_pairs(dim: int, n_bits: int, seed: int = LSH_SEED):
     """
     import random
 
-    if dim * (dim - 1) // 2 <= LSH_BITS_PER_BAND:
-        raise ValueError(f"dim {dim} too small for {LSH_BITS_PER_BAND}-bit bands")
+    if dim * (dim - 1) // 2 <= bits_per_band:
+        raise ValueError(f"dim {dim} too small for {bits_per_band}-bit bands")
     rnd = random.Random(seed)
     pairs: list[tuple[int, int]] = []
     band_seen: set[tuple[int, int]] = set()
     while len(pairs) < n_bits:
-        if len(pairs) % LSH_BITS_PER_BAND == 0:
+        if len(pairs) % bits_per_band == 0:
             band_seen = set()
         a, b = rnd.randrange(dim), rnd.randrange(dim)
         if a != b and (min(a, b), max(a, b)) not in band_seen:
@@ -579,16 +584,22 @@ def _lsh_index_pairs(dim: int, n_bits: int, seed: int = LSH_SEED):
     return pairs
 
 
-def _lsh_band_sigs(vec: str, dim: int, dialect: str) -> list[str]:
+def _lsh_band_sigs(
+    vec: str,
+    dim: int,
+    dialect: str,
+    bits_per_band: int = LSH_BITS_PER_BAND,
+    n_bands: int = LSH_N_BANDS,
+) -> list[str]:
     """One integer signature expression per band, identical math in both
     dialects (DuckDB lists are 1-based, Spark arrays 0-based)."""
-    idx = _lsh_index_pairs(dim, LSH_BITS_PER_BAND * LSH_N_BANDS)
+    idx = _lsh_index_pairs(dim, bits_per_band * n_bands, LSH_SEED, bits_per_band)
     off = 1 if dialect == "duckdb" else 0
     sigs = []
-    for band in range(LSH_N_BANDS):
+    for band in range(n_bands):
         bits = []
-        for j in range(LSH_BITS_PER_BAND):
-            a, b = idx[band * LSH_BITS_PER_BAND + j]
+        for j in range(bits_per_band):
+            a, b = idx[band * bits_per_band + j]
             bits.append(
                 f"(CASE WHEN {vec}[{a + off}] > {vec}[{b + off}] "
                 f"THEN {1 << j} ELSE 0 END)"
@@ -603,6 +614,8 @@ def cosine_pairs_bucketed(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     dim: int = 64,
+    bits_per_band: int = LSH_BITS_PER_BAND,
+    n_bands: int = LSH_N_BANDS,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing
     — the 100 TB default that replaces ``cosine_pairs``'s exact all-pairs.
@@ -637,11 +650,26 @@ def cosine_pairs_bucketed(
     several bands is scored in each — dedup'd by the final groupBy —
     and buckets are small by construction (that is what bits-per-band
     buys), so the duplicate work is bounded by L tiny GEMMs.
+
+    SIZING AT SCALE: ``bits_per_band`` (r) and ``n_bands`` (L) are the
+    compute/recall dials and MUST grow with the corpus. Each band has at
+    most 2^r signatures, so expected bucket size is ~n/2^r and verify
+    work is Sum(m^2) ~ L * n^2 / 2^r — with r FIXED that is quadratic
+    (round 9's volume-scaling probe measured alpha 1.19 on this entry at
+    the default r=4/L=16; fine to ~10^5 vectors, a killer at 10^9). Size
+    r ~ log2(n / B) for a target bucket B (e.g. B = COSINE_TILE), which
+    makes verify work ~L * n * B — linear; then raise L to hold recall
+    (P(candidate) = 1 - (1 - p^r)^L). The parameters are explicit
+    (not count()-adaptive) because the DuckDB oracle's signature
+    expressions are generated at BUILD time — both sides of a comparison
+    must be constructed with the same (r, L).
     """
     corpus = ensure_parallelism(well_formed_vectors(corpus, vec_col, dim))
     sig_structs = ", ".join(
         f"named_struct('band', {band}, 'sig', {sig})"
-        for band, sig in enumerate(_lsh_band_sigs("__v", dim, "spark"))
+        for band, sig in enumerate(
+            _lsh_band_sigs("__v", dim, "spark", bits_per_band, n_bands)
+        )
     )
     sigs = (
         corpus.select(
@@ -725,14 +753,20 @@ def cosine_pairs_bucketed_sql(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     dim: int = 64,
+    bits_per_band: int = LSH_BITS_PER_BAND,
+    n_bands: int = LSH_N_BANDS,
 ) -> str:
     """DuckDB twin of cosine_pairs_bucketed: identical hyperplanes and
-    banding, so the candidate sets — not just the verified pairs — agree."""
+    banding, so the candidate sets — not just the verified pairs — agree.
+    Pass the same (bits_per_band, n_bands) as the Spark side when sizing
+    off the defaults (see cosine_pairs_bucketed's SIZING AT SCALE)."""
     band_sql = "\n  UNION ALL\n".join(
         f"  SELECT {id_col} AS id, {vec_col} AS __v, {band} AS band, "
         f"{sig} AS sig FROM {table} "
         f"WHERE {well_formed_sql(vec_col, dim)}"
-        for band, sig in enumerate(_lsh_band_sigs(vec_col, dim, "duckdb"))
+        for band, sig in enumerate(
+            _lsh_band_sigs(vec_col, dim, "duckdb", bits_per_band, n_bands)
+        )
     )
     sim = VEC.cosine("a.__v", "b.__v", "duckdb")
     return f"""

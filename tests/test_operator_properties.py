@@ -269,3 +269,46 @@ def test_adaptive_centroid_stride_matches_duckdb_twin():
         )
         got = con.sql(f"SELECT st FROM {sql}").fetchone()[0]
         assert got == similarity.adaptive_centroid_stride(n), n
+
+
+def test_lsh_sizing_knobs_cross_engine_and_tightening():
+    """The (bits_per_band, n_bands) sizing dials added for 100 TB corpora
+    (see cosine_pairs_bucketed "SIZING AT SCALE") must keep the two
+    engines bucket-identical at NON-default settings, and tightening r
+    with L fixed may only DROP pairs (smaller buckets = fewer candidate
+    collisions), with every surviving pair scored identically."""
+    import duckdb
+
+    from polario_spark.session import get_spark
+
+    spark = get_spark("lsh_sizing_tests")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    results = {}
+    for r_bits, l_bands in [(4, 16), (6, 8), (8, 4)]:
+        got = {
+            (row.id_a, row.id_b): row.sim
+            for row in similarity.cosine_pairs_bucketed(
+                emb, "vec_id", "embedding", 0.3, 64, r_bits, l_bands
+            ).collect()
+        }
+        oracle = {
+            (a, b): s
+            for a, b, s in con.sql(
+                similarity.cosine_pairs_bucketed_sql(
+                    "embeddings", "vec_id", "embedding", 0.3, 64, r_bits, l_bands
+                )
+            ).fetchall()
+        }
+        assert got == oracle, (r_bits, l_bands)
+        results[(r_bits, l_bands)] = got
+    # r up / L down tightens candidates: each config's pairs score the
+    # same wherever they overlap (exact verify is parameter-independent)
+    base = results[(4, 16)]
+    for key, got in results.items():
+        for pair in set(got) & set(base):
+            assert got[pair] == base[pair], (key, pair)
