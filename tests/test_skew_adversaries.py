@@ -257,3 +257,54 @@ def test_tripped_registry_minhash_is_linear(spark, skew_dir):
     out = entry_mod.queries()["dedup_minhash"](spark, skew_dir)
     cluster_pairs = out.filter(F.col("id_b") >= 100000).count()
     assert cluster_pairs == 599
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered candidate generation is output-identical to the full join
+# ---------------------------------------------------------------------------
+
+def test_ngram_prefix_filter_equivalence(spark, organic_docs):
+    """``prefix_filter=True`` (Bayardo prefix filter + array_intersect
+    verify) must return EXACTLY the full inverted-index join's pairs —
+    on the organic corpus, on a mid-frequency boilerplate mix (the df
+    regime the prefix path exists for), on duplicate ids, on NULL
+    blocks, and at a second threshold (different prefix lengths)."""
+    from pyspark.sql import functions as F
+
+    # organic corpus, two thresholds
+    for t in (0.6, 0.3):
+        full = _norm(
+            similarity.ngram_jaccard_pairs(
+                organic_docs, "doc_id", "text", threshold=t
+            ).collect()
+        )
+        pref = _norm(
+            similarity.ngram_jaccard_pairs(
+                organic_docs, "doc_id", "text", threshold=t, prefix_filter=True
+            ).collect()
+        )
+        assert full == pref, t
+
+    # adversarial mix: a 30-copy boilerplate cluster (df under the cap,
+    # exactly the mid-frequency bulge), near-dup variants, a NULL-lang
+    # doc, and one id re-ingested with different text
+    base = _copies_df(spark, 30)
+    variants = spark.createDataFrame(
+        [
+            (1000, BOILERPLATE + " extra tail words here", "en", "s", 1),
+            (1001, BOILERPLATE + " extra tail words here!", "en", "s", 1),
+            (1002, "totally different text about gardens and rivers", "en", "s", 1),
+            (1003, BOILERPLATE, None, "s", 1),  # NULL block never pairs
+            (5, "duplicate id with other text entirely", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).select(*base.columns)
+    docs = base.unionByName(variants)
+    full = _norm(similarity.ngram_jaccard_pairs(docs, "doc_id", "text").collect())
+    pref = _norm(
+        similarity.ngram_jaccard_pairs(
+            docs, "doc_id", "text", prefix_filter=True
+        ).collect()
+    )
+    assert full == pref
+    assert full, "adversarial mix must produce pairs for the test to bite"
