@@ -1102,6 +1102,7 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: Optional[DataFrame] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Nearest-centroid cell assignment shared by IVF search (``ivf_topk``)
     and semantic dedup (``semdedup_dropped``): returns one row per corpus
@@ -1134,7 +1135,18 @@ def assign_cells(
     vecs = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("__v")
     ).withColumn("__nv", F.expr(VEC.norm_clamped("__v", "spark")))
-    csim = F.expr(f"({VEC.dot('__v', '__cent', 'spark')}) / (__nv * __nc)")
+    # The (vector, centroid) dot is THE hot expression — it runs
+    # corpus x centroids times. With a known uniform dim (callers that
+    # well_formed-filter first, e.g. semdedup_dropped) the statically
+    # unrolled form stays inside whole-stage codegen at the bitwise-same
+    # value; the HOF fold is the dim-agnostic fallback. Norms run once
+    # per row, not per pair — they stay folds either way.
+    dot_expr = (
+        VEC.dot_unrolled("__v", "__cent", dim, "spark")
+        if dim is not None
+        else VEC.dot("__v", "__cent", "spark")
+    )
+    csim = F.expr(f"({dot_expr}) / (__nv * __nc)")
     return (
         vecs.join(cent)
         .groupBy("nid")
@@ -1313,7 +1325,10 @@ def semdedup_dropped(
     # the blocks themselves are dim-agnostic)
     if dim is not None:
         corpus = well_formed_vectors(corpus, vec_col, dim)
-    assigned = assign_cells(corpus, id_col, vec_col, centroids)
+    # dim rides through to assign_cells: post-filter every vector is
+    # exactly dim long, so the codegen'd unrolled dot is bitwise-equal
+    # to the HOF fold (see VEC.dot_unrolled) and never hits its NULL arm
+    assigned = assign_cells(corpus, id_col, vec_col, centroids, dim=dim)
     base = (
         assigned.select(
             "cell",
