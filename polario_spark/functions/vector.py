@@ -22,37 +22,14 @@ def dot(a: str, b: str, dialect: str) -> str:
     return f"list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
 
 
-def dot_unrolled(a: str, b: str, dim: int, dialect: str) -> str:
-    """``dot`` with the summation STATICALLY UNROLLED for a known ``dim``.
-
-    Spark's higher-order array functions are interpreted (no whole-stage
-    codegen), so the aggregate/zip_with fold costs ~100 ns per element
-    per pair — the dominant term of nearest-centroid assignment, which
-    evaluates it corpus x centroids times (78M pairs at the volume
-    probe's 100x point). A plain ``a[0]*b[0] + a[1]*b[1] + ...`` chain
-    is ordinary arithmetic that DOES codegen, and `+` parses
-    left-associative, so the float additions happen in the SAME order
-    as the fold — the value is bitwise identical, never just close.
-
-    The size guard returns NULL for any row whose array is not exactly
-    ``dim`` long — the same outcome the fold produces on length-
-    mismatched pairs (zip_with NULL-pads, and one NULL product nullifies
-    the whole sum). Callers that enforce ``dim`` upstream
-    (well_formed_vectors) never take the NULL branch, which also keeps
-    ANSI mode's out-of-bounds indexing error unreachable. For dialects
-    other than Spark this delegates to ``dot`` — DuckDB's
-    list_dot_product is already native.
-    """
-    if dialect != "spark":
-        return dot(a, b, dialect)
-    terms = " + ".join(
-        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)"
-        for i in range(dim)
-    )
-    return (
-        f"(CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
-        f"THEN {terms} ELSE cast(NULL as double) END)"
-    )
+# A statically-unrolled dot (a[0]*b[0] + a[1]*b[1] + ... behind a size
+# guard) was tried for the hot nearest-centroid assignment and REVERTED
+# with data: despite entering whole-stage codegen it measured 3.5x
+# SLOWER than the aggregate/zip_with fold on the 100x volume-probe
+# corpus (93.5 s vs 26.9 s, bitwise-equal checksums) — 128 per-pair
+# bounds-checked UnsafeArrayData element reads plus a 64-term generated
+# expression lose to the fold's single pass over primitive arrays.
+# Keep the fold; see SCALE.md "interpreted-HOF dot" for the record.
 
 
 def norm(a: str, dialect: str) -> str:

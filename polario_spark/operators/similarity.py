@@ -1037,19 +1037,24 @@ def kmeans_centroids(
         f"({VEC.dot('__v', '__cent', 'spark')}) / (__nv * __nc)"
     )
     for _ in range(iters):
+        # max_by carries ONLY cid: its value argument is evaluated per
+        # input row, so putting __v inside the struct copies a 64-element
+        # array once per (vector, centroid) PAIR — ~47 GB of allocation
+        # churn per Lloyd pass at the volume probe's 100x point. __v is
+        # constant within each nid group, so first() carries it with one
+        # copy per GROUP; the argmax ordering struct is unchanged, so
+        # the assignment is bitwise identical.
         assigned = (
             vecs.join(F.broadcast(cent))
             .groupBy("nid")
             .agg(
                 F.max_by(
-                    F.struct(F.col("cid"), F.col("__v")),
+                    F.col("cid"),
                     F.struct(csim.alias("s"), F.bitwise_not(F.col("cid")).alias("c")),
-                ).alias("__best")
+                ).alias("cid"),
+                F.first("__v").alias("__v"),
             )
-            .select(
-                F.col("__best.cid").alias("cid"),
-                F.col("__best.__v").alias("__v"),
-            )
+            .select("cid", "__v")
         )
         cent = (
             assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
@@ -1102,7 +1107,6 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: Optional[DataFrame] = None,
-    dim: Optional[int] = None,
 ) -> DataFrame:
     """Nearest-centroid cell assignment shared by IVF search (``ivf_topk``)
     and semantic dedup (``semdedup_dropped``): returns one row per corpus
@@ -1135,33 +1139,30 @@ def assign_cells(
     vecs = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("__v")
     ).withColumn("__nv", F.expr(VEC.norm_clamped("__v", "spark")))
-    # The (vector, centroid) dot is THE hot expression — it runs
-    # corpus x centroids times. With a known uniform dim (callers that
-    # well_formed-filter first, e.g. semdedup_dropped) the statically
-    # unrolled form stays inside whole-stage codegen at the bitwise-same
-    # value; the HOF fold is the dim-agnostic fallback. Norms run once
-    # per row, not per pair — they stay folds either way.
-    dot_expr = (
-        VEC.dot_unrolled("__v", "__cent", dim, "spark")
-        if dim is not None
-        else VEC.dot("__v", "__cent", "spark")
-    )
-    csim = F.expr(f"({dot_expr}) / (__nv * __nc)")
+    # The (vector, centroid) dot runs corpus x centroids times and stays
+    # the aggregate/zip_with fold ON PURPOSE: a statically-unrolled
+    # 64-term codegen expression was tried and measured 3.5x SLOWER at
+    # the 100x probe point (bitwise-equal results) — the fold's single
+    # primitive-array pass beats 128 bounds-checked element reads per
+    # pair. The fold is dim-agnostic, so no dim parameter is needed.
+    csim = F.expr(f"({VEC.dot('__v', '__cent', 'spark')}) / (__nv * __nc)")
+    # max_by carries ONLY the winning cid: a value struct holding __v
+    # would copy the vector array once per (vector, centroid) PAIR (the
+    # agg's value argument is evaluated per input row); __v and __nv are
+    # constant per nid group, so first() carries them with one copy per
+    # GROUP. Ordering struct unchanged -> assignment bitwise identical.
     return (
         vecs.join(cent)
         .groupBy("nid")
         .agg(
             F.max_by(
-                F.struct(F.col("cid"), F.col("__v"), F.col("__nv")),
+                F.col("cid"),
                 F.struct(csim.alias("s"), F.bitwise_not(F.col("cid")).alias("c")),
-            ).alias("__best")
+            ).alias("cell"),
+            F.first("__v").alias("__v"),
+            F.first("__nv").alias("__nv"),
         )
-        .select(
-            "nid",
-            F.col("__best.__v").alias("__v"),
-            F.col("__best.__nv").alias("__nv"),
-            F.col("__best.cid").alias("cell"),
-        )
+        .select("nid", "__v", "__nv", "cell")
     )
 
 
@@ -1325,10 +1326,7 @@ def semdedup_dropped(
     # the blocks themselves are dim-agnostic)
     if dim is not None:
         corpus = well_formed_vectors(corpus, vec_col, dim)
-    # dim rides through to assign_cells: post-filter every vector is
-    # exactly dim long, so the codegen'd unrolled dot is bitwise-equal
-    # to the HOF fold (see VEC.dot_unrolled) and never hits its NULL arm
-    assigned = assign_cells(corpus, id_col, vec_col, centroids, dim=dim)
+    assigned = assign_cells(corpus, id_col, vec_col, centroids)
     base = (
         assigned.select(
             "cell",
