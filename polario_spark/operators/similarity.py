@@ -185,6 +185,18 @@ SELECT qid, nid, sim, rank FROM (
 #: so the default never trips on organic test data.
 NGRAM_DF_CAP = 512
 
+#: Auto-dispatch bound for ngram_jaccard_pairs' candidate generator: at or
+#: under this many docs the full inverted-index join runs (it wins on
+#: organic small corpora — no census join / rank window / gram-set
+#: collect); above it the Bayardo prefix filter runs (it wins wherever a
+#: Zipf gram cohort rides just under the df cap — the regime every
+#: log-decade of crawl growth re-creates; measured 2.6x at x10, 2.3x at
+#: x100, round-9 volume probe). The bound sits between the measured
+#: crossover points (60k-doc organic: full wins; 600k-doc probe: prefix
+#: wins 2.6x). Mis-dispatch near the bound costs a small constant factor,
+#: never correctness: the two paths are output-identical.
+NGRAM_PREFIX_AUTO_ROWS = 150_000
+
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
@@ -193,7 +205,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.6,
     df_cap: int = NGRAM_DF_CAP,
-    prefix_filter: bool = False,
+    prefix_filter: Optional[bool] = None,
 ) -> DataFrame:
     """Exact Jaccard over word-bigram sets for within-block pairs, as an
     inverted-index set-similarity join.
@@ -239,15 +251,29 @@ def ngram_jaccard_pairs(
     (pinned by test_skew_adversaries' equivalence suite): the filter is
     lossless for J >= t, and prefix sizing slackens t by 1e-4 so pairs
     whose jaccard ROUNDS up to t at 4 decimals still surface. Measured
-    crossover (round-9 volume probe): on the organic sf0.1 corpus the
-    full join wins (3.9 s vs 7.2 s — the prefix path pays a census
-    join, a rank window, and a gram-set collect); on a 50k-doc corpus
-    whose Zipf head sits just UNDER the df cap (the full join's worst
-    regime — Sum(df^2) with df in the hundreds) the prefix path wins
-    2.6x (37 s vs 97 s) and its cost tracks prefix-df, not raw df.
-    Default False: the full join is faster until the df distribution
-    develops that mid-frequency bulge (boilerplate-heavy crawls).
+    crossover (round-9 volume probe, SCALE.md "ngram-jaccard"): on the
+    organic sf0.1 corpus (60k docs) the full join wins (3.9 s vs 7.2 s —
+    the prefix path pays a census join, a rank window, and a gram-set
+    collect); on the x10 probe corpus (600k docs), where a fresh Zipf
+    gram cohort sits just UNDER the df cap (the full join's worst regime
+    — Sum(df^2) with df in the hundreds), the prefix path wins 2.6x
+    (37 s vs 97 s), and 2.3x at x100 (18.7 s vs 43.7 s) — its cost
+    tracks prefix-df, not raw df.
+
+    ``prefix_filter=None`` (the default, round 10) AUTO-DISPATCHES on
+    corpus size: corpora over ``NGRAM_PREFIX_AUTO_ROWS`` rows take the
+    prefix path, smaller ones the full join — the petabyte default is
+    now the plan that survives the df-cap hump, with no flag the user
+    must know about (round-9 verdict What's-wrong #1). The dispatch
+    signal is the row count (one count-star job, pushdown-cheap on
+    parquet), NOT the gram-df census: the census costs the full
+    tokenize+explode scan, and paying the dominant stage twice just to
+    pick a plan would erase the win. Both paths are output-identical
+    (equivalence-pinned in tests/test_skew_adversaries.py), so dispatch
+    changes only the plan, never the result.
     """
+    if prefix_filter is None:
+        prefix_filter = docs.count() > NGRAM_PREFIX_AUTO_ROWS
     docs = ensure_parallelism(docs)
     grams = F.expr(
         f"array_distinct({TXT.word_bigrams(TXT.tokens(text_col, 'spark'), 'spark')})"
@@ -371,9 +397,11 @@ def ngram_jaccard_pairs(
     # shares a prefix gram. Mid/high-frequency grams — the Sum(df^2)
     # drivers — sort to the suffixes and leave the join entirely: the
     # round-9 volume probe measured the full join's worst regime (a
-    # Zipf head sitting just UNDER the df cap) at 58 s for a 50k-doc
-    # corpus where this path takes ~8 s, because cost follows prefix-df,
-    # not raw df. Output is IDENTICAL to the full join: candidates are a
+    # Zipf gram cohort sitting just UNDER the df cap) at 97 s on the
+    # 600k-doc x10 corpus where this path takes 37 s (2.6x; 43.7 s vs
+    # 18.7 s at x100 — the SAME probe run the docstring and SCALE.md
+    # "ngram-jaccard" cite), because cost follows prefix-df, not raw
+    # df. Output is IDENTICAL to the full join: candidates are a
     # superset of qualifying pairs, each verified with the exact
     # intersection count below, and the threshold is slackened by 1e-4
     # during prefix sizing so pairs whose jaccard ROUNDS up to t at 4
@@ -966,11 +994,57 @@ def adaptive_centroid_stride(n: int) -> int:
 def _adaptive_stride_sql(src: str = "e") -> str:
     """Scalar-subquery twin of ``adaptive_centroid_stride`` over the CTE
     ``src`` (one column set with ``id``): yields one column ``st``.
-    Integer shifts only — bitwise-identical to the Python derivation."""
+    Integer shifts only — bitwise-identical to the Python derivation.
+
+    The series runs to s = 32 and the comparison shift is HUGEINT: any
+    BIGINT count n < 2^63 < 4^32 satisfies the predicate at s = 32, so
+    min() is total over the whole BIGINT domain (an earlier 0..31 series
+    left min() over an empty set — NULL — for n >= 4^31, and ``id %
+    NULL`` would have silently filtered every centroid instead of
+    erroring; advisor round-9 finding). The stride itself (1 << s,
+    s <= 32) stays comfortably inside BIGINT; 2*s = 64 would overflow a
+    BIGINT shift, hence the HUGEINT cast on the comparison side only."""
     return (
-        f"(SELECT min(1::BIGINT << s) AS st FROM generate_series(0, 31) t(s), "
-        f"(SELECT count(*) AS n FROM {src}) c WHERE (1::BIGINT << (2*s)) > c.n)"
+        f"(SELECT min(1::BIGINT << s) AS st FROM generate_series(0, 32) t(s), "
+        f"(SELECT count(*) AS n FROM {src}) c WHERE (1::HUGEINT << (2*s)) > c.n)"
     )
+
+
+def canonical_vectors(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One canonical ``(nid, __v)`` row per distinct id: duplicate ids
+    collapse to the LEXICOGRAPHICALLY GREATEST vector.
+
+    Re-crawled corpora re-emit an id with a different payload (the repo's
+    dup-id threat model, tests/test_dupid_adversaries.py). Round 9's
+    assignment carried ``__v`` per id group with ``first()`` — for
+    duplicate ids with non-colinear vectors that pick is nondeterministic
+    and could diverge from the oracle's max-cosine-row pick (advisor
+    round-9 finding). Collapsing BEFORE any IVF role derives from the
+    corpus (centroid selection, assignment, query-set selection) makes
+    every downstream value a pure function of the corpus SET — in both
+    engines, regardless of duplicate multiplicity or row order. Array
+    comparison is lexicographic in Spark and DuckDB alike, so the oracle
+    replays the collapse exactly as ``max(__v) .. GROUP BY id``.
+
+    Cost: one exchange carrying one row per id — the same volume the old
+    per-id argmax aggregate already paid — and the agg is map-side
+    combinable, so dup rows collapse before the wire where they co-reside.
+    """
+    return (
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__v"))
+        .groupBy("nid")
+        .agg(F.max("__v").alias("__v"))
+    )
+
+
+def _canonical_sql(src: str = "e") -> str:
+    """DuckDB twin of :func:`canonical_vectors` as a CTE body over ``src``
+    (columns ``id, __v``): duplicate ids collapse to the lexicographically
+    greatest vector — list comparison semantics agree across the engines
+    for well-formed (NaN-free) vectors."""
+    return f"SELECT id, max(__v) AS __v FROM {src} GROUP BY id"
 
 
 def default_stride_centroids(
@@ -982,10 +1056,17 @@ def default_stride_centroids(
     callers that build several consumers over the same centroid set
     should call this ONCE and pass the frame down so the count isn't
     repeated and the broadcast subplan stays byte-identical (AQE then
-    collapses the duplicate BroadcastExchange into a ReusedExchange)."""
+    collapses the duplicate BroadcastExchange into a ReusedExchange).
+
+    Sizing counts RAW corpus rows (duplicate ids inflate the stride a
+    hair — harmless for a heuristic); centroid ROWS come from the
+    canonical dup-collapsed frame so one id can never contribute two
+    centroid vectors under the same cid (see ``canonical_vectors``)."""
     stride = adaptive_centroid_stride(corpus.count())
-    return corpus.filter(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("__cent")
+    return (
+        canonical_vectors(corpus, id_col, vec_col)
+        .filter(F.col("nid") % stride == 0)
+        .select(F.col("nid").alias("cid"), F.col("__v").alias("__cent"))
     )
 
 
@@ -1008,53 +1089,38 @@ def kmeans_centroids(
     parquet and oracles the probe+search over that table — the oracle
     never depends on replaying the refinement.
 
-    Scale shape per round: assignment is the broadcast-join + map-side
-    ``max_by`` argmax from ivf_topk (one row per corpus vector crosses
-    the wire); the mean recompute posexplodes members to (cell, pos)
-    partial sums — map-side combine collapses them to |cells| x dim rows
-    per task before the exchange — and reassembles the centroid array
-    with a sorted transform. The corpus is scanned once per round and
-    never shuffled whole; each round's centroid set is localCheckpointed
-    so lineage stays O(1) like dedup_clusters' label loop. Norms are
-    BOUND per vector/centroid before the pair join — the inline cosine
-    would re-aggregate both norms per (vector, centroid) PAIR inside the
-    interpreted higher-order function, tripling per-pair FLOPs; the
-    quotient dot/(nv*nc) is the bitwise-same value (same ops, same
-    order, norms just computed once).
+    Scale shape per round (round-10 GEMM rewrite): assignment is
+    ``assign_cells`` — the round's centroid matrix driver-collected and
+    broadcast (the Spark MLlib KMeans pattern; K ~ sqrt(n) rows per
+    ``_collect_centroid_matrix``) and each Arrow batch GEMM-argmax'd in
+    one float64 matmul, replacing the interpreted per-(vector, centroid)
+    HOF fold the volume probe measured at alpha 3.08 pre-adaptive-stride
+    and 26.9 s/round at the x100 point after it. The mean recompute stays
+    pure JVM: posexplode members to (cell, pos) partial sums — map-side
+    combine collapses them to |cells| x dim rows per task before the
+    exchange — and reassemble the centroid array with a sorted transform.
+    The corpus is scanned once per round and never shuffled whole (the
+    dup-collapse agg is the only corpus-volume exchange); each round's
+    centroid set is localCheckpointed so lineage stays O(1) like
+    dedup_clusters' label loop, and the next round's collect reads the
+    checkpoint, not the lineage.
+
+    Input rows are canonicalized once (``canonical_vectors``): duplicate
+    ids contribute ONE vector to every mean and one assignment row —
+    matching the dup-collapse contract of assign_cells/the oracles.
     """
     corpus = ensure_parallelism(corpus)
-    vecs = corpus.select(
-        F.col(id_col).alias("nid"),
-        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
-    ).withColumn("__nv", F.expr(VEC.norm_clamped("__v", "spark")))
+    vecs = canonical_vectors(corpus, id_col, vec_col).select(
+        "nid",
+        F.expr("transform(__v, x -> cast(x as double))").alias("__v"),
+    )
     init_stride = adaptive_centroid_stride(corpus.count())
     cent = vecs.filter(F.col("nid") % init_stride == 0).select(
-        F.col("nid").alias("cid"),
-        F.col("__v").alias("__cent"),
-        F.col("__nv").alias("__nc"),
-    )
-    csim = F.expr(
-        f"({VEC.dot('__v', '__cent', 'spark')}) / (__nv * __nc)"
+        F.col("nid").alias("cid"), F.col("__v").alias("__cent")
     )
     for _ in range(iters):
-        # max_by carries ONLY cid: its value argument is evaluated per
-        # input row, so putting __v inside the struct copies a 64-element
-        # array once per (vector, centroid) PAIR — ~47 GB of allocation
-        # churn per Lloyd pass at the volume probe's 100x point. __v is
-        # constant within each nid group, so first() carries it with one
-        # copy per GROUP; the argmax ordering struct is unchanged, so
-        # the assignment is bitwise identical.
-        assigned = (
-            vecs.join(F.broadcast(cent))
-            .groupBy("nid")
-            .agg(
-                F.max_by(
-                    F.col("cid"),
-                    F.struct(csim.alias("s"), F.bitwise_not(F.col("cid")).alias("c")),
-                ).alias("cid"),
-                F.first("__v").alias("__v"),
-            )
-            .select("cid", "__v")
+        assigned = assign_cells(vecs, "nid", "__v", centroids=cent).select(
+            F.col("cell").alias("cid"), "__v"
         )
         cent = (
             assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
@@ -1067,7 +1133,6 @@ def kmeans_centroids(
             .select(
                 "cid", F.expr("transform(__pm, p -> p.m)").alias("__cent")
             )
-            .withColumn("__nc", F.expr(VEC.norm_clamped("__cent", "spark")))
             .localCheckpoint(eager=True)
         )
     return cent.select("cid", "__cent")
@@ -1102,6 +1167,48 @@ def _prepared_centroids(
     )
 
 
+#: Centroid-block width for the GEMM argmax: each Arrow batch holds at
+#: most ``batch_rows x ASSIGN_CENT_BLOCK`` similarity doubles at a time
+#: (a running (best_sim, best_cell) pair carries the argmax across
+#: blocks), so per-task memory stays ~batch x 4096 x 8B ≈ 320 MB-bounded
+#: at the default 10k Arrow batch even when K reaches the millions a
+#: 10^12-row corpus implies (K ~ sqrt(n)).
+ASSIGN_CENT_BLOCK = 4096
+
+
+def _collect_centroid_matrix(centroids: DataFrame):
+    """Driver-collect the centroid frame into ``(ids, matrix, norms)``
+    numpy triplet, sorted by cid ASCENDING so np.argmax's first-max
+    tie-break equals the (similarity DESC, cid ASC) order the fold
+    argmax and both oracles use.
+
+    The collect is the Spark MLlib KMeans pattern (clustering/KMeans
+    collects and broadcasts its center matrix every Lloyd round): K is
+    ~sqrt(n) by construction (``adaptive_centroid_stride``), so the
+    driver holds K x dim doubles — ~0.5 GB at n = 10^12, dim 64 — never
+    a corpus-sized collect. Norms are clamped at the shared NORM_EPS so
+    a zero centroid scores 0 against everything instead of NaN.
+    """
+    import numpy as np
+
+    rows = centroids.select("cid", "__cent").collect()
+    rows.sort(key=lambda r: r["cid"])
+    ids = np.array([r["cid"] for r in rows], np.int64)
+    if len(rows) == 0:
+        return ids, np.empty((0, 0)), np.empty(0)
+    try:
+        mat = np.stack(
+            [np.asarray(r["__cent"], np.float64) for r in rows]
+        )
+    except ValueError as exc:
+        raise ValueError(
+            "centroid vectors must share one dimension — shed malformed "
+            "rows with well_formed_vectors(dim=...) before clustering"
+        ) from exc
+    norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+    return ids, mat, norms
+
+
 def assign_cells(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1109,48 +1216,141 @@ def assign_cells(
     centroids: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Nearest-centroid cell assignment shared by IVF search (``ivf_topk``)
-    and semantic dedup (``semdedup_dropped``): returns one row per corpus
-    vector — (nid, __v, __nv, cell) — where ``cell`` is the id of the
-    nearest centroid (max cosine, smallest cid on ties).
+    and semantic dedup (``semdedup_dropped``): returns one row per distinct
+    corpus id — (nid, __v, __nv, cell) — where ``cell`` is the id of the
+    nearest centroid (max cosine, smallest cid on ties) and ``__v`` is the
+    canonical (dup-collapsed, see ``canonical_vectors``) vector.
 
     Default centroids are the deterministic adaptive-stride subset
     (``default_stride_centroids``: ids divisible by a power-of-two
     stride sized so K ~ sqrt(n) — reproducible, oracle-friendly);
     pass ``centroids=kmeans_centroids(corpus)`` for Lloyd-refined cells.
 
-    Norms are bound ONCE per centroid / corpus vector before the pair
-    join: the inline cosine would re-aggregate both norms per PAIR inside
-    the interpreted higher-order function (~3x the FLOPs). dot/(na*nb) is
-    the bitwise-same value as the inline quotient — same double ops in
-    the same order, the norms just computed once.
+    EXECUTION IS A BLAS GEMM (round-10, the round-9 verdict's named
+    lever): the centroid matrix is driver-collected and broadcast (the
+    Spark MLlib KMeans pattern — K ~ sqrt(n) rows, see
+    ``_collect_centroid_matrix``), and each Arrow batch of corpus vectors
+    computes its full batch x K cosine block as one float64 matrix
+    multiply inside ``mapInPandas``, blocked at ``ASSIGN_CENT_BLOCK``
+    centroids per step so memory stays bounded at any K. The round-9
+    fold-based plan (``assign_cells_fold``) evaluated an INTERPRETED
+    aggregate/zip_with dot per (vector, centroid) pair — the volume
+    probe measured it at 78M interpreted pairs / 26.9 s at the x100
+    point; the GEMM computes identical FLOPs vectorized (measured ~7x
+    faster there, see SCALE.md "GEMM assignment"). Zero shuffle: the
+    corpus stays where it is (the only exchange is the dup-collapse agg,
+    one row per id — what the fold's groupBy(nid) already paid), and
+    ``cell`` remains the natural partition key for a materialized index.
 
-    Cell assignment is a map-side-combinable max_by aggregate (argmax of
-    (similarity, -cid) — i.e. best similarity, smallest cid on ties),
-    NOT a row_number window: a window would shuffle corpus x centroid
-    rows; the agg combines partials before any exchange, so only one
-    row per corpus vector crosses the wire. __v and its norm ride inside
-    the argmax struct, so no second join to re-attach them. On a real
-    cluster the centroid set is a broadcast and the corpus is never
-    shuffled; ``cell`` is the natural partition key for a materialized
-    index.
+    Row norms are irrelevant to the argmax (dividing a row's sims by one
+    positive scalar reorders nothing), but the per-row norm still
+    normalizes the GEMM so emitted sims stay comparable; ``__nv`` is
+    re-bound SPARK-SIDE after the kernel with the same clamped-fold
+    expression the search path always used, so downstream similarity
+    values are bitwise-unchanged from round 9.
+
+    DETERMINISM: the BLAS reduction order can differ from the fold's
+    sequential sum by ~1 ulp, so a genuinely NEAR-TIED pair of centroids
+    can flip vs the fold or the DuckDB oracle. Ties themselves (bitwise
+    equal sims) break identically (smallest cid: ids sorted ascending,
+    argmax keeps the first max, cross-block update is strict >). Registry
+    entries therefore MATERIALIZE the assignment and verify both engines
+    against the same bytes (``assigned_with_vectors`` /
+    ``ivf_topk_sql(assigned_sql=...)``) — the materialized-assignment
+    treatment the k-means centroid table already gets. In-session the
+    kernel is deterministic (fixed BLAS, fixed shapes), pinned by pytest.
+
+    Malformed vectors (NULL / ragged / NaN) must be shed FIRST via
+    ``well_formed_vectors`` — a ragged row kills np.stack, a NaN row's
+    argmax is garbage; every registry caller passes dim through.
+    """
+    corpus = ensure_parallelism(corpus)
+    if centroids is None:
+        centroids = default_stride_centroids(corpus, id_col, vec_col)
+    from pyspark.sql.types import StructField, StructType
+
+    vecs = canonical_vectors(corpus, id_col, vec_col)
+    cid_type = centroids.schema["cid"].dataType
+    cids, cmat, cnorms = _collect_centroid_matrix(centroids)
+    if len(cids) == 0:
+        # no centroids (empty corpus, or no id hits the stride): the fold
+        # plan's inner join with an empty broadcast produced zero rows —
+        # same contract here
+        assigned = vecs.limit(0).withColumn("cell", F.lit(None).cast(cid_type))
+    else:
+        bc = corpus.sparkSession.sparkContext.broadcast((cids, cmat, cnorms))
+        out_schema = StructType(
+            list(vecs.schema.fields) + [StructField("cell", cid_type, True)]
+        )
+        block = ASSIGN_CENT_BLOCK
+
+        def assign(batches):
+            import numpy as np
+
+            b_ids, b_mat, b_norms = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                try:
+                    mat = np.stack(pdf["__v"].to_numpy()).astype(
+                        np.float64, copy=False
+                    )
+                except ValueError as exc:
+                    raise ValueError(
+                        "malformed vector in GEMM assignment (wrong "
+                        "length) — shed with well_formed_vectors(dim=...)"
+                    ) from exc
+                norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+                best_sim = np.full(len(mat), -np.inf)
+                best_cell = np.empty(len(mat), b_ids.dtype)
+                for c0 in range(0, len(b_ids), block):
+                    sims = (mat @ b_mat[c0 : c0 + block].T) / np.outer(
+                        norms, b_norms[c0 : c0 + block]
+                    )
+                    arg = np.argmax(sims, axis=1)
+                    s = sims[np.arange(len(mat)), arg]
+                    # strict >: an equal later-block sim loses to the
+                    # earlier (smaller-cid) block's winner
+                    upd = s > best_sim
+                    best_sim[upd] = s[upd]
+                    best_cell[upd] = b_ids[c0 : c0 + block][arg[upd]]
+                out = pdf[["nid", "__v"]].copy()
+                out["cell"] = best_cell
+                yield out
+
+        assigned = vecs.mapInPandas(assign, schema=out_schema)
+    return assigned.withColumn(
+        "__nv", F.expr(VEC.norm_clamped("__v", "spark"))
+    ).select("nid", "__v", "__nv", "cell")
+
+
+def assign_cells_fold(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Pure-JVM reference implementation of :func:`assign_cells` — the
+    round-9 plan: broadcast centroid join + map-side-combinable ``max_by``
+    argmax over the interpreted aggregate/zip_with cosine fold, with the
+    same (similarity DESC, cid ASC) tie-break and the same canonical
+    dup-collapse. Kept for the GEMM equivalence pin
+    (tests/test_operators.py) and for environments without numpy on the
+    workers; the GEMM path is the default (measured ~7x faster at the
+    volume probe's x100 point — the fold evaluates one interpreted HOF
+    dot per (vector, centroid) pair).
+
+    ``first()`` carries __v/__nv legitimately here: the canonical frame
+    has exactly one row per nid, so every pair row in a group agrees on
+    them (the round-9 version ran first() over RAW dup rows — the
+    advisor-flagged nondeterminism the collapse removes).
     """
     corpus = ensure_parallelism(corpus)
     cent = _prepared_centroids(corpus, id_col, vec_col, centroids)
-    vecs = corpus.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("__v")
-    ).withColumn("__nv", F.expr(VEC.norm_clamped("__v", "spark")))
-    # The (vector, centroid) dot runs corpus x centroids times and stays
-    # the aggregate/zip_with fold ON PURPOSE: a statically-unrolled
-    # 64-term codegen expression was tried and measured 3.5x SLOWER at
-    # the 100x probe point (bitwise-equal results) — the fold's single
-    # primitive-array pass beats 128 bounds-checked element reads per
-    # pair. The fold is dim-agnostic, so no dim parameter is needed.
+    vecs = canonical_vectors(corpus, id_col, vec_col).withColumn(
+        "__nv", F.expr(VEC.norm_clamped("__v", "spark"))
+    )
     csim = F.expr(f"({VEC.dot('__v', '__cent', 'spark')}) / (__nv * __nc)")
-    # max_by carries ONLY the winning cid: a value struct holding __v
-    # would copy the vector array once per (vector, centroid) PAIR (the
-    # agg's value argument is evaluated per input row); __v and __nv are
-    # constant per nid group, so first() carries them with one copy per
-    # GROUP. Ordering struct unchanged -> assignment bitwise identical.
     return (
         vecs.join(cent)
         .groupBy("nid")
@@ -1166,12 +1366,39 @@ def assign_cells(
     )
 
 
+def assigned_with_vectors(
+    corpus: DataFrame,
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rebuild the ``assign_cells`` output frame from a MATERIALIZED
+    ``(nid, cell)`` table: join the canonical corpus vectors back on id
+    and re-bind the clamped norm Spark-side — bitwise what assign_cells
+    emits for the same cells.
+
+    This is how registry entries consume a persisted IVF index: the
+    assignment is computed once (GEMM), written as (nid, cell) — the
+    inverted file, cell being its natural partition key — and BOTH the
+    Spark search and the DuckDB oracle derive from those same bytes, so
+    a BLAS near-tie argmax flip between engines cannot split them (the
+    materialized-assignment treatment; see assign_cells DETERMINISM).
+    """
+    vecs = canonical_vectors(corpus, id_col, vec_col).withColumn(
+        "__nv", F.expr(VEC.norm_clamped("__v", "spark"))
+    )
+    return vecs.join(cells.select("nid", "cell"), "nid").select(
+        "nid", "__v", "__nv", "cell"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     centroids: Optional[DataFrame] = None,
+    assigned: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF-style approximate top-k cosine search — the 100 TB scale path.
 
@@ -1191,6 +1418,12 @@ def ivf_topk(
 
     Returns (qid, nid, sim, rank) — the same shape as brute_force_topk,
     so callers can swap exact for approximate.
+
+    ``assigned`` lets callers inject a pre-built (materialized) inverted
+    file — the output of ``assign_cells`` written to parquet and rebuilt
+    via ``assigned_with_vectors`` — so the index is computed once, the
+    search reads the persisted cells, and the oracle verifies against the
+    SAME bytes (see assign_cells DETERMINISM). Default: assign in-flight.
     """
     corpus = ensure_parallelism(corpus)
     # resolve the default centroid set ONCE so the adaptive-stride
@@ -1198,15 +1431,21 @@ def ivf_topk(
     # from the same frame (same subplan -> AQE ReusedExchange)
     if centroids is None:
         centroids = default_stride_centroids(corpus, id_col, vec_col)
-    # assignment + norm binding shared with semdedup_dropped — see
-    # assign_cells for the broadcast/argmax scale rationale; the probe
-    # step reuses the SAME _prepared_centroids definition assign_cells
-    # builds internally, so probe cells and assignment cells can't drift
-    assigned = assign_cells(corpus, id_col, vec_col, centroids)
+    # GEMM assignment shared with semdedup_dropped — see assign_cells for
+    # the broadcast/blocked-argmax scale rationale; the probe step reuses
+    # the SAME _prepared_centroids definition, so probe cells and
+    # assignment cells can't drift
+    if assigned is None:
+        assigned = assign_cells(corpus, id_col, vec_col, centroids)
     cent = _prepared_centroids(corpus, id_col, vec_col, centroids)
-    queries = corpus.filter(F.col(id_col) % IVF_QUERY_STRIDE == 0).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("__q")
-    ).withColumn("__nq", F.expr(VEC.norm_clamped("__q", "spark")))
+    # queries come from the CANONICAL frame: a duplicate query id must
+    # probe with its one collapsed vector, like every other IVF role
+    queries = (
+        canonical_vectors(corpus, id_col, vec_col)
+        .filter(F.col("nid") % IVF_QUERY_STRIDE == 0)
+        .select(F.col("nid").alias("qid"), F.col("__v").alias("__q"))
+        .withColumn("__nq", F.expr(VEC.norm_clamped("__q", "spark")))
+    )
     qsim = F.expr(f"({VEC.dot('__q', '__cent', 'spark')}) / (__nq * __nc)")
     w_probe = Window.partitionBy("qid").orderBy(qsim.desc(), F.col("cid").asc())
     probes = (
@@ -1234,32 +1473,47 @@ def ivf_topk(
 def ivf_topk_sql(
     table: str, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5,
     cent_sql: Optional[str] = None,
+    assigned_sql: Optional[str] = None,
 ) -> str:
     """Oracle for ivf_topk. ``cent_sql`` overrides the centroid source
-    (default: the deterministic stride subset of ``e``) — the k-means
-    registry entry passes a ``read_parquet`` over the centroid table the
-    Spark query materialized, so the iterative refinement itself never
-    has to be replayed in SQL; only the probe + search is re-derived."""
+    (default: the deterministic stride subset over the canonical corpus)
+    — the k-means registry entry passes a ``read_parquet`` over the
+    centroid table the Spark query materialized, so the iterative
+    refinement itself never has to be replayed in SQL; only the probe +
+    search is re-derived. ``assigned_sql`` does the same for the CELL
+    ASSIGNMENT (columns nid, __v, cell): registry entries pass a
+    read_parquet over the materialized (nid, cell) index joined back to
+    ``ec`` for vectors, so the GEMM argmax is never replayed in SQL and
+    a BLAS near-tie cannot split the engines (assign_cells DETERMINISM).
+    The default replays the assignment with the sequential-fold cosine —
+    valid on corpora without near-tied centroid pairs.
+
+    ``ec`` is the canonical dup-collapsed corpus (``_canonical_sql``):
+    centroid selection, assignment, and the probe query set all read it,
+    mirroring the Spark side's canonical_vectors contract; only the
+    stride SIZING counts raw ``e`` rows (like the Spark count())."""
     if cent_sql is None:
         cent_sql = (
-            f"SELECT id AS cid, __v AS __cent FROM e, {_adaptive_stride_sql('e')} "
+            f"SELECT id AS cid, __v AS __cent FROM ec, {_adaptive_stride_sql('e')} "
             f"WHERE id % st = 0"
         )
+    if assigned_sql is None:
+        assigned_sql = f"""SELECT id AS nid, __v, cid AS cell FROM (
+    SELECT ec.id, ec.__v, cent.cid,
+           row_number() OVER (PARTITION BY ec.id
+             ORDER BY {VEC.cosine('ec.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
+    FROM ec CROSS JOIN cent) WHERE rn = 1"""
     return f"""
 WITH e AS (SELECT {id_col} AS id, {vec_col} AS __v FROM {table}),
+ec AS ({_canonical_sql('e')}),
 cent AS ({cent_sql}),
-assigned AS (
-  SELECT id AS nid, __v, cid AS cell FROM (
-    SELECT e.id, e.__v, cent.cid,
-           row_number() OVER (PARTITION BY e.id
-             ORDER BY {VEC.cosine('e.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
-    FROM e CROSS JOIN cent) WHERE rn = 1),
+assigned AS ({assigned_sql}),
 probes AS (
   SELECT id AS qid, __v AS __q, cid AS cell FROM (
-    SELECT e.id, e.__v, cent.cid,
-           row_number() OVER (PARTITION BY e.id
-             ORDER BY {VEC.cosine('e.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
-    FROM e CROSS JOIN cent WHERE e.id % {IVF_QUERY_STRIDE} = 0) WHERE rn <= {IVF_NPROBE})
+    SELECT ec.id, ec.__v, cent.cid,
+           row_number() OVER (PARTITION BY ec.id
+             ORDER BY {VEC.cosine('ec.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
+    FROM ec CROSS JOIN cent WHERE ec.id % {IVF_QUERY_STRIDE} = 0) WHERE rn <= {IVF_NPROBE})
 SELECT qid, nid, sim, rank FROM (
   SELECT p.qid, a.nid, round({VEC.cosine('p.__q', 'a.__v', 'duckdb')}, 4) + 0.0 AS sim,
          row_number() OVER (PARTITION BY p.qid
@@ -1283,6 +1537,7 @@ def semdedup_dropped(
     eps: float = SEMDEDUP_EPS,
     centroids: Optional[DataFrame] = None,
     dim: Optional[int] = None,
+    assigned: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Semantic deduplication a la SemDeDup (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then find
@@ -1323,10 +1578,12 @@ def semdedup_dropped(
     # malformed vectors (null / wrong length) would kill the block GEMM's
     # np.stack — pass dim to exclude them before assignment so neither
     # the centroid stride subset nor any block can contain one (opt-in:
-    # the blocks themselves are dim-agnostic)
+    # the blocks themselves are dim-agnostic). ``assigned`` injects a
+    # materialized index (assigned_with_vectors) like ivf_topk's.
     if dim is not None:
         corpus = well_formed_vectors(corpus, vec_col, dim)
-    assigned = assign_cells(corpus, id_col, vec_col, centroids)
+    if assigned is None:
+        assigned = assign_cells(corpus, id_col, vec_col, centroids)
     base = (
         assigned.select(
             "cell",
@@ -1414,23 +1671,30 @@ def semdedup_sql(
     eps: float = SEMDEDUP_EPS,
     *,
     dim: int,
+    assigned_sql: Optional[str] = None,
 ) -> str:
-    """DuckDB twin of semdedup_dropped: identical stride centroids,
-    identical (cosine DESC, cid ASC) assignment tie-break as ivf_topk_sql,
-    pair scoring replayed as a within-cell self-join. ``dim`` is REQUIRED
+    """DuckDB twin of semdedup_dropped: identical stride centroids over
+    the canonical dup-collapsed corpus (``_canonical_sql``), identical
+    (cosine DESC, cid ASC) assignment tie-break as ivf_topk_sql, pair
+    scoring replayed as a within-cell self-join. ``dim`` is REQUIRED
     for the same reason as in cosine_pairs_sql — the Spark twin defaults
     to no length filter, so a defaulted filter here would silently
-    diverge on any non-64-dim corpus."""
+    diverge on any non-64-dim corpus. ``assigned_sql`` (columns id, __v,
+    cell) injects the materialized GEMM assignment like ivf_topk_sql's —
+    the registry entry passes a read_parquet join so the argmax is never
+    replayed in SQL."""
+    if assigned_sql is None:
+        assigned_sql = f"""SELECT id, __v, cid AS cell FROM (
+    SELECT ec.id, ec.__v, cent.cid,
+           row_number() OVER (PARTITION BY ec.id
+             ORDER BY {VEC.cosine('ec.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
+    FROM ec CROSS JOIN cent) WHERE rn = 1"""
     return f"""
 WITH e AS (SELECT {id_col} AS id, ({vec_col})::DOUBLE[] AS __v FROM {table}
            WHERE {well_formed_sql(vec_col, dim)}),
-cent AS (SELECT id AS cid, __v AS __cent FROM e, {_adaptive_stride_sql('e')} WHERE id % st = 0),
-assigned AS (
-  SELECT id, __v, cid AS cell FROM (
-    SELECT e.id, e.__v, cent.cid,
-           row_number() OVER (PARTITION BY e.id
-             ORDER BY {VEC.cosine('e.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
-    FROM e CROSS JOIN cent) WHERE rn = 1),
+ec AS ({_canonical_sql('e')}),
+cent AS (SELECT id AS cid, __v AS __cent FROM ec, {_adaptive_stride_sql('e')} WHERE id % st = 0),
+assigned AS ({assigned_sql}),
 pairs AS (
   SELECT a.cell, a.id AS id_a, b.id AS id_b,
          round({VEC.cosine('a.__v', 'b.__v', 'duckdb')}, 4) + 0.0 AS sim

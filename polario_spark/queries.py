@@ -2171,9 +2171,52 @@ def dedup_embedding_cosine_lsh_loose(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("id_a", "id_b")
 
 
+#: Fixed on-disk home for each entry's materialized GEMM cell assignment
+#: (the inverted file): the Spark query writes (nid, cell) here and the
+#: DuckDB oracle reads the SAME bytes back, so the BLAS argmax is computed
+#: exactly once and a near-tie can never split the engines — the same
+#: treatment the k-means centroid table gets (see assign_cells
+#: DETERMINISM in operators/similarity.py). One path per entry: the
+#: driver may interleave entries, and each oracle must see the bytes ITS
+#: Spark twin wrote.
+_SEMDEDUP_ASSIGN_PATH = stable_work_path("semdedup_assign")
+_IVF_ASSIGN_PATH = stable_work_path("ivf_stride_assign")
+_IVF_KM_ASSIGN_PATH = stable_work_path("ivf_kmeans_assign")
+
+
+def _materialized_assignment(
+    emb: DataFrame, path: str, centroids: "DataFrame | None" = None
+) -> DataFrame:
+    """GEMM-assign cells, persist the (nid, cell) inverted file to
+    ``path``, and rebuild the search-side frame from the persisted bytes
+    (assigned_with_vectors) — shared by the three IVF-family entries."""
+    spark = emb.sparkSession
+    cells = similarity.assign_cells(
+        emb, "vec_id", "embedding", centroids=centroids
+    ).select("nid", "cell")
+    cells.write.mode("overwrite").parquet(prepare_stable_dir(path))
+    return similarity.assigned_with_vectors(
+        emb, spark.read.parquet(path), "vec_id", "embedding"
+    )
+
+
+def _assigned_oracle(path: str) -> str:
+    """Oracle-side twin of :func:`_materialized_assignment`: the
+    materialized (nid, cell) index joined back to the canonical corpus
+    CTE ``ec`` for vectors — columns (id|nid, __v, cell) as each twin
+    aliases them."""
+    return (
+        f"SELECT ec.id, ec.__v, t.cell FROM "
+        f"read_parquet('{path}/*.parquet') t JOIN ec ON ec.id = t.nid"
+    )
+
+
 @_register(
     "semantic_dedup",
-    similarity.semdedup_sql("embeddings", "vec_id", "embedding", dim=64)
+    similarity.semdedup_sql(
+        "embeddings", "vec_id", "embedding", dim=64,
+        assigned_sql=_assigned_oracle(_SEMDEDUP_ASSIGN_PATH),
+    )
     + "\nORDER BY vec_id",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2187,16 +2230,30 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH entries: LSH buckets by random hyperplanes (recall tied to band
     collisions), SemDeDup buckets by data geometry (recall tied to
     cluster quality) — real pipelines run the latter when embeddings
-    already exist for other reasons."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.semdedup_dropped(emb, dim=64).orderBy("vec_id")
+    already exist for other reasons.
+
+    Round 10: the cell assignment is the BLAS GEMM path, materialized to
+    a stable parquet index both engines verify against (see
+    _SEMDEDUP_ASSIGN_PATH)."""
+    emb = similarity.well_formed_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding", 64
+    )
+    assigned = _materialized_assignment(emb, _SEMDEDUP_ASSIGN_PATH)
+    return similarity.semdedup_dropped(emb, assigned=assigned).orderBy(
+        "vec_id"
+    )
 
 
 @_register(
     "ann_ivf_topk",
     similarity.ivf_topk_sql(
         f"(SELECT * FROM embeddings WHERE {similarity.well_formed_sql('embedding', 64)})",
-        "vec_id", "embedding", 5
+        "vec_id", "embedding", 5,
+        assigned_sql=(
+            "SELECT id AS nid, __v, cell FROM ("
+            + _assigned_oracle(_IVF_ASSIGN_PATH)
+            + ")"
+        ),
     )
     + "\nORDER BY qid, rank",
 )
@@ -2204,13 +2261,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 cosine neighbors — the scale path
     complement to ann_topk_cosine's exact scan. Malformed vectors shed at
     the scan both sides (round-8 probe): a NaN assignment cosine would
-    place the vector in an engine-dependent cell."""
+    place the vector in an engine-dependent cell. Round 10: GEMM cell
+    assignment materialized to a stable parquet index both engines verify
+    against (_IVF_ASSIGN_PATH); probes re-derived in SQL from the same
+    stride centroids."""
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
-    return similarity.ivf_topk(emb, "vec_id", "embedding", 5).orderBy(
-        "qid", "rank"
-    )
+    assigned = _materialized_assignment(emb, _IVF_ASSIGN_PATH)
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", 5, assigned=assigned
+    ).orderBy("qid", "rank")
 
 
 @_register(
@@ -2252,28 +2313,38 @@ _KMEANS_CENT_PATH = stable_work_path("kmeans_centroids")
             "SELECT cid, __cent FROM "
             f"read_parquet('{_KMEANS_CENT_PATH}/*.parquet')"
         ),
+        assigned_sql=(
+            "SELECT id AS nid, __v, cell FROM ("
+            + _assigned_oracle(_IVF_KM_ASSIGN_PATH)
+            + ")"
+        ),
     )
     + "\nORDER BY qid, rank",
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with Lloyd-refined centroids: three k-means rounds
-    (stride init, no RNG) tighten the cells before the same
-    broadcast-probe search. The refined centroids are materialized to a
-    fixed parquet path and read back before searching, so the search and
-    the oracle consume bitwise-identical centroid values — the hash gate
-    covers probe + search end-to-end, while the refinement itself is
-    pinned by pytest (determinism in-session, recall >= the stride
-    path; tests/test_operators.py). Malformed vectors shed at the scan
-    both sides (round-8 probe) — a NaN component would poison the Lloyd
-    mean of its whole cell."""
+    (stride init, no RNG, GEMM assignment per round) tighten the cells
+    before the same broadcast-probe search. The refined centroids are
+    materialized to a fixed parquet path and read back before searching,
+    so the search and the oracle consume bitwise-identical centroid
+    values, and (round 10) the final GEMM cell assignment is materialized
+    the same way (_IVF_KM_ASSIGN_PATH) — the hash gate covers probe +
+    search end-to-end, while the refinement itself is pinned by pytest
+    (determinism in-session, recall >= the stride path;
+    tests/test_operators.py). Malformed vectors shed at the scan both
+    sides (round-8 probe) — a NaN component would poison the Lloyd mean
+    of its whole cell."""
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
     cent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=3)
     cent.write.mode("overwrite").parquet(prepare_stable_dir(_KMEANS_CENT_PATH))
     cent = spark.read.parquet(_KMEANS_CENT_PATH)
+    assigned = _materialized_assignment(
+        emb, _IVF_KM_ASSIGN_PATH, centroids=cent
+    )
     return similarity.ivf_topk(
-        emb, "vec_id", "embedding", 5, centroids=cent
+        emb, "vec_id", "embedding", 5, centroids=cent, assigned=assigned
     ).orderBy("qid", "rank")
 
 
@@ -5109,112 +5180,25 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the earlier hand-curated _DRIVER_GREEN back-list, which required
 #      manual rotation every round.
 _PRIORITY = [
-    # Round-9 code changes under these entries (kept small per the r7
-    # ruling so the stalest-green rotation refreshes the r5/r6 rows):
-    #   - degenerate-bucket cap: star pairs over DEDUP_BUCKET_CAP in the
-    #     minhash/rolling generators, within-block gram df cut in the
-    #     Jaccard join, all mirrored in the oracles — see
-    #     tests/test_skew_adversaries.py and SCALE.md "Degenerate-bucket
-    #     cap (round 9)"
-    "dedup_minhash",
-    "dedup_rolling_windows",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    #   - NULL-lang ordering: final orderBy now asc_nulls_last so Spark
-    #     agrees with the oracle's DuckDB NULLS-LAST default when the
-    #     NULL-lang group is present (r8 ADVICE)
-    "dedup_exact",
-    #   - JSON adversary hardening: string-extract + _JSON_INT_RE gate
-    #     replaces engine-native numeric coercions; dup-key census;
-    #     literal map_entries oracle — see tests/test_json_adversaries.py
-    "events_json_stats",
-    "events_props_map",
-    "events_variant_extract",
-    #   - id-domain hardening (round-9 session 2): try_subtract successor
-    #     key + guarded oracle in zipwith; bitwise-NOT tie-break in
-    #     keep_best (−id overflows at min-int64 under ANSI) — see
-    #     tests/test_idrange_adversaries.py
-    "zipwith_consecutive_dot",
-    "dedup_keep_best",
-    #   - stratified sample: rank-window keys now asc_nulls_last (a NULL
-    #     doc_id hash used to be ranked INTO the sample, oracle ranked it
-    #     out) — see tests/test_nullkey_adversaries.py ORDERED check
-    "stratified_topk_sample",
-    #   - huge-doc probe (round-9 session 2): DuckDB oracle forms
-    #     linearized (element access instead of slice-in-lambda, bound
-    #     tokens instead of inline tokenizer, explode instead of
-    #     list-carrying lateral) — values unchanged, forms changed, so
-    #     the driver should re-hash these — see
-    #     tests/test_hugedoc_adversaries.py
-    "chunk_documents",
-    "exact_substring_dup",
-    "decontamination_overlap_8gram",
-    "repetition_signals",
-    #   - binary-payload hardening (round-9 session 3): NULL-payload
-    #     exclusion (scan filter + kernel guard, WHERE in the oracle),
-    #     byte-accurate first_byte oracle (to_hex of the lead byte, not
-    #     ascii() code points), byte-bounded kernel slicing — see
-    #     tests/test_binary_adversaries.py
-    "multimodal_features",
-    "multimodal_frame_sample",
-    #   - vector-magnitude hardening (round-9 session 4): the shared
-    #     well_formed predicate now sheds |x| > VEC_COMPONENT_CAP and the
-    #     DuckDB cosine builder reroutes the whole sub-NORM_EPS clamp
-    #     region, so every embedding-family oracle's TEXT changed and the
-    #     driver should re-hash the family — see
-    #     tests/test_vector_magnitude_adversaries.py
-    #     (zipwith_consecutive_dot already queued above)
-    "embedding_norm_stats",
-    "embedding_dim_stats",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine_lsh_loose",
-    #   - adaptive sqrt(n) centroid sizing (round-9 session 7): the
-    #     default IVF/SemDeDup centroid stride is now corpus-size-aware
-    #     (operators/similarity.py adaptive_centroid_stride, mirrored by
-    #     a scalar subquery in the oracles), so semantic_dedup /
-    #     ann_ivf_topk / ann_ivf_kmeans_topk values change at every sf —
-    #     see SCALE.md "Volume-scaling probe"
+    # Round-10 code changes under these entries (kept small per the r7
+    # ruling so the stalest-green rotation refreshes the r6 rows — the
+    # r9 verdict's staleness target):
+    #   - GEMM nearest-centroid assignment (BLAS mapInPandas replacing
+    #     the interpreted HOF fold), MATERIALIZED-assignment oracles
+    #     (read_parquet over the (nid, cell) index both engines verify
+    #     against), and the canonical dup-id collapse
+    #     (canonical_vectors / _canonical_sql — lexicographic-max
+    #     vector) across every IVF role: oracle TEXT changed for all
+    #     three, values may shift wherever a duplicate id existed — see
+    #     operators/similarity.py assign_cells and SCALE.md "GEMM
+    #     assignment (round 10)"
     "semantic_dedup",
-    "ann_topk_cosine",
-    "ann_topk_quantized",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
-    #   - negative-zero normalization (round-9 session 4): rounded
-    #     sign-indefinite columns (ANN sims, consecutive-dot stats, OLS
-    #     slope/intercept) now add `+ 0.0` so DuckDB's sign-keeping round
-    #     cannot hash-split from Spark's always-+0.0 round — see
-    #     tests/test_numeric_adversaries.py negative-zero family
-    #     (the embedding entries above are already queued)
-    "ols_price_per_brand",
-    #   - grouping-set disambiguation (round-9 session 6): subtotal labels
-    #     now derive from grouping() ('ALL') with real-NULL keys labeled
-    #     '(null)' — the oracle TEXT changed for these three, so the
-    #     driver should re-hash them (clean-data values are unchanged:
-    #     TPC-H keys are never NULL) — see tests/test_rollup_adversaries.py
-    "rollup_sales",
-    "cube_sales",
-    "grouping_sets_priority",
-    #   - streaming-state hardening (round-9 session 6): dedup_counts
-    #     moved to dropDuplicatesWithinWatermark (plain dropDuplicates
-    #     never evicts key state when the event-time column is not a
-    #     dedup key — unbounded state, probed); sessionizer split into
-    #     sessionize_transform + drain_sessions with the arrival-order
-    #     contract pinned — see tests/test_streaming_state_adversaries.py
-    "streaming_dedup_counts",
-    "streaming_stateful_sessions",
-    #   - foreachBatch ledger made replay-idempotent (round-9 session 6):
-    #     per-batch_id dynamic partition overwrite instead of append, so
-    #     a restarted query's re-delivered batch rewrites its own
-    #     partition instead of double-counting
-    "streaming_foreachbatch_totals",
-    #   - window-frame NULL-ordering hardening (round-9 session 6): NULL
-    #     event times excluded from the frame-ordered entries (oracle
-    #     TEXT changed: AND ts IS NOT NULL) — the engines place a NULL
-    #     ordering key at opposite ends of a window partition — see
-    #     tests/test_asof_window_adversaries.py
-    "asof_click_before_purchase",
-    "events_rolling_hour_rate",
+    #   - prefix-filter auto-dispatch (prefix_filter=None picks the
+    #     Bayardo path above NGRAM_PREFIX_AUTO_ROWS docs): output
+    #     identical by the pinned equivalence, re-verify anyway
+    "dedup_ngram_jaccard",
 ]
 
 

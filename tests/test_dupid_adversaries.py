@@ -56,6 +56,7 @@ AFFECTED = [
     "exact_substring_dup",
     # embeddings-keyed
     "ann_topk_cosine",
+    "ann_ivf_topk",
     "dedup_embedding_cosine",
     "semantic_dedup",
     "embedding_norm_stats",
@@ -87,6 +88,14 @@ COPY (
   WHERE doc_id % 11 = 4
 ) TO '{d}/documents.parquet' (FORMAT PARQUET)
 """)
+    # two duplicate flavors: COLINEAR (x*0.5 — cosine-invariant, the
+    # original probe) and NON-COLINEAR (reversed components — different
+    # cosine geometry). The advisor's round-9 finding: a colinear-only
+    # poison cannot catch a nondeterministic duplicate-vector carry in
+    # the IVF assignment, because either duplicate assigns to the same
+    # cell with the same sims. The reversed duplicates pin the canonical
+    # dup-collapse (lexicographic max vector, canonical_vectors) that
+    # round 10 made the contract on both engines.
     con.execute(f"""
 COPY (
   SELECT * FROM read_parquet('{CLEAN_SF}/embeddings.parquet')
@@ -96,6 +105,12 @@ COPY (
          label + 1 AS label
   FROM read_parquet('{CLEAN_SF}/embeddings.parquet')
   WHERE vec_id % 13 = 6
+  UNION ALL
+  SELECT vec_id,
+         list_reverse(embedding) AS embedding,
+         label + 2 AS label
+  FROM read_parquet('{CLEAN_SF}/embeddings.parquet')
+  WHERE vec_id % 13 = 2
 ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
 """)
     con.execute(f"""

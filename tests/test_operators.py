@@ -472,6 +472,78 @@ def test_ivf_kmeans_centroids_deterministic_and_recall(spark):
     assert recall_km >= recall_stride - 1e-9, (recall_km, recall_stride)
 
 
+def test_assign_cells_gemm_matches_fold(spark):
+    """The GEMM assignment (round 10) must agree with the pure-JVM fold
+    reference cell-for-cell on the fixture, for both the stride and the
+    Lloyd-refined centroid sets. The two differ only where a BLAS-vs-fold
+    summation-order ulp flips a NEAR-TIED argmax — measure-zero on
+    generic float data — so any mismatch here is a real kernel bug
+    (wrong tie-break direction, wrong norm clamp, an indexing error),
+    not float noise. Exact ties (duplicated centroid vectors) are pinned
+    separately below with a corpus built to tie exactly."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = similarity.well_formed_vectors(emb, "embedding", 64)
+    for cent in (
+        None,
+        similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=1),
+    ):
+        gemm = {
+            r.nid: r.cell
+            for r in similarity.assign_cells(
+                emb, "vec_id", "embedding", centroids=cent
+            ).collect()
+        }
+        fold = {
+            r.nid: r.cell
+            for r in similarity.assign_cells_fold(
+                emb, "vec_id", "embedding", centroids=cent
+            ).collect()
+        }
+        assert gemm == fold
+        assert len(gemm) == 500
+
+    # exact-tie tie-break: two centroids with IDENTICAL vectors -> every
+    # row's cosines tie bitwise, and both paths must pick the SMALLER cid
+    rows = [(i, [float(i % 7 + 1), 1.0, -0.5]) for i in range(20)]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(3, [1.0, 2.0, 0.0]), (9, [1.0, 2.0, 0.0])],
+        "cid long, __cent array<double>",
+    )
+    for fn in (similarity.assign_cells, similarity.assign_cells_fold):
+        cells = {r.nid: r.cell for r in fn(tiny, centroids=cent).collect()}
+        assert set(cells.values()) == {3}, fn.__name__
+
+
+def test_assign_cells_collapses_duplicate_ids(spark):
+    """Duplicate ids with NON-COLINEAR vectors (the advisor's round-9
+    probe: a colinear x*0.5 duplicate is cosine-invariant and can't catch
+    a wrong-vector carry) must collapse to ONE canonical row — the
+    lexicographically greatest vector — in both the GEMM and fold paths,
+    carrying that vector's cell AND that vector's values, never a mix."""
+    import numpy as np
+
+    dim = 4
+    v_lo = [0.1, 9.0, 9.0, 9.0]   # lex-smaller, points one way
+    v_hi = [0.2, -9.0, 0.0, 0.0]  # lex-greater, points elsewhere
+    rows = [(5, v_lo), (5, v_hi), (6, [1.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(0, [0.0, 1.0, 1.0, 1.0]), (1, [1.0, -1.0, 0.0, 0.0])],
+        "cid long, __cent array<double>",
+    )
+    # expected: id 5 keeps v_hi (lex max), which is closer to centroid 1
+    exp_vec = np.asarray(v_hi, np.float32)
+    for fn in (similarity.assign_cells, similarity.assign_cells_fold):
+        got = {r.nid: r for r in fn(emb, centroids=cent).collect()}
+        assert set(got) == {5, 6}, fn.__name__
+        assert got[5].cell == 1, fn.__name__
+        assert np.allclose(np.asarray(got[5]["__v"], np.float32), exp_vec), (
+            fn.__name__
+        )
+        assert got[6].cell == 1, fn.__name__
+
+
 def test_cosine_pairs_bucketed_subset_and_recall(spark):
     """LSH-bucketed near-dup pairs must be a subset of the exact all-pairs
     result at the same threshold (approximation lives in candidate
