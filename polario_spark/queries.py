@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from polario_spark.hive_dataset import HiveDataset
 from polario_spark.functions import numeric as NUM
 from polario_spark.functions import text as TXT
+from polario_spark.functions import vector as VEC
 from polario_spark.operators import dedup, similarity, text_analysis
 from polario_spark.operators.multimodal import (
     extract_binary_features,
@@ -2187,27 +2188,38 @@ _IVF_KM_ASSIGN_PATH = stable_work_path("ivf_kmeans_assign")
 def _materialized_assignment(
     emb: DataFrame, path: str, centroids: "DataFrame | None" = None
 ) -> DataFrame:
-    """GEMM-assign cells, persist the (nid, cell) inverted file to
+    """GEMM-assign cells, persist the (nid, __v, cell) inverted file to
     ``path``, and rebuild the search-side frame from the persisted bytes
-    (assigned_with_vectors) — shared by the three IVF-family entries."""
+    — shared by the three IVF-family entries.
+
+    The index stores the VECTORS, not just (nid, cell): that is what an
+    IVF index is (the cells hold their members' vectors), it lets the
+    search side and the oracle read one table with no join back to the
+    corpus, and both engines then consume literally identical vector
+    bytes. ``__nv`` is re-bound Spark-side with the same clamped-fold
+    expression assign_cells emits, so downstream sims are bitwise what
+    the in-flight frame would produce."""
     spark = emb.sparkSession
     cells = similarity.assign_cells(
         emb, "vec_id", "embedding", centroids=centroids
-    ).select("nid", "cell")
+    ).select("nid", "__v", "cell")
     cells.write.mode("overwrite").parquet(prepare_stable_dir(path))
-    return similarity.assigned_with_vectors(
-        emb, spark.read.parquet(path), "vec_id", "embedding"
+    return (
+        spark.read.parquet(path)
+        .withColumn("__nv", F.expr(VEC.norm_clamped("__v", "spark")))
+        .select("nid", "__v", "__nv", "cell")
     )
 
 
 def _assigned_oracle(path: str) -> str:
-    """Oracle-side twin of :func:`_materialized_assignment`: the
-    materialized (nid, cell) index joined back to the canonical corpus
-    CTE ``ec`` for vectors — columns (id|nid, __v, cell) as each twin
-    aliases them."""
+    """Oracle-side twin of :func:`_materialized_assignment`: read the
+    materialized (nid, __v, cell) index directly — the index rows ARE
+    the canonical post-shed corpus (one row per distinct id), so no join
+    back to ``ec`` is needed and both engines consume the same bytes.
+    Columns (id, __v, cell); callers re-alias as their CTE expects."""
     return (
-        f"SELECT ec.id, ec.__v, t.cell FROM "
-        f"read_parquet('{path}/*.parquet') t JOIN ec ON ec.id = t.nid"
+        f"SELECT t.nid AS id, (t.__v)::DOUBLE[] AS __v, t.cell "
+        f"FROM read_parquet('{path}/*.parquet') t"
     )
 
 

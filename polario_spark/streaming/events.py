@@ -68,13 +68,21 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (pathGlobFilter filters leaf files, and none is named
     # events.parquet), so every streaming entry read an empty stream on
     # any Spark-written dataset.
+    reader = spark.readStream.schema(schema)
+    # Micro-batch sizing knob: the default file source puts EVERY file in
+    # one mega-batch, which never exercises mid-stream watermark eviction.
+    # The volume probe (tools/scale_probe.py stream) and state adversaries
+    # set this so the drain processes several real micro-batches — the
+    # regime where bounded-state claims are actually tested. Unset (the
+    # default) leaves the entries' single-drain behavior untouched.
+    mft = spark.conf.get("spark.polario.streamMaxFilesPerTrigger", "")
+    if mft:
+        reader = reader.option("maxFilesPerTrigger", mft)
     if os.path.isdir(path):
-        stream = spark.readStream.schema(schema).parquet(path)
+        stream = reader.parquet(path)
     else:
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+        stream = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
         )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
