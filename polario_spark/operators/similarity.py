@@ -216,6 +216,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     df_cap: int = NGRAM_DF_CAP,
     prefix_filter: Optional[bool] = None,
+    n_docs: Optional[int] = None,
 ) -> DataFrame:
     """Exact Jaccard over word-bigram sets for within-block pairs, as an
     inverted-index set-similarity join.
@@ -282,14 +283,19 @@ def ngram_jaccard_pairs(
     asymmetry (prefix <=1.4x worse where full wins; full 2-8x worse in
     the hump regime, which recurs at unpredictable growth decades)
     makes prefix the right default above the bound anyway. The signal
-    is one count-star job (pushdown-cheap); the exact gram-df census
-    would cost the dominant tokenize+explode scan twice. Both paths are
-    output-identical (equivalence-pinned in
+    is one count-star job — pushdown-cheap ONLY for scan-backed frames
+    (parquet footer counts); when ``docs`` is a derived plan (joins,
+    UDFs upstream) the count re-executes that whole plan once, so such
+    callers should pass ``n_docs`` (a known/estimated row count) or an
+    explicit ``prefix_filter`` to skip the probe job entirely. Both
+    paths are output-identical (equivalence-pinned in
     tests/test_skew_adversaries.py), so dispatch changes only the plan,
     never the result.
     """
     if prefix_filter is None:
-        prefix_filter = docs.count() > NGRAM_PREFIX_AUTO_ROWS
+        prefix_filter = (
+            n_docs if n_docs is not None else docs.count()
+        ) > NGRAM_PREFIX_AUTO_ROWS
     docs = ensure_parallelism(docs)
     grams = F.expr(
         f"array_distinct({TXT.word_bigrams(TXT.tokens(text_col, 'spark'), 'spark')})"
@@ -1144,22 +1150,29 @@ def kmeans_centroids(
 
     mean_rows: list = []
     for _ in range(iters):
-        assigned = _gemm_assign_frame(vecs, cent_np, LongType()).select(
+        # round-owned broadcast: the collect below is the ONLY consumer
+        # of this round's assignment, so the K x dim blob is released
+        # eagerly instead of waiting for closure GC (advisor r10)
+        bc = spark.sparkContext.broadcast(cent_np)
+        assigned = _gemm_assign_frame(vecs, cent_np, LongType(), bc=bc).select(
             F.col("cell").alias("cid"), "__v"
         )
-        mean_rows = (
-            assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm")
+        try:
+            mean_rows = (
+                assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cid")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm")
+                )
+                .select(
+                    "cid", F.expr("transform(__pm, p -> p.m)").alias("__cent")
+                )
+                .collect()
             )
-            .select(
-                "cid", F.expr("transform(__pm, p -> p.m)").alias("__cent")
-            )
-            .collect()
-        )
+        finally:
+            bc.unpersist(blocking=False)
         if not mean_rows:  # empty corpus / empty centroid init
             break
         mean_rows.sort(key=lambda r: r["cid"])
@@ -1317,11 +1330,21 @@ def assign_cells(
     ).select("nid", "__v", "__nv", "cell")
 
 
-def _gemm_assign_frame(vecs: DataFrame, cent_np, cid_type) -> DataFrame:
+def _gemm_assign_frame(vecs: DataFrame, cent_np, cid_type, bc=None) -> DataFrame:
     """The GEMM argmax kernel over a (nid, __v) frame given driver-side
     centroid numpy arrays — shared by assign_cells and the Lloyd loop.
     Appends ``cell`` (nearest centroid id; smallest cid on bitwise ties)
-    in one mapInPandas pass, blocked at ASSIGN_CENT_BLOCK centroids."""
+    in one mapInPandas pass, blocked at ASSIGN_CENT_BLOCK centroids.
+
+    Broadcast lifecycle: when ``bc`` (a pre-made ``sc.broadcast`` of
+    ``cent_np``) is passed, the CALLER owns it and should
+    ``unpersist()`` after the consuming action — the Lloyd loop does
+    exactly that per round, so a long session never accumulates K x dim
+    blobs. When ``bc`` is None (the lazy ``assign_cells`` path, whose
+    frame may be acted on any number of times later) the broadcast's
+    release is necessarily deferred to GC of the closure — acceptable
+    because that path makes ONE broadcast per operator call, not one per
+    iteration."""
     from pyspark.sql.types import StructField, StructType
 
     cids, cmat, cnorms = cent_np
@@ -1330,7 +1353,8 @@ def _gemm_assign_frame(vecs: DataFrame, cent_np, cid_type) -> DataFrame:
         # plan's inner join with an empty broadcast produced zero rows —
         # same contract here
         return vecs.limit(0).withColumn("cell", F.lit(None).cast(cid_type))
-    bc = vecs.sparkSession.sparkContext.broadcast((cids, cmat, cnorms))
+    if bc is None:
+        bc = vecs.sparkSession.sparkContext.broadcast((cids, cmat, cnorms))
     out_schema = StructType(
         list(vecs.schema.fields) + [StructField("cell", cid_type, True)]
     )
@@ -1352,9 +1376,21 @@ def _gemm_assign_frame(vecs: DataFrame, cent_np, cid_type) -> DataFrame:
                     "malformed vector in GEMM assignment (wrong "
                     "length) — shed with well_formed_vectors(dim=...)"
                 ) from exc
+            if not np.isfinite(mat).all():
+                # a NaN/Inf component would make every `sims > best_sim`
+                # comparison False for its row, leaving the cell
+                # uninitialized — fail loudly instead of emitting
+                # nondeterministic garbage
+                raise ValueError(
+                    "non-finite vector component in GEMM assignment — "
+                    "shed with well_formed_vectors(dim=...)"
+                )
             norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
             best_sim = np.full(len(mat), -np.inf)
-            best_cell = np.empty(len(mat), b_ids.dtype)
+            # pre-filled (not np.empty): with finite inputs every row IS
+            # updated in the first block, this just removes the
+            # uninitialized-memory failure class outright
+            best_cell = np.full(len(mat), b_ids[0], b_ids.dtype)
             for c0 in range(0, len(b_ids), block):
                 sims = (mat @ b_mat[c0 : c0 + block].T) / np.outer(
                     norms, b_norms[c0 : c0 + block]

@@ -123,12 +123,19 @@ def _normalize(rows, columns):
 def test_poison_creates_distinct_binary_groups(adv_duck):
     """Sanity: the NFC and NFD lang variants must be DISTINCT group keys
     under binary collation (two groups, not one) — otherwise the poison
-    exercises nothing."""
-    n = adv_duck.sql(
-        "SELECT count(DISTINCT lang) FROM documents "
-        "WHERE lang LIKE 'd%' AND length(lang) > 1"
-    ).fetchone()[0]
-    assert n == 2, n
+    exercises nothing.
+
+    Counts EXACTLY the two poison strings (round-10 shipped a `LIKE 'd%'`
+    filter that also caught the organic lang 'de' in the base corpus and
+    failed on 3 != 2 — the expected set is now derived from the same
+    poison expressions the fixture builder uses, so it cannot drift from
+    the corpus again)."""
+    n, total = adv_duck.sql(
+        f"SELECT count(DISTINCT lang), count(*) FROM documents "
+        f"WHERE lang IN ('d' {NFC_SUFFIX}, 'd' {NFD_SUFFIX})"
+    ).fetchone()
+    assert n == 2, n  # NFC and NFD are distinct byte strings
+    assert total > 0  # and the poison actually landed rows
 
 
 @pytest.mark.parametrize("name", AFFECTED)

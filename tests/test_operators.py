@@ -515,6 +515,24 @@ def test_assign_cells_gemm_matches_fold(spark):
         assert set(cells.values()) == {3}, fn.__name__
 
 
+def test_assign_cells_gemm_raises_on_non_finite(spark):
+    """A NaN component that slips past shedding must FAIL LOUDLY in the
+    GEMM kernel (advisor r10: `NaN > best_sim` is False for every block,
+    so the emitted cell would otherwise be uninitialized memory — an
+    arbitrary, possibly-nonexistent centroid id, silently). The contract
+    is shed-first via well_formed_vectors; this pins what happens when a
+    caller forgets."""
+    import pytest as _pytest
+
+    rows = [(1, [1.0, 2.0, 3.0]), (2, [float("nan"), 1.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "cid long, __cent array<double>"
+    )
+    with _pytest.raises(Exception, match="non-finite"):
+        similarity.assign_cells(emb, centroids=cent).collect()
+
+
 def test_assign_cells_collapses_duplicate_ids(spark):
     """Duplicate ids with NON-COLINEAR vectors (the advisor's round-9
     probe: a colinear x*0.5 duplicate is cosine-invariant and can't catch

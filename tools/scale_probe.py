@@ -250,11 +250,16 @@ def _stream_child() -> None:
 
     from pyspark.sql.streaming import StreamingQueryListener
 
+    # listener callbacks are ASYNC: a straggler progress event from entry
+    # N can land after entry N+1 starts, so events are keyed by runId and
+    # each entry keeps only the runIds that STARTED during its own window
+    # (advisor r10) — never a shared cleared list.
     progresses: list[dict] = []
+    started_run_ids: list[str] = []
 
     class Capture(StreamingQueryListener):
         def onQueryStarted(self, event):
-            pass
+            started_run_ids.append(str(event.runId))
 
         def onQueryProgress(self, event):
             progresses.append(json.loads(event.progress.json))
@@ -269,7 +274,7 @@ def _stream_child() -> None:
     queries = entry_mod.queries()
     results: dict[str, dict] = {}
     for name in names:
-        progresses.clear()
+        prior_runs = set(started_run_ids)
         start = time.perf_counter()
         try:
             queries[name](spark, sf_dir).collect()
@@ -280,7 +285,8 @@ def _stream_child() -> None:
             json.dump(results, open(out_path, "w"))
             continue
         time.sleep(0.5)  # listener events are async; let the tail flush
-        snap = list(progresses)
+        mine = set(started_run_ids) - prior_runs
+        snap = [p for p in progresses if str(p.get("runId")) in mine]
         state_rows = max(
             (
                 sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
