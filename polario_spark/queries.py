@@ -5192,25 +5192,17 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the earlier hand-curated _DRIVER_GREEN back-list, which required
 #      manual rotation every round.
 _PRIORITY = [
-    # Round-10 code changes under these entries (kept small per the r7
-    # ruling so the stalest-green rotation refreshes the r6 rows — the
-    # r9 verdict's staleness target):
-    #   - GEMM nearest-centroid assignment (BLAS mapInPandas replacing
-    #     the interpreted HOF fold), MATERIALIZED-assignment oracles
-    #     (read_parquet over the (nid, cell) index both engines verify
-    #     against), and the canonical dup-id collapse
-    #     (canonical_vectors / _canonical_sql — lexicographic-max
-    #     vector) across every IVF role: oracle TEXT changed for all
-    #     three, values may shift wherever a duplicate id existed — see
-    #     operators/similarity.py assign_cells and SCALE.md "GEMM
-    #     assignment (round 10)"
+    # Round-11 code changes under these entries (kept small per the r7
+    # ruling so the stalest-green rotation keeps refreshing the r8 rows
+    # — the r10 verdict's staleness target):
+    #   - GEMM kernel hardening (non-finite inputs raise instead of
+    #     emitting uninitialized cells; best_cell pre-filled; Lloyd-round
+    #     broadcasts released eagerly): outputs identical for well-formed
+    #     corpora — the registry sheds first — but the kernel bytes
+    #     changed, so re-verify the three IVF-family consumers
     "semantic_dedup",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
-    #   - prefix-filter auto-dispatch (prefix_filter=None picks the
-    #     Bayardo path above NGRAM_PREFIX_AUTO_ROWS docs): output
-    #     identical by the pinned equivalence, re-verify anyway
-    "dedup_ngram_jaccard",
 ]
 
 

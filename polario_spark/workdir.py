@@ -81,12 +81,46 @@ def stable_work_path(kind: str) -> str:
     return os.path.join(_STABLE_ROOT, kind)
 
 
+_stable_locks: dict[str, int] = {}
+
+
 def prepare_stable_dir(path: str) -> str:
     """Create a stable path's directory and schedule the root's removal
     at interpreter exit. Called by the WRITING query immediately before
     ``write.mode("overwrite")`` — never at import time (see
-    stable_work_path)."""
+    stable_work_path).
+
+    Concurrency tripwire (round 11): the single-driver assumption the
+    stable paths rest on is now ENFORCED as a detection, not just a
+    docstring — each writer takes a process-lifetime advisory ``flock``
+    on ``<path>.lock``; a second concurrent writer process gets a loud
+    RuntimeWarning naming the race instead of silently interleaving
+    overwrites under a reader. Best-effort: filesystems without flock
+    (or an unimportable fcntl) degrade to the documented assumption."""
     os.makedirs(path, exist_ok=True)
+    if path not in _stable_locks:
+        try:
+            import fcntl
+
+            fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                _stable_locks[path] = fd  # held until process exit
+            except OSError:
+                os.close(fd)
+                _stable_locks[path] = -1  # warn once per path per process
+                import warnings
+
+                warnings.warn(
+                    f"another live process holds the stable work path "
+                    f"{path!r}; concurrent overwrites can corrupt the "
+                    f"bytes its oracle reads back (single-driver "
+                    f"assumption violated)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        except ImportError:
+            pass
     if _STABLE_ROOT not in _cleanup_registered:
         _cleanup_registered.add(_STABLE_ROOT)
         atexit.register(shutil.rmtree, _STABLE_ROOT, True)

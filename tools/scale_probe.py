@@ -118,6 +118,7 @@ PROBE_QUERIES = [
     "dedup_embedding_cosine_lsh",
     # similarity search
     "ann_topk_cosine",
+    "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     # multimodal (Arrow-batched kernel path)
     "multimodal_features",
