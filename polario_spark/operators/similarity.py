@@ -1146,28 +1146,41 @@ def kmeans_centroids(
             F.col("nid").alias("cid"), F.col("__v").alias("__cent")
         )
     )
-    from pyspark.sql.types import LongType
-
     mean_rows: list = []
     for _ in range(iters):
         # round-owned broadcast: the collect below is the ONLY consumer
-        # of this round's assignment, so the K x dim blob is released
+        # of this round's partials, so the K x dim blob is released
         # eagerly instead of waiting for closure GC (advisor r10)
         bc = spark.sparkContext.broadcast(cent_np)
-        assigned = _gemm_assign_frame(vecs, cent_np, LongType(), bc=bc).select(
-            F.col("cell").alias("cid"), "__v"
-        )
         try:
+            # Round 11: the round's exchange carries PER-TASK PARTIALS
+            # (touched-cells x (dim+1) rows per task), not the corpus —
+            # the earlier posexplode shape shuffled n x dim scalar rows
+            # per round (320M at the x100 probe point), which was the
+            # loop's dominant cost once the GEMM removed the assignment
+            # cost. Sum partials per (cell, pos), then divide by the
+            # count slot driver-side. Float summation order differs from
+            # the old per-value avg() by design — the registry entry
+            # materializes the refined centroids, so both engines always
+            # consume the same bytes (see the determinism note above).
+            partials = _gemm_partial_means(vecs, bc)
             mean_rows = (
-                assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.avg("x").alias("m"))
-                .groupBy("cid")
+                partials.select(
+                    "cell", F.posexplode("part").alias("pos", "x")
+                )
+                .groupBy("cell", "pos")
+                .agg(F.sum("x").alias("s"))
+                .groupBy("cell")
                 .agg(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm")
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("__ps")
                 )
                 .select(
-                    "cid", F.expr("transform(__pm, p -> p.m)").alias("__cent")
+                    F.col("cell").alias("cid"),
+                    # last slot is the member count; divide it out
+                    F.expr(
+                        "transform(slice(__ps, 1, size(__ps) - 1),"
+                        " p -> p.s / element_at(__ps, -1).s)"
+                    ).alias("__cent"),
                 )
                 .collect()
             )
@@ -1407,6 +1420,101 @@ def _gemm_assign_frame(vecs: DataFrame, cent_np, cid_type, bc=None) -> DataFrame
             yield out
 
     return vecs.mapInPandas(assign, schema=out_schema)
+
+
+def _gemm_partial_means(vecs: DataFrame, bc) -> DataFrame:
+    """One Lloyd round's map side as a single corpus pass: GEMM-argmax
+    each Arrow batch against the broadcast centroid triplet ``bc`` (the
+    same blocked kernel as ``_gemm_assign_frame``) and accumulate
+    per-TASK ``cell -> (component sums, member count)`` partials in
+    numpy, emitting one ``(cell, part)`` row per touched cell per task
+    — ``part`` is ``dim + 1`` doubles with the count in the last slot.
+
+    Scale shape: the exchange after this pass carries at most
+    tasks x K rows of (dim+1) doubles — the map-side-combine shape — vs
+    the n x dim scalar rows the posexplode formulation shuffled. The
+    per-task accumulator is a dense K x dim float64 matrix: the same
+    asymptotic memory as the broadcast centroid matrix every task
+    already holds, so it introduces no new bound (K ~ sqrt(n) by
+    construction). Cells with zero members this round emit no row —
+    identical to the groupBy-on-assigned contract (the cid drops out of
+    the next round's centroid set).
+
+    Tie-break and non-finite behavior are the assign kernel's: smallest
+    centroid INDEX on bitwise-tied sims (b_ids is cid-ascending, so
+    smallest cid), loud ValueError on NaN/Inf components.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("cell", LongType(), False),
+            StructField("part", ArrayType(DoubleType(), False), False),
+        ]
+    )
+    block = ASSIGN_CENT_BLOCK
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_ids, b_mat, b_norms = bc.value
+        acc = None  # K x dim sums, allocated on first non-empty batch
+        cnt = np.zeros(len(b_ids), np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            try:
+                mat = np.stack(pdf["__v"].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+            except ValueError as exc:
+                raise ValueError(
+                    "malformed vector in GEMM assignment (wrong "
+                    "length) — shed with well_formed_vectors(dim=...)"
+                ) from exc
+            if not np.isfinite(mat).all():
+                raise ValueError(
+                    "non-finite vector component in GEMM assignment — "
+                    "shed with well_formed_vectors(dim=...)"
+                )
+            if acc is None:
+                acc = np.zeros((len(b_ids), mat.shape[1]))
+            norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+            best_sim = np.full(len(mat), -np.inf)
+            best_idx = np.zeros(len(mat), np.int64)
+            for c0 in range(0, len(b_ids), block):
+                sims = (mat @ b_mat[c0 : c0 + block].T) / np.outer(
+                    norms, b_norms[c0 : c0 + block]
+                )
+                arg = np.argmax(sims, axis=1)
+                s = sims[np.arange(len(mat)), arg]
+                upd = s > best_sim
+                best_sim[upd] = s[upd]
+                best_idx[upd] = c0 + arg[upd]
+            np.add.at(acc, best_idx, mat)
+            cnt += np.bincount(best_idx, minlength=len(b_ids))
+        if acc is None:
+            return
+        touched = np.nonzero(cnt)[0]
+        if len(touched) == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "cell": b_ids[touched],
+                "part": [
+                    np.append(acc[i], float(cnt[i])) for i in touched
+                ],
+            }
+        )
+
+    return vecs.mapInPandas(partial, schema=out_schema)
 
 
 def assign_cells_fold(

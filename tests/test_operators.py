@@ -515,6 +515,52 @@ def test_assign_cells_gemm_matches_fold(spark):
         assert set(cells.values()) == {3}, fn.__name__
 
 
+def test_kmeans_partial_means_match_numpy_lloyd(spark):
+    """The round-11 partial-sum Lloyd loop (per-task (cell -> sums,
+    count) partials instead of an n x dim posexplode per round) must
+    produce the same centroids as a straight numpy Lloyd with the same
+    stride init, cosine metric, and first-max tie-break — to float-sum
+    tolerance (the partial tree changes summation order vs a flat sum,
+    so exact-zero delta is not required, 1e-9 is)."""
+    import numpy as np
+
+    emb = similarity.well_formed_vectors(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        "embedding",
+        64,
+    )
+    rows = sorted(
+        (r.nid, np.asarray(r["__v"], np.float64))
+        for r in similarity.canonical_vectors(emb, "vec_id", "embedding")
+        .selectExpr("nid", "transform(__v, x -> cast(x as double)) as __v")
+        .collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    X = np.stack([r[1] for r in rows])
+    stride = similarity.adaptive_centroid_stride(len(rows))
+    cid_arr = ids[ids % stride == 0]
+    C = X[np.isin(ids, cid_arr)].copy()
+    for _ in range(3):
+        sims = (X @ C.T) / np.outer(
+            np.maximum(np.linalg.norm(X, axis=1), 1e-12),
+            np.maximum(np.linalg.norm(C, axis=1), 1e-12),
+        )
+        a = np.argmax(sims, axis=1)
+        keep = np.unique(a)
+        C = np.stack([X[a == i].sum(axis=0) / (a == i).sum() for i in keep])
+        cid_arr = cid_arr[keep]
+    got = sorted(
+        (r.cid, np.asarray(r["__cent"]))
+        for r in similarity.kmeans_centroids(
+            emb, "vec_id", "embedding", iters=3
+        ).collect()
+    )
+    assert [g[0] for g in got] == sorted(cid_arr.tolist())
+    ref = C[np.argsort(cid_arr)]
+    for i, (_, vec) in enumerate(got):
+        assert np.abs(vec - ref[i]).max() < 1e-9
+
+
 def test_assign_cells_gemm_raises_on_non_finite(spark):
     """A NaN component that slips past shedding must FAIL LOUDLY in the
     GEMM kernel (advisor r10: `NaN > best_sim` is False for every block,
