@@ -617,6 +617,92 @@ def well_formed_sql(vec_col: str, dim: int) -> str:
     )
 
 
+#: float32-screen margin for the tiled pair verifies: a conservative
+#: bound on |cos32 - cos64| (~dim * 2^-24 ≈ 4e-6 at dim 64, from the
+#: float32 cast + sgemm accumulation of unit-scale cosines) plus the
+#: 4-decimal rounding window (5e-5), with ~20x slack on top. Any pair
+#: whose float64 cosine could round to >= threshold clears
+#: threshold - margin in float32 by construction.
+SCREEN_MARGIN = 1e-3
+
+#: Below this threshold the screen would keep nearly everything and the
+#: per-pair float64 re-score (elementwise, ~3x slower per FLOP than
+#: dgemm) would dominate — fall back to the plain float64 GEMM there.
+SCREEN_MIN_THRESHOLD = 0.05
+
+#: Id-range width of the SHIPPED pair-space unit for the tile/block
+#: self-joins (cosine_pairs tiles, SemDeDup cell blocks). The join
+#: duplicates each unit once per partner unit, so shuffle volume is
+#: ~ group_size / SHIP_TILE copies of the group — at the x100 probe
+#: point the former COSINE_TILE-sized shipping put ~35 GB through the
+#: verify exchange (measured as the stage's dominant cost; the GEMM
+#: itself is ~3 s of sgemm). Shipping 8x wider cuts the duplication
+#: factor 8x while the GEMM inside each task still runs in
+#: COSINE_TILE-sized sub-tiles, so per-task memory stays two shipped
+#: units (2 x SHIP_TILE x dim doubles, ~8 MB at dim 64) plus one
+#: COSINE_TILE^2 float32 screen matrix (~4 MB) — never SHIP_TILE^2.
+COSINE_SHIP_TILE = 8192
+
+
+def _make_screened_tile_sims(margin=SCREEN_MARGIN, min_thr=SCREEN_MIN_THRESHOLD):
+    """Factory for the shared inner kernel of the three tiled pair
+    verifies (``cosine_pairs`` tiles, LSH bucket sub-tiles, SemDeDup
+    cell blocks). A factory on purpose: the kernel is referenced from
+    mapInPandas/applyInPandas closures, and a plain module-level
+    function would cloudpickle BY REFERENCE — requiring every Python
+    worker to import ``polario_spark``, which only holds when the
+    driver's sys.path happens to reach the workers. A factory-made
+    nested function pickles BY VALUE (its qualname is not importable),
+    with ``margin``/``min_thr`` frozen into the defaults, so the
+    closures stay self-contained the way the existing kernels are.
+    """
+
+    def screened(mat_a, na, mat_b, nb, thr, mat_a32, mat_b32):
+        """All pairs with ``round(cosine_float64, 4) >= thr`` as
+        ``(ia, ib, sim)`` index arrays into the given blocks.
+
+        Screen-then-rescore: the full pair matrix is computed ONCE in
+        float32 (half the GEMM cost and memory of the former float64
+        matrix, and no full-matrix round pass), every pair clearing
+        ``thr - margin`` is re-scored from the float64 inputs, and only
+        those survivors are thresholded at ``thr``. The margin
+        dominates the float32 error bound by ~20x (see SCREEN_MARGIN),
+        so no qualifying pair can be lost; for the thresholds the
+        operators use (0.35+) random-geometry candidates are a
+        sub-percent slice, so the re-score is O(survivors x dim),
+        never a second full GEMM.
+
+        The survivor re-score sums elementwise products (numpy pairwise
+        summation) where the former path read the dgemm cell — a ~1 ulp
+        summation-order difference of exactly the class the 4-decimal
+        round already absorbs between Spark and the DuckDB oracle's own
+        fold order (see the DETERMINISM notes); values are otherwise
+        the same float64 arithmetic on the same bytes.
+        """
+        import numpy as np
+
+        if thr < min_thr:
+            sim = np.round((mat_a @ mat_b.T) / np.outer(na, nb), 4)
+            ia, ib = np.nonzero(sim >= thr)
+            return ia, ib, sim[ia, ib]
+        scr = (mat_a32 @ mat_b32.T) / np.outer(
+            na.astype(np.float32), nb.astype(np.float32)
+        )
+        ia, ib = np.nonzero(scr >= np.float32(thr - margin))
+        if len(ia) == 0:
+            return ia, ib, np.empty(0)
+        sim = np.round(
+            (mat_a[ia] * mat_b[ib]).sum(axis=1) / (na[ia] * nb[ib]), 4
+        )
+        m = sim >= thr
+        return ia[m], ib[m], sim[m]
+
+    return screened
+
+
+_screened_tile_sims = _make_screened_tile_sims()
+
+
 def cosine_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -633,15 +719,15 @@ def cosine_pairs(
     then verify); use this path for oracle baselines and small corpora.
 
     Executed as TILED distributed GEMM — the shape that survives scale-up:
-    the corpus is cut into id-range tiles of ``COSINE_TILE`` vectors, each
-    tile aggregated into one row holding its (ids, matrix, norms); the
-    upper triangle of tile pairs is a self-join, and each tile pair
-    computes its full cosine submatrix with one vectorized numpy matmul
-    inside mapInPandas (Arrow-batched, BLAS-backed). Work per task is one
-    T x T x dim matmul; shuffle volume is tile matrices (linear in the
-    corpus), never the O(n^2) pair stream; no driver-side collect
-    anywhere. At 100 TB the same plan holds — tiles partition across
-    executors and only the surviving pairs (>= threshold) materialize.
+    the corpus is cut into id-range units of ``COSINE_SHIP_TILE`` vectors
+    (flat ids + row-major matrix per unit), the upper triangle of unit
+    pairs is a self-join, and each unit pair walks ``COSINE_TILE``-sized
+    GEMM sub-tiles through the screened kernel inside mapInPandas
+    (Arrow-batched, BLAS-backed). Shuffle volume is n/SHIP copies of the
+    corpus (the join re-ships every unit once per partner — the term the
+    SHIP width controls), never the O(n^2) pair stream; task memory is
+    two units plus one sub-tile matrix; no driver-side collect anywhere.
+    Only the surviving pairs (>= threshold) materialize.
 
     For corpora too large even for tiled n^2, cut the pair space first
     with LSH bucketing (random-hyperplane, see ivf_topk's cell
@@ -651,7 +737,11 @@ def cosine_pairs(
     # corpus dimensionality to shed malformed rows — see well_formed_vectors
     if dim is not None:
         corpus = well_formed_vectors(corpus, vec_col, dim)
-    tile = F.floor(F.col("__id") / COSINE_TILE).alias("__tile")
+    # flat primitive shipping + SHIP-sized units with COSINE_TILE GEMM
+    # sub-tiling, same rationale as semdedup_dropped's blocks: the
+    # self-join re-ships every unit once per partner, so unit width sets
+    # the shuffle amplification while the sub-loop bounds task memory
+    tile = F.floor(F.col("__id") / COSINE_SHIP_TILE).alias("__tile")
     base = (
         ensure_parallelism(corpus)
         .select(
@@ -660,15 +750,28 @@ def cosine_pairs(
         )
         .withColumn("__tile", tile)
         .groupBy("__tile")
+        # sort_array by id: the diagonal-pair skip below needs both join
+        # sides to decode a tile in the SAME element order
         .agg(
-            F.collect_list(F.struct("__id", "__v")).alias("__rows"),
+            F.array_sort(
+                F.collect_list(F.struct("__id", "__v"))
+            ).alias("__rows"),
+        )
+        .select(
+            "__tile",
+            F.expr("transform(__rows, r -> r.__id)").alias("__ids"),
+            F.expr("flatten(transform(__rows, r -> r.__v))").alias("__flat"),
         )
     )
     a = base.select(
-        F.col("__tile").alias("ta"), F.col("__rows").alias("rows_a")
+        F.col("__tile").alias("ta"),
+        F.col("__ids").alias("ids_a"),
+        F.col("__flat").alias("flat_a"),
     )
     b = base.select(
-        F.col("__tile").alias("tb"), F.col("__rows").alias("rows_b")
+        F.col("__tile").alias("tb"),
+        F.col("__ids").alias("ids_b"),
+        F.col("__flat").alias("flat_b"),
     )
     pairs = a.join(b, F.col("ta") <= F.col("tb"))
 
@@ -676,27 +779,41 @@ def cosine_pairs(
         import numpy as np
         import pandas as pd
 
+        def decode(ids_raw, flat_raw):
+            ids = np.asarray(ids_raw, np.int64)
+            flat = np.asarray(flat_raw, np.float64)
+            mat = (
+                flat.reshape(len(ids), -1)
+                if flat.size
+                else np.zeros((len(ids), 0))
+            )
+            # zero-norm clamp, same rationale as bucket_pairs: zero
+            # vectors score 0 (never pair) instead of NaN
+            norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+            return ids, mat, norms, mat.astype(np.float32)
+
+        T = COSINE_TILE
         for pdf in batches:
             out_a, out_b, out_s = [], [], []
-            for rows_a, rows_b, ta, tb in zip(
-                pdf["rows_a"], pdf["rows_b"], pdf["ta"], pdf["tb"]
+            for same, ids_ra, flat_ra, ids_rb, flat_rb in zip(
+                pdf["ta"] == pdf["tb"],
+                pdf["ids_a"], pdf["flat_a"], pdf["ids_b"], pdf["flat_b"],
             ):
-                ids_a = np.array([r["__id"] for r in rows_a])
-                mat_a = np.stack([np.asarray(r["__v"]) for r in rows_a])
-                ids_b = np.array([r["__id"] for r in rows_b])
-                mat_b = np.stack([np.asarray(r["__v"]) for r in rows_b])
-                # zero-norm clamp, same rationale as bucket_pairs: zero
-                # vectors score 0 (never pair) instead of NaN
-                na = np.maximum(np.sqrt((mat_a * mat_a).sum(axis=1)), 1e-12)
-                nb = np.maximum(np.sqrt((mat_b * mat_b).sum(axis=1)), 1e-12)
-                sim = np.round(
-                    (mat_a @ mat_b.T) / np.outer(na, nb), 4
-                )
-                ia, ib = np.nonzero(sim >= threshold)
-                keep = ids_a[ia] < ids_b[ib]
-                out_a.append(ids_a[ia][keep])
-                out_b.append(ids_b[ib][keep])
-                out_s.append(sim[ia, ib][keep])
+                ids_a, mat_a, na, mat_a32 = decode(ids_ra, flat_ra)
+                ids_b, mat_b, nb, mat_b32 = decode(ids_rb, flat_rb)
+                for i0 in range(0, len(ids_a), T):
+                    i1 = i0 + T
+                    for j0 in range(i0 if same else 0, len(ids_b), T):
+                        j1 = j0 + T
+                        ia, ib, sim = _screened_tile_sims(
+                            mat_a[i0:i1], na[i0:i1],
+                            mat_b[j0:j1], nb[j0:j1], threshold,
+                            mat_a32[i0:i1], mat_b32[j0:j1],
+                        )
+                        keep = ids_a[i0:i1][ia] < ids_b[j0:j1][ib]
+                        out_a.append(ids_a[i0:i1][ia][keep])
+                        out_b.append(ids_b[j0:j1][ib][keep])
+                        out_s.append(sim[keep])
             if out_a:
                 yield pd.DataFrame(
                     {
@@ -886,21 +1003,21 @@ def cosine_pairs_bucketed(
         norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
         # Cap the verify GEMM per degenerate bucket: sub-tile at
         # COSINE_TILE so peak memory is one T x T block + the bucket's
-        # vectors, never the bucket-squared matrix. Same arithmetic as
-        # the untiled version ((a . b) / (|a||b|), rounded at 4), so
-        # oracle values are bit-identical.
+        # vectors, never the bucket-squared matrix. Scoring is the
+        # shared screened kernel ((a . b) / (|a||b|), rounded at 4 —
+        # see _screened_tile_sims for the float32-screen rationale and
+        # the ulp class the round absorbs).
         out = []
         n = len(ids)
+        mat32 = mat.astype(np.float32)
         for i0 in range(0, n, COSINE_TILE):
             i1 = min(i0 + COSINE_TILE, n)
             for j0 in range(i0, n, COSINE_TILE):
                 j1 = min(j0 + COSINE_TILE, n)
-                sim = np.round(
-                    (mat[i0:i1] @ mat[j0:j1].T)
-                    / np.outer(norms[i0:i1], norms[j0:j1]),
-                    4,
+                ia, ib, sim = _screened_tile_sims(
+                    mat[i0:i1], norms[i0:i1], mat[j0:j1], norms[j0:j1],
+                    threshold, mat32[i0:i1], mat32[j0:j1],
                 )
-                ia, ib = np.nonzero(sim >= threshold)
                 keep = ids[i0:i1][ia] < ids[j0:j1][ib]
                 if keep.any():
                     out.append(
@@ -908,7 +1025,7 @@ def cosine_pairs_bucketed(
                             {
                                 "id_a": ids[i0:i1][ia][keep],
                                 "id_b": ids[j0:j1][ib][keep],
-                                "sim": sim[ia, ib][keep],
+                                "sim": sim[keep],
                             }
                         )
                     )
@@ -1757,17 +1874,17 @@ def semdedup_dropped(
     broadcast, corpus never shuffled, one argmax row per vector); the
     only shuffle co-locates each cluster — but keyed on (cell, block),
     not cell alone: every cell is sub-split into id-range BLOCKS of at
-    most ``COSINE_TILE`` vectors (``nid // COSINE_TILE`` caps a block at
-    COSINE_TILE distinct ids), each block aggregated into one bounded
-    (ids, vectors) row, and the cell's pair space covered by the upper
-    triangle of block pairs via a self-join on cell — the same tile-join
-    shape as ``cosine_pairs``. Each task therefore holds at most TWO
-    blocks plus their COSINE_TILE^2 sim submatrix no matter how the
-    embedding geometry clusters, so a degenerate giant cell (one
-    dominant boilerplate cluster — the thing a crawl corpus actually
-    produces, and which no probabilistic bucket-size argument bounds the
-    way bits-per-band bounds LSH buckets) costs more TASKS, never more
-    memory per task. A mega-cell's block pairs do concentrate in that
+    most ``COSINE_SHIP_TILE`` vectors, each block aggregated into one
+    bounded (ids, flat matrix) row, and the cell's pair space covered by
+    the upper triangle of block pairs via a self-join on cell — the same
+    tile-join shape as ``cosine_pairs``, with the GEMM walking
+    ``COSINE_TILE``-sized sub-tiles inside each task. Each task
+    therefore holds at most TWO shipped blocks plus one COSINE_TILE^2
+    sim submatrix no matter how the embedding geometry clusters, so a
+    degenerate giant cell (one dominant boilerplate cluster — the thing
+    a crawl corpus actually produces, and which no probabilistic
+    bucket-size argument bounds the way bits-per-band bounds LSH
+    buckets) costs more TASKS, never more memory per task. A mega-cell's block pairs do concentrate in that
     cell's join partition; the session enables AQE skew-join splitting,
     which subdivides an oversized partition at runtime, so the extra
     tasks actually spread across executors instead of serializing in
@@ -1784,23 +1901,47 @@ def semdedup_dropped(
         corpus = well_formed_vectors(corpus, vec_col, dim)
     if assigned is None:
         assigned = assign_cells(corpus, id_col, vec_col, centroids)
+    # Blocks ship as FLAT PRIMITIVE ARRAYS (ids + row-major flattened
+    # matrix), split out of the collect_list JVM-side — Arrow hands the
+    # Python side two contiguous buffers per block instead of one dict
+    # per vector — and the SHIPPED unit is COSINE_SHIP_TILE wide while
+    # the GEMM inside each task sub-tiles at COSINE_TILE: the join
+    # re-ships every block once per partner block, and that shuffle
+    # amplification (not the GEMM — ~3 s of sgemm at the x100 point)
+    # measured as the verify's dominant cost with COSINE_TILE-sized
+    # shipping. float32 -> float64 stays exact, matching the oracle's
+    # ::DOUBLE[] cast.
     base = (
         assigned.select(
             "cell",
-            F.floor(F.col("nid") / COSINE_TILE).alias("__blk"),
+            F.floor(F.col("nid") / COSINE_SHIP_TILE).alias("__blk"),
             "nid",
             "__v",
         )
         .groupBy("cell", "__blk")
-        .agg(F.collect_list(F.struct("nid", "__v")).alias("__rows"))
+        # sort_array by nid: the diagonal-super-pair skip in pair_block
+        # assumes both join sides decode a (cell, blk) group in the SAME
+        # element order, and collect_list alone does not promise that
+        # across the join's two executions of this subplan
+        .agg(F.array_sort(F.collect_list(F.struct("nid", "__v"))).alias("__rows"))
+        .select(
+            "cell",
+            "__blk",
+            F.expr("transform(__rows, r -> r.nid)").alias("__ids"),
+            F.expr("flatten(transform(__rows, r -> r.__v))").alias("__flat"),
+        )
     )
     a = base.select(
-        "cell", F.col("__blk").alias("ba"), F.col("__rows").alias("rows_a")
+        "cell",
+        F.col("__blk").alias("ba"),
+        F.col("__ids").alias("ids_a"),
+        F.col("__flat").alias("flat_a"),
     )
     b = base.select(
         F.col("cell").alias("cell_b"),
         F.col("__blk").alias("bb"),
-        F.col("__rows").alias("rows_b"),
+        F.col("__ids").alias("ids_b"),
+        F.col("__flat").alias("flat_b"),
     )
     block_pairs = a.join(
         b, (F.col("cell") == F.col("cell_b")) & (F.col("ba") <= F.col("bb"))
@@ -1810,42 +1951,59 @@ def semdedup_dropped(
         import numpy as np
         import pandas as pd
 
+        def decode(ids_raw, flat_raw):
+            ids = np.asarray(ids_raw, np.int64)
+            flat = np.asarray(flat_raw, np.float64)
+            # a 0-dim corpus degenerates to (n, 0): dots are 0 -> cosine
+            # 0 under the zero-norm clamp (never pairs), same contract
+            # as the former per-row np.stack shape
+            mat = (
+                flat.reshape(len(ids), -1)
+                if flat.size
+                else np.zeros((len(ids), 0))
+            )
+            norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+            return ids, mat, norms, mat.astype(np.float32)
+
+        T = COSINE_TILE
         for pdf in batches:
             out = []
-            for cell, rows_a, rows_b in zip(
-                pdf["cell"], pdf["rows_a"], pdf["rows_b"]
+            for cell, same, ids_ra, flat_ra, ids_rb, flat_rb in zip(
+                pdf["cell"], pdf["ba"] == pdf["bb"],
+                pdf["ids_a"], pdf["flat_a"],
+                pdf["ids_b"], pdf["flat_b"],
             ):
-                ids_a = np.array([r["nid"] for r in rows_a], np.int64)
-                ids_b = np.array([r["nid"] for r in rows_b], np.int64)
-                # float32 -> float64 is exact, matching the oracle's
-                # ::DOUBLE[] cast; the GEMM runs in float64 like the LSH
-                # verify path
-                mat_a = np.stack(
-                    [np.asarray(r["__v"]) for r in rows_a]
-                ).astype(np.float64)
-                mat_b = np.stack(
-                    [np.asarray(r["__v"]) for r in rows_b]
-                ).astype(np.float64)
-                # zero-norm clamp, same rationale as the LSH bucket
-                # verify: an all-zero embedding scores 0 (never pairs)
-                na = np.maximum(np.sqrt((mat_a * mat_a).sum(axis=1)), 1e-12)
-                nb = np.maximum(np.sqrt((mat_b * mat_b).sum(axis=1)), 1e-12)
-                sim = np.round((mat_a @ mat_b.T) / np.outer(na, nb), 4)
-                ia, ib = np.nonzero(sim >= eps)
-                keep = ids_a[ia] < ids_b[ib]
-                if keep.any():
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "cell": np.full(
-                                    int(keep.sum()), np.int64(cell)
-                                ),
-                                "id_a": ids_a[ia][keep],
-                                "id_b": ids_b[ib][keep],
-                                "sim": sim[ia, ib][keep],
-                            }
+                ids_a, mat_a, na, mat_a32 = decode(ids_ra, flat_ra)
+                ids_b, mat_b, nb, mat_b32 = decode(ids_rb, flat_rb)
+                # sub-tile the pair space so the screen matrix is
+                # bounded at T^2 however wide the shipped unit is; on
+                # the diagonal super-pair (same shipped unit both
+                # sides) only the upper sub-triangle is scored — the
+                # id_a < id_b filter covers the sub-diagonal exactly as
+                # it did for whole-block pairs
+                for i0 in range(0, len(ids_a), T):
+                    i1 = i0 + T
+                    for j0 in range(i0 if same else 0, len(ids_b), T):
+                        j1 = j0 + T
+                        ia, ib, sim = _screened_tile_sims(
+                            mat_a[i0:i1], na[i0:i1],
+                            mat_b[j0:j1], nb[j0:j1], eps,
+                            mat_a32[i0:i1], mat_b32[j0:j1],
                         )
-                    )
+                        keep = ids_a[i0:i1][ia] < ids_b[j0:j1][ib]
+                        if keep.any():
+                            out.append(
+                                pd.DataFrame(
+                                    {
+                                        "cell": np.full(
+                                            int(keep.sum()), np.int64(cell)
+                                        ),
+                                        "id_a": ids_a[i0:i1][ia][keep],
+                                        "id_b": ids_b[j0:j1][ib][keep],
+                                        "sim": sim[keep],
+                                    }
+                                )
+                            )
             if out:
                 yield pd.concat(out, ignore_index=True)
 

@@ -672,10 +672,15 @@ def test_semdedup_block_split_matches_unsplit(spark, monkeypatch):
             ).collect()
         )
 
-    unsplit = run()  # COSINE_TILE=1024 >> n: one block, one diagonal pair
+    unsplit = run()  # SHIP/GEMM tiles >> n: one block, one diagonal pair
     monkeypatch.setattr(similarity, "COSINE_TILE", 8)
-    split = run()  # 6 blocks -> 21 block pairs covering the same cell
+    split = run()  # one shipped unit, 6 GEMM sub-tiles (round-11 shape)
     assert split == unsplit
+    # shrink the SHIPPED unit too: 3 shipped blocks x sub-tiling, which
+    # exercises the diagonal-super-pair skip and the cross-unit pairs
+    monkeypatch.setattr(similarity, "COSINE_SHIP_TILE", 16)
+    split_shipped = run()
+    assert split_shipped == unsplit
     # numpy brute force over the float32-stored vectors
     mat = np.stack([np.asarray(v, np.float32) for v in vecs]).astype(np.float64)
     norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
