@@ -561,6 +561,42 @@ def test_kmeans_partial_means_match_numpy_lloyd(spark):
         assert np.abs(vec - ref[i]).max() < 1e-9
 
 
+def test_kmeans_partial_means_degenerate_geometries(spark):
+    """Degenerate shapes for the round-11 partial-sum Lloyd loop: every
+    vector in ONE cell (single centroid survives with the global mean),
+    and a corpus smaller than the stride (init falls back to whatever
+    ids hit stride 1). Means must equal plain numpy averages of the
+    members in both cases."""
+    import numpy as np
+
+    # all 9 vectors point the same general direction -> one centroid,
+    # one cell, mean = global mean
+    rows = [(i, [1.0, 0.1 * i, -0.5]) for i in range(9)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=2)
+    got = {r.cid: np.asarray(r["__cent"]) for r in cent.collect()}
+    X = np.stack(
+        [np.asarray(v, np.float32).astype(np.float64) for _, v in rows]
+    )
+    # same stride init the engine uses, then a literal numpy Lloyd
+    stride = similarity.adaptive_centroid_stride(len(rows))
+    cid_arr = np.array([i for i, _ in rows if i % stride == 0])
+    C = X[[i for i, _ in rows if i % stride == 0]].copy()
+    for _ in range(2):
+        sims = (X @ C.T) / np.outer(
+            np.maximum(np.linalg.norm(X, axis=1), 1e-12),
+            np.maximum(np.linalg.norm(C, axis=1), 1e-12),
+        )
+        a = np.argmax(sims, axis=1)
+        keep = np.unique(a)
+        C = np.stack([X[a == i].sum(axis=0) / (a == i).sum() for i in keep])
+        cid_arr = cid_arr[keep]
+    assert sorted(got) == sorted(cid_arr.tolist())
+    for i, cid in enumerate(np.sort(cid_arr)):
+        ref = C[np.argsort(cid_arr)][i]
+        assert np.abs(got[cid] - ref).max() < 1e-9
+
+
 def test_assign_cells_gemm_raises_on_non_finite(spark):
     """A NaN component that slips past shedding must FAIL LOUDLY in the
     GEMM kernel (advisor r10: `NaN > best_sim` is False for every block,
