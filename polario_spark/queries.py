@@ -5195,14 +5195,20 @@ _PRIORITY = [
     # Round-11 code changes under these entries (kept small per the r7
     # ruling so the stalest-green rotation keeps refreshing the r8 rows
     # — the r10 verdict's staleness target):
-    #   - GEMM kernel hardening (non-finite inputs raise instead of
-    #     emitting uninitialized cells; best_cell pre-filled; Lloyd-round
-    #     broadcasts released eagerly): outputs identical for well-formed
-    #     corpora — the registry sheds first — but the kernel bytes
-    #     changed, so re-verify the three IVF-family consumers
+    #   - GEMM kernel hardening (non-finite raises; best_cell
+    #     pre-filled; Lloyd broadcasts released eagerly), the
+    #     partial-sum Lloyd loop (mean summation order changed — the
+    #     materialized centroid/assignment bytes shift in ulps), and
+    #     the pair-verify rework (float32 screen + float64 re-score,
+    #     flat block shipping, COSINE_SHIP_TILE units): re-verify every
+    #     consumer of assign_cells / kmeans_centroids / cosine_pairs /
+    #     cosine_pairs_bucketed / semdedup_dropped
     "semantic_dedup",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_loose",
 ]
 
 
