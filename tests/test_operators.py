@@ -732,6 +732,49 @@ def test_semdedup_block_split_matches_unsplit(spark, monkeypatch):
     assert all(r[0] < n for r in split), "zero vectors must never pair"
 
 
+def test_semdedup_negative_and_sparse_ids(spark):
+    """Adversarial id geometry for the shipped-block self-join: negative
+    ids (floor-division block keys go negative), ids straddling
+    COSINE_SHIP_TILE boundaries, and huge gaps. Every id-keyed step —
+    block assignment, the diagonal-super-pair skip, the id_a < id_b
+    orientation — must match a numpy brute force."""
+    import numpy as np
+
+    dim = 6
+    ids = [-20000, -8193, -8192, -1, 0, 1, 8191, 8192, 123456789]
+    rng_vecs = []
+    for j, i in enumerate(ids):
+        t = j / (len(ids) - 1)
+        rng_vecs.append([1.0 - t, t] + [0.05 * ((j % 3) - 1)] * (dim - 2))
+    emb = spark.createDataFrame(
+        list(zip(ids, rng_vecs)), "vec_id long, embedding array<float>"
+    )
+    cent = spark.createDataFrame(
+        [(3, [1.0] + [0.0] * (dim - 1))], "cid long, __cent array<double>"
+    )
+    eps = 0.9
+    got = sorted(
+        (r.vec_id, r.n_dups, round(r.max_sim, 4))
+        for r in similarity.semdedup_dropped(
+            emb, "vec_id", "embedding", eps, centroids=cent
+        ).collect()
+    )
+    mat = np.stack(
+        [np.asarray(v, np.float32) for v in rng_vecs]
+    ).astype(np.float64)
+    norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+    sim = np.round((mat @ mat.T) / np.outer(norms, norms), 4)
+    expect = {}
+    for ai in range(len(ids)):
+        for bi in range(len(ids)):
+            if ids[ai] < ids[bi] and sim[ai, bi] >= eps:
+                cnt, mx = expect.get(ids[bi], (0, -2.0))
+                expect[ids[bi]] = (cnt + 1, max(mx, sim[ai, bi]))
+    expected = sorted((b, c, round(m, 4)) for b, (c, m) in expect.items())
+    assert got == expected
+    assert len(got) > 0, "fixture must produce drops"
+
+
 def test_bucketed_join_metastore_hygiene(spark):
     """bucketed_join must not accumulate bjoin_* databases (round-8 fix):
     databases created by THIS process stay registered until atexit (their
