@@ -451,3 +451,61 @@ def test_minhash_cap_preserves_components_end_to_end(spark, sizes):
         }
 
     assert spark_cc(cap_pairs) == spark_cc(full_pairs)
+
+
+vec_tiles = st.integers(min_value=0, max_value=2**31 - 1)
+
+
+@given(seed=vec_tiles)
+@settings(max_examples=40, deadline=None)
+def test_screened_kernel_matches_plain_float64(seed):
+    """The float32-screened pair kernel (round 11) must emit EXACTLY the
+    pairs and sims of the plain float64 round-then-threshold path for
+    arbitrary tile contents — the screen may only skip pairs that cannot
+    reach the threshold. The fixture mixes random geometry with
+    engineered near-threshold pairs (cosines landing within 1e-4 of the
+    threshold, the knife-edge the margin must protect) and zero vectors
+    (norm-clamp path)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    na_, nb_, dim = rng.integers(1, 60), rng.integers(1, 60), 8
+    thr = float(rng.choice([0.35, 0.4, 0.45, 0.5, 0.9]))
+    A = rng.standard_normal((na_, dim))
+    B = rng.standard_normal((nb_, dim))
+    # engineered knife-edge rows: B row = rotate(A row) at angle
+    # acos(thr +/- tiny), so cosines land within ~1e-4 of thr
+    if na_ >= 2 and nb_ >= 2:
+        for k, delta in enumerate((-1e-4, 0.0, 1e-4)):
+            i = int(rng.integers(0, na_))
+            a = A[i] / np.linalg.norm(A[i])
+            # orthogonal complement direction
+            r = rng.standard_normal(dim)
+            r -= (r @ a) * a
+            nr = np.linalg.norm(r)
+            if nr < 1e-9:
+                continue
+            r /= nr
+            c = min(1.0, max(-1.0, thr + delta))
+            B[k % nb_] = c * a + np.sqrt(max(0.0, 1.0 - c * c)) * r
+    # zero vectors exercise the clamp
+    A[0] = 0.0
+    if nb_ >= 3:
+        B[2] = 0.0
+    na = np.maximum(np.sqrt((A * A).sum(axis=1)), 1e-12)
+    nb = np.maximum(np.sqrt((B * B).sum(axis=1)), 1e-12)
+
+    sim_plain = np.round((A @ B.T) / np.outer(na, nb), 4)
+    ia_p, ib_p = np.nonzero(sim_plain >= thr)
+    plain = sorted(zip(ia_p, ib_p, sim_plain[ia_p, ib_p]))
+
+    ia, ib, sim = similarity._screened_tile_sims(
+        A, na, B, nb, thr, A.astype(np.float32), B.astype(np.float32)
+    )
+    got = sorted(zip(ia, ib, sim))
+    # identical pair SET; sims may differ by the documented ~1 ulp
+    # summation-order class, which the 4-decimal round absorbs except
+    # exactly ON a rounding boundary — compare at 4 decimals
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in plain]
+    for (_, _, s1), (_, _, s2) in zip(got, plain):
+        assert abs(s1 - s2) <= 1e-4 + 1e-12
