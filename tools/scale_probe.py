@@ -332,8 +332,21 @@ def _child() -> None:
         spark.range(64).mapInPandas(lambda it: it, schema="id long").collect()
     except Exception:
         pass
+    # bench.py's fixed calibration workload, ONCE PER ENTRY (bracketing
+    # the runs): round 11 lost three probe rounds to background machine
+    # load that in-child min-of-2 cannot detect (both reps share the
+    # load) — a drifting __calib__ series is the in-artifact tripwire
+    # that a probe number was taken on a loaded machine and must be
+    # re-run before being believed.
+    def calib() -> float:
+        start = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 3 + 1)", "avg(id % 7)"
+        ).collect()
+        return round(time.perf_counter() - start, 3)
+
     queries = entry_mod.queries()
-    times: dict[str, list[float]] = {}
+    times: dict[str, list[float]] = {"__calib__": [calib()]}
     for name in names:
         runs: list[float] = []
         for _ in range(2):
@@ -347,9 +360,11 @@ def _child() -> None:
                 break
             release_cached_residue(spark)
         times[name] = runs
+        times["__calib__"].append(calib())
         ok = [t for t in runs if t >= 0]
         print(
-            f"x{factor} {name}: {min(ok) if ok else 'ERR'}",
+            f"x{factor} {name}: {min(ok) if ok else 'ERR'} "
+            f"(calib {times['__calib__'][-1]})",
             file=sys.stderr,
         )
         json.dump(times, open(out_path, "w"))  # checkpoint per query
@@ -375,6 +390,17 @@ def report(all_times: dict[int, dict[str, list[float]]], queries: list[str]) -> 
                 row += f"  {alpha:.2f}"
         results[name] = {"mins": {str(k): v for k, v in mins.items()}, "alpha_last": alpha}
         print(row)
+    # per-factor calibration series (one sample bracketing each entry):
+    # a drifting series flags a loaded machine — re-run before believing
+    # any regression in that factor's numbers
+    calibs = {
+        str(f): all_times.get(f, {}).get("__calib__")
+        for f in factors
+        if all_times.get(f, {}).get("__calib__")
+    }
+    if calibs:
+        results["__calib__"] = calibs
+        print("calib per factor:", calibs)
     json.dump(results, open(f"{OUT}/results.json", "w"), indent=1)
     print(f"\nfull results -> {OUT}/results.json")
     _emit_artifact({"mode": "run", "factors": factors, "results": results})
