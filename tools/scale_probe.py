@@ -346,13 +346,19 @@ def _child() -> None:
         return round(time.perf_counter() - start, 3)
 
     queries = entry_mod.queries()
-    times: dict[str, list[float]] = {"__calib__": [calib()]}
+    times: dict = {"__calib__": [calib()], "__rows__": {}}
     for name in names:
         runs: list[float] = []
         for _ in range(2):
             start = time.perf_counter()
             try:
-                queries[name](spark, sf_dir).collect()
+                # rows_out rides the artifact: an entry whose output
+                # grows with the corpus (LSH pair streams) has its wall
+                # time dominated by driver-side collect, and the row
+                # count is what makes that attribution checkable
+                times["__rows__"][name] = len(
+                    queries[name](spark, sf_dir).collect()
+                )
                 runs.append(round(time.perf_counter() - start, 3))
             except Exception as exc:
                 print(f"ERROR x{factor} {name}: {exc}", file=sys.stderr)
@@ -364,7 +370,8 @@ def _child() -> None:
         ok = [t for t in runs if t >= 0]
         print(
             f"x{factor} {name}: {min(ok) if ok else 'ERR'} "
-            f"(calib {times['__calib__'][-1]})",
+            f"(calib {times['__calib__'][-1]}, "
+            f"rows {times['__rows__'].get(name)})",
             file=sys.stderr,
         )
         json.dump(times, open(out_path, "w"))  # checkpoint per query
@@ -388,7 +395,16 @@ def report(all_times: dict[int, dict[str, list[float]]], queries: list[str]) -> 
             if mins.get(f1) and mins.get(f2):
                 alpha = math.log(mins[f2] / mins[f1]) / math.log(f2 / f1)
                 row += f"  {alpha:.2f}"
-        results[name] = {"mins": {str(k): v for k, v in mins.items()}, "alpha_last": alpha}
+        rows_out = {
+            str(f): all_times.get(f, {}).get("__rows__", {}).get(name)
+            for f in factors
+            if all_times.get(f, {}).get("__rows__", {}).get(name) is not None
+        }
+        results[name] = {
+            "mins": {str(k): v for k, v in mins.items()},
+            "alpha_last": alpha,
+            **({"rows_out": rows_out} if rows_out else {}),
+        }
         print(row)
     # per-factor calibration series (one sample bracketing each entry):
     # a drifting series flags a loaded machine — re-run before believing
