@@ -378,6 +378,53 @@ def _child() -> None:
     spark.stop()
 
 
+def derive_cost_shape(entry: dict) -> dict:
+    """Derived metrics that make an exponent self-explaining in-artifact.
+
+    A wall-clock alpha alone cannot distinguish the two ways an entry can
+    be superlinear: a plan blowup (per-row cost GROWS with the corpus —
+    the real scale pathology) vs output-bound growth (the result set
+    itself grows superlinearly — e.g. near-dup PAIRS under a corpus whose
+    duplicate density rises, which is irreducible for a pair-emitting
+    operator). Splitting alpha_wall into alpha_rows (output-cardinality
+    exponent) + alpha_unit (per-output-row cost exponent) makes the
+    attribution checkable by the artifact's reader instead of a prose
+    claim: dedup_embedding_cosine_lsh at x30->x100 is alpha_wall 2.05 =
+    alpha_rows 2.02 + alpha_unit 0.03 — flat unit cost, healthy plan,
+    quadratically growing OUTPUT (the probe corpus replicates vectors, so
+    near-dup pairs grow ~n^2 by construction).
+
+    cost_shape:
+      "linear-or-better"    alpha_wall <= 1.1
+      "output-bound"        alpha_wall > 1.1 but alpha_unit <= 0.35
+      "superlinear-compute" alpha_wall > 1.1 and per-row cost also grows
+                            (the only shape that demands an operator fix)
+    """
+    mins = {int(k): v for k, v in entry.get("mins", {}).items() if v}
+    rows = {int(k): v for k, v in entry.get("rows_out", {}).items() if v}
+    alpha = entry.get("alpha_last")
+    out: dict = {}
+    steps = sorted(mins)
+    if len(steps) >= 2 and alpha is not None:
+        f1, f2 = steps[-2], steps[-1]
+        if rows.get(f1) and rows.get(f2):
+            alpha_rows = math.log(rows[f2] / rows[f1]) / math.log(f2 / f1)
+            out["alpha_rows"] = round(alpha_rows, 3)
+            out["alpha_unit"] = round(alpha - alpha_rows, 3)
+            out["sec_per_mrow"] = {
+                str(f): round(mins[f] / rows[f] * 1e6, 3)
+                for f in steps
+                if rows.get(f)
+            }
+        if alpha <= 1.1:
+            out["cost_shape"] = "linear-or-better"
+        elif out.get("alpha_unit") is not None and out["alpha_unit"] <= 0.35:
+            out["cost_shape"] = "output-bound"
+        else:
+            out["cost_shape"] = "superlinear-compute"
+    return out
+
+
 def report(all_times: dict[int, dict[str, list[float]]], queries: list[str]) -> None:
     factors = sorted(all_times)
     print(f"\n{'query':34s}" + "".join(f"  x{f:<6d}" for f in factors) + "  alpha(last step)")
@@ -405,6 +452,9 @@ def report(all_times: dict[int, dict[str, list[float]]], queries: list[str]) -> 
             "alpha_last": alpha,
             **({"rows_out": rows_out} if rows_out else {}),
         }
+        results[name].update(derive_cost_shape(results[name]))
+        if results[name].get("cost_shape"):
+            row += f"  [{results[name]['cost_shape']}]"
         print(row)
     # per-factor calibration series (one sample bracketing each entry):
     # a drifting series flags a loaded machine — re-run before believing
@@ -500,6 +550,25 @@ def main() -> int:
             _child()
         return 0
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if mode == "derive":
+        # recompute derived cost-shape fields for an existing artifact
+        # (lets an already-measured round's numbers self-explain without
+        # re-running the probe)
+        path = sys.argv[2]
+        art = json.load(open(path))
+        for slot in art.get("runs", {}).values():
+            for name, entry in slot.get("results", {}).items():
+                if isinstance(entry, dict) and "mins" in entry:
+                    entry.update(derive_cost_shape(entry))
+                    shape = entry.get("cost_shape")
+                    if shape:
+                        print(f"{name}: {shape} "
+                              f"(alpha_wall {entry.get('alpha_last'):.2f}, "
+                              f"alpha_rows {entry.get('alpha_rows')}, "
+                              f"alpha_unit {entry.get('alpha_unit')})")
+        json.dump(art, open(path, "w"), indent=1)
+        print(f"derived -> {path}")
+        return 0
     factors = [int(a) for a in sys.argv[2:]] or [1, 10, 30]
     if mode == "gen":
         for f in factors:
