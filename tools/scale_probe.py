@@ -346,7 +346,18 @@ def _child() -> None:
         return round(time.perf_counter() - start, 3)
 
     queries = entry_mod.queries()
-    times: dict = {"__calib__": [calib()], "__rows__": {}}
+    # SCALE_PROBE_SINK=count measures the operator WITHOUT driver
+    # shipping: count() still executes every filter-upstream transform
+    # (the pair predicate's cosine verify, the GEMM argmax, the joins)
+    # but Catalyst drops the final global sort and nothing crosses to
+    # the driver — at a real deployment the consumer of a pair stream
+    # is a downstream job, never a collect, so this is the honest
+    # compute number for output-bound entries whose x100+ result sets
+    # would otherwise make the harness the bottleneck. Keep collect
+    # (the default) for continuity with earlier rounds' artifacts;
+    # alphas must only ever be compared within one sink mode.
+    sink = os.environ.get("SCALE_PROBE_SINK", "collect")
+    times: dict = {"__calib__": [calib()], "__rows__": {}, "__sink__": sink}
     for name in names:
         runs: list[float] = []
         for _ in range(2):
@@ -356,8 +367,9 @@ def _child() -> None:
                 # grows with the corpus (LSH pair streams) has its wall
                 # time dominated by driver-side collect, and the row
                 # count is what makes that attribution checkable
-                times["__rows__"][name] = len(
-                    queries[name](spark, sf_dir).collect()
+                frame = queries[name](spark, sf_dir)
+                times["__rows__"][name] = (
+                    frame.count() if sink == "count" else len(frame.collect())
                 )
                 runs.append(round(time.perf_counter() - start, 3))
             except Exception as exc:
@@ -469,7 +481,11 @@ def report(all_times: dict[int, dict[str, list[float]]], queries: list[str]) -> 
         print("calib per factor:", calibs)
     json.dump(results, open(f"{OUT}/results.json", "w"), indent=1)
     print(f"\nfull results -> {OUT}/results.json")
-    _emit_artifact({"mode": "run", "factors": factors, "results": results})
+    # count-sink runs land in their own artifact slot (runs.count) so a
+    # collect-sink alpha is never diffed against a count-sink one
+    sinks = {all_times[f].get("__sink__", "collect") for f in factors if all_times.get(f)}
+    mode = "count" if sinks == {"count"} else "run"
+    _emit_artifact({"mode": mode, "factors": factors, "results": results})
 
 
 def _emit_artifact(payload: dict) -> None:
