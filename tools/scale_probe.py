@@ -506,8 +506,32 @@ def _emit_artifact(payload: dict) -> None:
             pass
     mode = payload["mode"]
     slot = merged.setdefault("runs", {}).setdefault(mode, {"results": {}})
-    slot["factors"] = payload["factors"]
-    slot["results"].update(payload["results"])
+    slot["factors"] = sorted(set(slot.get("factors", [])) | set(payload["factors"]))
+    for name, entry in payload["results"].items():
+        old = slot["results"].get(name)
+        if (
+            isinstance(old, dict)
+            and isinstance(entry, dict)
+            and "mins" in old
+            and "mins" in entry
+        ):
+            # deep-merge the curve: an entry probed at new factors KEEPS
+            # its earlier points (newest number wins on a re-probed
+            # factor), so the artifact accumulates one continuous
+            # curve per entry across partial probe runs; the step
+            # exponent and cost shape are re-derived over the merged
+            # last step
+            mins = {**old["mins"], **entry["mins"]}
+            rows = {**old.get("rows_out", {}), **entry.get("rows_out", {})}
+            entry = {"mins": mins, **({"rows_out": rows} if rows else {})}
+            fs = sorted((int(k) for k, v in mins.items() if v), key=int)
+            if len(fs) >= 2:
+                f1, f2 = fs[-2], fs[-1]
+                entry["alpha_last"] = math.log(
+                    mins[str(f2)] / mins[str(f1)]
+                ) / math.log(f2 / f1)
+            entry.update(derive_cost_shape(entry))
+        slot["results"][name] = entry
     merged["base"] = BASE
     json.dump(merged, open(path, "w"), indent=1)
     print(f"artifact -> {path}")
