@@ -703,6 +703,90 @@ def _make_screened_tile_sims(margin=SCREEN_MARGIN, min_thr=SCREEN_MIN_THRESHOLD)
 _screened_tile_sims = _make_screened_tile_sims()
 
 
+#: Screen-survivor fraction above which a tile re-scores as ONE full
+#: float64 GEMM with matrix reductions instead of a survivor gather.
+#: On a dup-heavy tile (a 300-strong near-identical group — exactly what
+#: a crawl corpus's boilerplate produces) EVERY pair clears the screen,
+#: and the gather path materializes |survivors| x dim float64 rows
+#: (~17 GB per fully-dense COSINE_SHIP_TILE block pair) plus one pandas
+#: pair row per survivor; the dgemm path's cost is the tile's flops with
+#: BLAS efficiency and zero gather. 1/8 is conservative: the dgemm costs
+#: ~2x the already-paid float32 screen, so switching at 12.5% density
+#: can waste at most that constant while capping the gather at
+#: tile_area/8 rows.
+DENSE_TILE_FRACTION = 0.125
+
+
+def _make_tile_reduce(
+    margin=SCREEN_MARGIN,
+    min_thr=SCREEN_MIN_THRESHOLD,
+    dense_frac=DENSE_TILE_FRACTION,
+):
+    """Factory for the per-tile REDUCE kernel of aggregate-output pair
+    verifies (SemDeDup): instead of RETURNING qualifying pairs, it folds
+    them into per-column (id_b) partials — ``cnt[j] += |{i : round(sim,4)
+    >= thr and id_a[i] < id_b[j]}|`` and ``msim[j] = max(...)`` — so a
+    task emits at most one row per id_b per block pair, never one row
+    per PAIR. Same factory-pickling rationale as _make_screened_tile_sims
+    (cloudpickle by value; see that docstring).
+
+    The qualifying-pair SET is identical to _screened_tile_sims': the
+    float32 screen's margin guarantee (margin dominates the error bound
+    ~20x) means no pair with round(cosine_float64, 4) >= thr can fall
+    below ``thr - margin`` in float32, so the dense path (which skips
+    the screen filter and scores every pair in float64) and the sparse
+    path (screen, gather, re-score) select exactly the same pairs; dgemm
+    cells vs elementwise-product sums differ by the ~1-ulp summation-
+    order class the 4-decimal round already absorbs (see the
+    DETERMINISM notes). Path CHOICE is a pure function of the tile's
+    screen density — deterministic for given bytes.
+    """
+
+    def reduce_tile(
+        mat_a, na, mat_b, nb, thr, mat_a32, mat_b32, ids_a, ids_b, cnt, msim, joff
+    ):
+        import numpy as np
+
+        def dense(sim):
+            mask = (sim >= thr) & (ids_a[:, None] < ids_b[None, :])
+            c = mask.sum(axis=0)
+            upd = c > 0
+            if upd.any():
+                m = np.where(mask, sim, -np.inf).max(axis=0)
+                cv = cnt[joff : joff + len(ids_b)]
+                mv = msim[joff : joff + len(ids_b)]
+                cv[upd] += c[upd]
+                mv[upd] = np.maximum(mv[upd], m[upd])
+
+        if thr < min_thr:
+            dense(np.round((mat_a @ mat_b.T) / np.outer(na, nb), 4))
+            return
+        scr = (mat_a32 @ mat_b32.T) / np.outer(
+            na.astype(np.float32), nb.astype(np.float32)
+        )
+        cand = scr >= np.float32(thr - margin)
+        ncand = int(cand.sum())
+        if ncand == 0:
+            return
+        if ncand >= dense_frac * cand.size:
+            dense(np.round((mat_a @ mat_b.T) / np.outer(na, nb), 4))
+            return
+        ia, ib = np.nonzero(cand)
+        sim = np.round(
+            (mat_a[ia] * mat_b[ib]).sum(axis=1) / (na[ia] * nb[ib]), 4
+        )
+        keep = (sim >= thr) & (ids_a[ia] < ids_b[ib])
+        if keep.any():
+            ibk = ib[keep] + joff
+            np.add.at(cnt, ibk, 1)
+            np.maximum.at(msim, ibk, sim[keep])
+
+    return reduce_tile
+
+
+_tile_reduce = _make_tile_reduce()
+
+
 def cosine_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1911,10 +1995,32 @@ def semdedup_dropped(
     # measured as the verify's dominant cost with COSINE_TILE-sized
     # shipping. float32 -> float64 stays exact, matching the oracle's
     # ::DOUBLE[] cast.
+    # Blocks are id-ranges WITHIN the cell (rank over nid), not global
+    # nid ranges: a cell's members are scattered across the whole id
+    # space, so floor(nid / SHIP_TILE) blocking put ~n/SHIP_TILE mostly-
+    # tiny blocks in every cell and the self-join's payload re-shipping
+    # went QUADRATIC in corpus size — at the x300 probe point (600k
+    # vectors) every cell touched ~74 global blocks, 2.7k block pairs
+    # per cell, ~160 GB shuffled, and the entry ran 254-295 s with the
+    # verify pinned at 344 s of it (SCALE.md round-11 session 2). Rank
+    # blocking gives ceil(m / SHIP_TILE) blocks per cell — shipping
+    # linear in m — and preserves the property the diagonal skip and
+    # the cross-block id filter rely on: within a cell, every id in
+    # block k is smaller than every id in block k+1.
     base = (
         assigned.select(
             "cell",
-            F.floor(F.col("nid") / COSINE_SHIP_TILE).alias("__blk"),
+            (
+                F.floor(
+                    (
+                        F.row_number().over(
+                            Window.partitionBy("cell").orderBy("nid")
+                        )
+                        - F.lit(1)
+                    )
+                    / COSINE_SHIP_TILE
+                )
+            ).alias("__blk"),
             "nid",
             "__v",
         )
@@ -1947,7 +2053,21 @@ def semdedup_dropped(
         b, (F.col("cell") == F.col("cell_b")) & (F.col("ba") <= F.col("bb"))
     )
 
-    def pair_block(batches):
+    # REDUCE, never emit, the pair stream: this operator's output is the
+    # per-vector aggregate (n_dups, max_sim), so qualifying pairs fold
+    # into per-id_b partials INSIDE each task (_tile_reduce) and a block
+    # pair emits at most |ids_b| partial rows — the map-side-combine
+    # shape. The former kernel returned one row per qualifying PAIR,
+    # which is quadratic in duplicate-group size: at the x300 probe
+    # point (600k vectors = 2000 base vectors x 300 near-identical
+    # replicas, the boilerplate-cluster shape) ~90M pairs qualified, and
+    # the verify spent 344 s of a 280-380 s entry gathering survivor
+    # rows (|pairs| x dim float64), building pandas pair frames, and
+    # Arrow-shipping + shuffling them — per-row cost alpha_unit ~0.9,
+    # the one cost shape that demands an operator fix (profile:
+    # SCALE.md round-11 session 2). Dense tiles additionally skip the
+    # survivor gather entirely (see DENSE_TILE_FRACTION).
+    def reduce_block(batches):
         import numpy as np
         import pandas as pd
 
@@ -1975,46 +2095,50 @@ def semdedup_dropped(
             ):
                 ids_a, mat_a, na, mat_a32 = decode(ids_ra, flat_ra)
                 ids_b, mat_b, nb, mat_b32 = decode(ids_rb, flat_rb)
+                cnt = np.zeros(len(ids_b), np.int64)
+                msim = np.full(len(ids_b), -np.inf)
                 # sub-tile the pair space so the screen matrix is
                 # bounded at T^2 however wide the shipped unit is; on
                 # the diagonal super-pair (same shipped unit both
-                # sides) only the upper sub-triangle is scored — the
-                # id_a < id_b filter covers the sub-diagonal exactly as
-                # it did for whole-block pairs
+                # sides) only the upper sub-triangle is scored — blocks
+                # are id-ranges and rows are nid-sorted, so a
+                # sub-diagonal sub-tile cannot contain id_a < id_b
                 for i0 in range(0, len(ids_a), T):
                     i1 = i0 + T
                     for j0 in range(i0 if same else 0, len(ids_b), T):
                         j1 = j0 + T
-                        ia, ib, sim = _screened_tile_sims(
+                        _tile_reduce(
                             mat_a[i0:i1], na[i0:i1],
                             mat_b[j0:j1], nb[j0:j1], eps,
                             mat_a32[i0:i1], mat_b32[j0:j1],
+                            ids_a[i0:i1], ids_b[j0:j1],
+                            cnt, msim, j0,
                         )
-                        keep = ids_a[i0:i1][ia] < ids_b[j0:j1][ib]
-                        if keep.any():
-                            out.append(
-                                pd.DataFrame(
-                                    {
-                                        "cell": np.full(
-                                            int(keep.sum()), np.int64(cell)
-                                        ),
-                                        "id_a": ids_a[i0:i1][ia][keep],
-                                        "id_b": ids_b[j0:j1][ib][keep],
-                                        "sim": sim[keep],
-                                    }
-                                )
-                            )
+                upd = cnt > 0
+                if upd.any():
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "cell": np.full(
+                                    int(upd.sum()), np.int64(cell)
+                                ),
+                                "id_b": ids_b[upd],
+                                "cnt": cnt[upd],
+                                "msim": msim[upd],
+                            }
+                        )
+                    )
             if out:
                 yield pd.concat(out, ignore_index=True)
 
     return (
         block_pairs.mapInPandas(
-            pair_block, schema="cell long, id_a long, id_b long, sim double"
+            reduce_block, schema="cell long, id_b long, cnt long, msim double"
         )
         .groupBy("id_b", "cell")
         .agg(
-            F.count(F.lit(1)).alias("n_dups"),
-            F.max("sim").alias("max_sim"),
+            F.sum("cnt").alias("n_dups"),
+            F.max("msim").alias("max_sim"),
         )
         .select(
             F.col("id_b").alias("vec_id"), "cell", "n_dups", "max_sim"

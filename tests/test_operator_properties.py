@@ -509,3 +509,70 @@ def test_screened_kernel_matches_plain_float64(seed):
     assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in plain]
     for (_, _, s1), (_, _, s2) in zip(got, plain):
         assert abs(s1 - s2) <= 1e-4 + 1e-12
+
+
+@given(seed=vec_tiles)
+@settings(max_examples=40, deadline=None)
+def test_tile_reduce_matches_bruteforce_aggregation(seed):
+    """The per-tile REDUCE kernel (round 11, session 2) must accumulate
+    exactly the per-id_b (count, max_sim) aggregates of the plain
+    float64 all-pairs path, whichever internal path it takes (dense
+    full-dgemm vs screen+gather — chosen by screen density, so the
+    fixture drives BOTH: random sparse geometry, plus a dup-heavy block
+    of near-identical vectors that pushes tiles over
+    DENSE_TILE_FRACTION the way replica-heavy crawl corpora do).
+    Accumulation across sub-tiles is exercised via a sub-tile walk with
+    joff offsets, like reduce_block's."""
+    import numpy as np
+
+    from polario_spark.operators import similarity
+
+    rng = np.random.default_rng(seed)
+    dim = 8
+    thr = float(rng.choice([0.02, 0.35, 0.4, 0.45, 0.9]))
+    n_a, n_b = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+    A = rng.standard_normal((n_a, dim))
+    B = rng.standard_normal((n_b, dim))
+    # dup-heavy block: a shared base vector with tiny per-row jitter on
+    # one component (the probe corpus's replica construction) spanning
+    # part of BOTH sides -> whole sub-tiles clear the screen
+    if n_a >= 4 and n_b >= 4:
+        base = rng.standard_normal(dim)
+        ka, kb = int(rng.integers(2, n_a // 2 + 2)), int(rng.integers(2, n_b // 2 + 2))
+        for i in range(min(ka, n_a)):
+            A[i] = base
+            A[i][0] += 0.001 * i
+        for j in range(min(kb, n_b)):
+            B[j] = base
+            B[j][0] += 0.001 * (j + 1)
+    A[0] = 0.0  # norm clamp
+    # interleaved ids so id_a < id_b cuts within every region
+    ids_a = np.sort(rng.choice(np.arange(4 * (n_a + n_b)), n_a, replace=False)).astype(np.int64)
+    ids_b = np.sort(rng.choice(np.arange(4 * (n_a + n_b)), n_b, replace=False)).astype(np.int64)
+    na = np.maximum(np.sqrt((A * A).sum(axis=1)), 1e-12)
+    nb = np.maximum(np.sqrt((B * B).sum(axis=1)), 1e-12)
+
+    sim_plain = np.round((A @ B.T) / np.outer(na, nb), 4)
+    mask = (sim_plain >= thr) & (ids_a[:, None] < ids_b[None, :])
+    cnt_exp = mask.sum(axis=0)
+    msim_exp = np.where(mask, sim_plain, -np.inf).max(axis=0)
+
+    cnt = np.zeros(n_b, np.int64)
+    msim = np.full(n_b, -np.inf)
+    T = 16  # small sub-tile so multi-tile accumulation paths run
+    A32, B32 = A.astype(np.float32), B.astype(np.float32)
+    for i0 in range(0, n_a, T):
+        i1 = i0 + T
+        for j0 in range(0, n_b, T):
+            j1 = j0 + T
+            similarity._tile_reduce(
+                A[i0:i1], na[i0:i1], B[j0:j1], nb[j0:j1], thr,
+                A32[i0:i1], B32[j0:j1],
+                ids_a[i0:i1], ids_b[j0:j1], cnt, msim, j0,
+            )
+
+    assert (cnt == cnt_exp).all()
+    # sims may differ by the ~1 ulp summation-order class at 4 decimals
+    both = msim_exp > -np.inf
+    assert (both == (msim > -np.inf)).all()
+    assert np.all(np.abs(msim[both] - msim_exp[both]) <= 1e-4 + 1e-12)
