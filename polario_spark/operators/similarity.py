@@ -787,6 +787,149 @@ def _make_tile_reduce(
 _tile_reduce = _make_tile_reduce()
 
 
+def _cell_rank_blocks(frame, id_col, vec_col, out_ids, out_flat):
+    """(cell, __blk, ids[], flat[]) — the bounded shipping unit of the
+    per-cell GEMM operators: rows rank-blocked WITHIN their cell into
+    id-ordered runs of at most COSINE_SHIP_TILE vectors, each run
+    aggregated to one row carrying flat primitive arrays (ids +
+    row-major matrix), so Arrow hands the Python kernel two contiguous
+    buffers per block. Rank (not global floor(id/SHIP_TILE)) blocking
+    keeps blocks-per-cell at ceil(m/SHIP_TILE) regardless of how the
+    cell's ids scatter across the corpus id space — global blocking
+    made the block-pair self-join's payload shipping QUADRATIC in
+    corpus size (see semdedup_dropped's blocking note)."""
+    return (
+        frame.select(
+            "cell",
+            F.floor(
+                (
+                    F.row_number().over(
+                        Window.partitionBy("cell").orderBy(id_col)
+                    )
+                    - F.lit(1)
+                )
+                / COSINE_SHIP_TILE
+            ).alias("__blk"),
+            F.col(id_col),
+            F.col(vec_col),
+        )
+        .groupBy("cell", "__blk")
+        # array_sort by id: both sides of a block join must decode a
+        # block in the same element order (collect_list alone does not
+        # promise one across re-executions of the subplan)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(id_col, vec_col))
+            ).alias("__rows")
+        )
+        .select(
+            "cell",
+            "__blk",
+            F.expr(f"transform(__rows, r -> r.{id_col})").alias(out_ids),
+            F.expr(f"flatten(transform(__rows, r -> r.{vec_col}))").alias(
+                out_flat
+            ),
+        )
+    )
+
+
+def _make_block_topk(k, tile=COSINE_TILE):
+    """Factory for the IVF search kernel: one (query-block, member-block)
+    pair per input row, GEMM-scored in ``tile``-bounded sub-tiles, with a
+    per-query RUNNING top-k merged across sub-tiles — a task emits at
+    most k rows per query per member block, never one row per (query,
+    member) pair. Replaces the former per-pair interpreted HOF dot +
+    corpus-wide window: at the x300 probe point (600k vectors) the
+    search evaluated ~60M interpreted 64-dim dots and ann_ivf_topk grew
+    alpha(100->300) = 1.77; the per-pair arithmetic here is BLAS dgemm.
+
+    Determinism: sims round to 4 decimals (the documented cross-engine
+    absorption class — dgemm vs the oracle's sequential fold differ by
+    ~1 ulp), and every partial and merge orders by (sim DESC, nid ASC)
+    using stable argsorts over nid-ascending inputs, so the union of
+    partial top-ks contains exactly the global top-k the final window
+    selects with the same comparator. Self-pairs (qid == nid) are
+    masked before selection. Factory-made for cloudpickle-by-value
+    (see _make_screened_tile_sims).
+    """
+
+    def search(batches):
+        import numpy as np
+        import pandas as pd
+
+        def decode(ids_raw, flat_raw):
+            ids = np.asarray(ids_raw, np.int64)
+            flat = np.asarray(flat_raw, np.float64)
+            mat = (
+                flat.reshape(len(ids), -1)
+                if flat.size
+                else np.zeros((len(ids), 0))
+            )
+            norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+            return ids, mat, norms
+
+        def merge(run_s, run_i, cand_s, cand_i):
+            s = np.concatenate([run_s, cand_s], axis=1)
+            i = np.concatenate([run_i, cand_i], axis=1)
+            # nid-ascending first, then stable sim-descending: equal
+            # sims keep nid order — the (sim DESC, nid ASC) comparator
+            o1 = np.argsort(i, axis=1, kind="stable")
+            s = np.take_along_axis(s, o1, axis=1)
+            i = np.take_along_axis(i, o1, axis=1)
+            o2 = np.argsort(-s, axis=1, kind="stable")[:, :k]
+            return (
+                np.take_along_axis(s, o2, axis=1),
+                np.take_along_axis(i, o2, axis=1),
+            )
+
+        PAD_ID = np.iinfo(np.int64).max
+        for pdf in batches:
+            out = []
+            for qids_r, qflat_r, nids_r, nflat_r in zip(
+                pdf["__qids"], pdf["__qflat"], pdf["__nids"], pdf["__nflat"]
+            ):
+                qids, Q, nq = decode(qids_r, qflat_r)
+                nids, M, nm = decode(nids_r, nflat_r)
+                for i0 in range(0, len(qids), tile):
+                    i1 = i0 + tile
+                    qs, qv, qn = qids[i0:i1], Q[i0:i1], nq[i0:i1]
+                    run_s = np.full((len(qs), k), -np.inf)
+                    run_i = np.full((len(qs), k), PAD_ID, np.int64)
+                    for j0 in range(0, len(nids), tile):
+                        j1 = j0 + tile
+                        sims = np.round(
+                            (qv @ M[j0:j1].T) / np.outer(qn, nm[j0:j1]), 4
+                        )
+                        sims[qs[:, None] == nids[None, j0:j1]] = -np.inf
+                        # member sub-tiles are nid-ascending, so the
+                        # stable descending argsort keeps ties nid-asc
+                        idx = np.argsort(-sims, axis=1, kind="stable")[
+                            :, :k
+                        ]
+                        run_s, run_i = merge(
+                            run_s,
+                            run_i,
+                            np.take_along_axis(sims, idx, axis=1),
+                            nids[j0:j1][idx],
+                        )
+                    valid = run_s > -np.inf
+                    if valid.any():
+                        nk = run_s.shape[1]
+                        out.append(
+                            pd.DataFrame(
+                                {
+                                    "qid": np.repeat(qs, nk)[valid.ravel()],
+                                    "nid": run_i.ravel()[valid.ravel()],
+                                    "sim": run_s.ravel()[valid.ravel()],
+                                }
+                            )
+                        )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return search
+
+
 def cosine_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1855,17 +1998,35 @@ def ivf_topk(
         .filter(F.col("__rn") <= IVF_NPROBE)
         .select("qid", "__q", "__nq", F.col("cid").alias("cell"))
     )
-    sim = F.round(
-        F.expr(f"({VEC.dot('__q', '__v', 'spark')}) / (__nq * __nv)"), 4
-    ).alias("sim")
-    w_top = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid").asc())
-    # probes = queries x nprobe — always the small side; broadcasting it
-    # means the corpus-sized assignment table is never shuffled
+    # Search: per-cell blocked GEMM with in-kernel per-query top-k
+    # partials (see _make_block_topk). The former shape — broadcast
+    # probes joined to the assignment, one interpreted HOF dot per
+    # (query, member) pair, then a corpus-wide window — evaluated
+    # queries x nprobe x |cell| interpreted 64-dim dots (~60M at the
+    # x300 probe point; measured alpha(100->300) = 1.77, 7.5 -> 52.4 s).
+    # Now each side rank-blocks within its cell, the block join ships
+    # bounded payloads, every dot is BLAS dgemm, and the final window
+    # ranks only ~queries x nprobe x k x blocks candidate rows. The
+    # assignment does shuffle by cell here (it did not under the
+    # broadcast join) — at scale that is the materialized inverted
+    # file's natural partitioning, and the shuffle is linear in the
+    # PROBED cells only (the join drops unprobed cells' blocks).
+    qb = _cell_rank_blocks(
+        probes.select("cell", "qid", "__q"), "qid", "__q", "__qids", "__qflat"
+    )
+    mb = _cell_rank_blocks(assigned, "nid", "__v", "__nids", "__nflat")
+    cand = (
+        qb.drop("__blk")
+        .join(mb.drop("__blk"), "cell")
+        .mapInPandas(
+            _make_block_topk(k), schema="qid long, nid long, sim double"
+        )
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
     return (
-        F.broadcast(probes).join(assigned, "cell")
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", sim)
-        .withColumn("rank", F.row_number().over(w_top))
+        cand.withColumn("rank", F.row_number().over(w_top))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "sim", "rank")
     )
