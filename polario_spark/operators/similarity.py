@@ -644,7 +644,25 @@ SCREEN_MIN_THRESHOLD = 0.05
 COSINE_SHIP_TILE = 8192
 
 
-def _make_screened_tile_sims(margin=SCREEN_MARGIN, min_thr=SCREEN_MIN_THRESHOLD):
+#: Screen-survivor fraction above which a tile re-scores as ONE full
+#: float64 GEMM with matrix reductions instead of a survivor gather.
+#: On a dup-heavy tile (a 300-strong near-identical group — exactly what
+#: a crawl corpus's boilerplate produces) EVERY pair clears the screen,
+#: and the gather path materializes |survivors| x dim float64 rows
+#: (~17 GB per fully-dense COSINE_SHIP_TILE block pair) plus one pandas
+#: pair row per survivor; the dgemm path's cost is the tile's flops with
+#: BLAS efficiency and zero gather. 1/8 is conservative: the dgemm costs
+#: ~2x the already-paid float32 screen, so switching at 12.5% density
+#: can waste at most that constant while capping the gather at
+#: tile_area/8 rows.
+DENSE_TILE_FRACTION = 0.125
+
+
+def _make_screened_tile_sims(
+    margin=SCREEN_MARGIN,
+    min_thr=SCREEN_MIN_THRESHOLD,
+    dense_frac=DENSE_TILE_FRACTION,
+):
     """Factory for the shared inner kernel of the three tiled pair
     verifies (``cosine_pairs`` tiles, LSH bucket sub-tiles, SemDeDup
     cell blocks). A factory on purpose: the kernel is referenced from
@@ -681,16 +699,28 @@ def _make_screened_tile_sims(margin=SCREEN_MARGIN, min_thr=SCREEN_MIN_THRESHOLD)
         """
         import numpy as np
 
-        if thr < min_thr:
+        def full():
             sim = np.round((mat_a @ mat_b.T) / np.outer(na, nb), 4)
             ia, ib = np.nonzero(sim >= thr)
             return ia, ib, sim[ia, ib]
+
+        if thr < min_thr:
+            return full()
         scr = (mat_a32 @ mat_b32.T) / np.outer(
             na.astype(np.float32), nb.astype(np.float32)
         )
-        ia, ib = np.nonzero(scr >= np.float32(thr - margin))
-        if len(ia) == 0:
-            return ia, ib, np.empty(0)
+        cand = scr >= np.float32(thr - margin)
+        ncand = int(cand.sum())
+        if ncand == 0:
+            return np.empty(0, np.intp), np.empty(0, np.intp), np.empty(0)
+        if ncand >= dense_frac * cand.size:
+            # dup-heavy tile: nearly everything clears the screen, and
+            # the gather below would materialize |survivors| x dim
+            # float64 rows — one full dgemm plus a direct nonzero is
+            # cheaper and produces the same pair set (the screen can
+            # only EXCLUDE pairs the margin proves can't qualify)
+            return full()
+        ia, ib = np.nonzero(cand)
         sim = np.round(
             (mat_a[ia] * mat_b[ib]).sum(axis=1) / (na[ia] * nb[ib]), 4
         )
@@ -701,20 +731,6 @@ def _make_screened_tile_sims(margin=SCREEN_MARGIN, min_thr=SCREEN_MIN_THRESHOLD)
 
 
 _screened_tile_sims = _make_screened_tile_sims()
-
-
-#: Screen-survivor fraction above which a tile re-scores as ONE full
-#: float64 GEMM with matrix reductions instead of a survivor gather.
-#: On a dup-heavy tile (a 300-strong near-identical group — exactly what
-#: a crawl corpus's boilerplate produces) EVERY pair clears the screen,
-#: and the gather path materializes |survivors| x dim float64 rows
-#: (~17 GB per fully-dense COSINE_SHIP_TILE block pair) plus one pandas
-#: pair row per survivor; the dgemm path's cost is the tile's flops with
-#: BLAS efficiency and zero gather. 1/8 is conservative: the dgemm costs
-#: ~2x the already-paid float32 screen, so switching at 12.5% density
-#: can waste at most that constant while capping the gather at
-#: tile_area/8 rows.
-DENSE_TILE_FRACTION = 0.125
 
 
 def _make_tile_reduce(

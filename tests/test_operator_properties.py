@@ -473,6 +473,17 @@ def test_screened_kernel_matches_plain_float64(seed):
     thr = float(rng.choice([0.35, 0.4, 0.45, 0.5, 0.9]))
     A = rng.standard_normal((na_, dim))
     B = rng.standard_normal((nb_, dim))
+    # half the examples get a dup-heavy block (shared base vector with
+    # tiny per-row jitter): whole tiles clear the screen, driving the
+    # dense full-dgemm branch the same way replica-heavy corpora do
+    if seed % 2 == 0 and na_ >= 3 and nb_ >= 3:
+        base = rng.standard_normal(dim)
+        for i in range(na_ // 2 + 1):
+            A[i] = base
+            A[i][0] += 0.001 * i
+        for j in range(nb_ // 2 + 1):
+            B[j] = base
+            B[j][0] += 0.001 * (j + 1)
     # engineered knife-edge rows: B row = rotate(A row) at angle
     # acos(thr +/- tiny), so cosines land within ~1e-4 of thr
     if na_ >= 2 and nb_ >= 2:
