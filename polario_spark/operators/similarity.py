@@ -1703,6 +1703,149 @@ def assign_cells(
     ).select("nid", "__v", "__nv", "cell")
 
 
+def probe_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
+    nprobe: int = None,  # type: ignore[assignment]
+    queries_from: Optional[DataFrame] = None,
+) -> DataFrame:
+    """(qid, cell) probe set: each query's ``nprobe`` nearest centroids
+    under (cosine DESC, cid ASC) — the IVF probe-selection step as a
+    blocked GEMM, the same treatment ``assign_cells`` got in round 10
+    (probe selection IS a top-P generalization of the argmax).
+
+    The former plan evaluated one interpreted HOF dot per (query,
+    centroid) pair and ranked them in a window — queries x K ~ n^1.5/97
+    rows (3.6M at the x300 probe point), the last interpreted
+    superlinear term in the IVF family after the search GEMM. Here the
+    centroid matrix broadcasts driver-side (MLlib KMeans pattern,
+    K ~ sqrt(n)) and each Arrow batch of queries keeps a running top-P
+    across ASSIGN_CENT_BLOCK-sized GEMM blocks.
+
+    DETERMINISM: same contract as assign_cells — bitwise sim ties break
+    cid-ascending (blocks ascend in cid; stable argsorts), but the BLAS
+    reduction order can differ ~1 ulp from the fold, so a NEAR-tied
+    centroid pair could flip vs the window plan or the DuckDB oracle.
+    Registry entries therefore MATERIALIZE the probe table and point
+    the oracle at the same bytes (``ivf_topk_sql(probes_sql=...)``),
+    exactly like the assignment index.
+
+    ``queries_from`` injects the query source frame (columns nid, __v)
+    — entries pass the materialized assignment so the stride filter
+    pushes into the index scan; default is the canonical corpus.
+    """
+    corpus = ensure_parallelism(corpus)
+    if nprobe is None:
+        nprobe = IVF_NPROBE
+    if centroids is None:
+        centroids = default_stride_centroids(corpus, id_col, vec_col)
+    # the raw (cid, __cent) frame, not _prepared_centroids: the matrix is
+    # driver-collected, so the broadcast hint and __nc column would be
+    # dead weight (and the unconsumed hint logs a warning)
+    cent = centroids
+    qsrc = (
+        queries_from
+        if queries_from is not None
+        else canonical_vectors(corpus, id_col, vec_col)
+    )
+    queries = qsrc.filter(F.col("nid") % IVF_QUERY_STRIDE == 0).select(
+        F.col("nid").alias("qid"), F.col("__v").alias("__q")
+    )
+    cid_type = cent.schema["cid"].dataType
+    return _gemm_topp_frame(
+        queries, _collect_centroid_matrix(cent), cid_type, nprobe
+    )
+
+
+def _gemm_topp_frame(
+    queries: DataFrame, cent_np, cid_type, nprobe: int
+) -> DataFrame:
+    """Blocked-GEMM running top-P over a (qid, __q) frame — the probe
+    kernel behind :func:`probe_cells`. Same broadcast lifecycle and
+    malformed-input contract as ``_gemm_assign_frame``; the running
+    merge is the same two-stable-argsort comparator preservation as
+    ``_make_block_topk`` (cid-ascending first, then stable sim-
+    descending), so bitwise ties always resolve to the smaller cid."""
+    from pyspark.sql.types import StructField, StructType
+
+    cids, cmat, cnorms = cent_np
+    if len(cids) == 0:
+        return (
+            queries.select("qid")
+            .limit(0)
+            .withColumn("cell", F.lit(None).cast(cid_type))
+        )
+    bc = queries.sparkSession.sparkContext.broadcast((cids, cmat, cnorms))
+    out_schema = StructType(
+        [
+            queries.schema["qid"],
+            StructField("cell", cid_type, True),
+        ]
+    )
+    block = ASSIGN_CENT_BLOCK
+    P = int(nprobe)
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_ids, b_mat, b_norms = bc.value
+        PAD = np.iinfo(np.int64).max
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            try:
+                mat = np.stack(pdf["__q"].to_numpy()).astype(
+                    np.float64, copy=False
+                )
+            except ValueError as exc:
+                raise ValueError(
+                    "malformed vector in GEMM probe selection (wrong "
+                    "length) — shed with well_formed_vectors(dim=...)"
+                ) from exc
+            if not np.isfinite(mat).all():
+                raise ValueError(
+                    "non-finite vector component in GEMM probe selection "
+                    "— shed with well_formed_vectors(dim=...)"
+                )
+            norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+            n = len(mat)
+            run_s = np.full((n, P), -np.inf)
+            run_c = np.full((n, P), PAD, np.int64)
+            for c0 in range(0, len(b_ids), block):
+                sims = (mat @ b_mat[c0 : c0 + block].T) / np.outer(
+                    norms, b_norms[c0 : c0 + block]
+                )
+                take = min(P, sims.shape[1])
+                # block columns ascend in cid -> stable argsort keeps
+                # bitwise ties cid-ascending
+                idx = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+                s = np.concatenate(
+                    [run_s, np.take_along_axis(sims, idx, axis=1)], axis=1
+                )
+                c = np.concatenate(
+                    [run_c, b_ids[c0 : c0 + block][idx]], axis=1
+                )
+                o1 = np.argsort(c, axis=1, kind="stable")
+                s = np.take_along_axis(s, o1, axis=1)
+                c = np.take_along_axis(c, o1, axis=1)
+                o2 = np.argsort(-s, axis=1, kind="stable")[:, :P]
+                run_s = np.take_along_axis(s, o2, axis=1)
+                run_c = np.take_along_axis(c, o2, axis=1)
+            valid = run_s > -np.inf
+            qids = pdf["qid"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, run_s.shape[1])[valid.ravel()],
+                    "cell": run_c.ravel()[valid.ravel()],
+                }
+            )
+
+    return queries.mapInPandas(probe, schema=out_schema)
+
+
 def _gemm_assign_frame(vecs: DataFrame, cent_np, cid_type, bc=None) -> DataFrame:
     """The GEMM argmax kernel over a (nid, __v) frame given driver-side
     centroid numpy arrays — shared by assign_cells and the Lloyd loop.
@@ -1952,6 +2095,7 @@ def ivf_topk(
     k: int = 5,
     centroids: Optional[DataFrame] = None,
     assigned: Optional[DataFrame] = None,
+    probes: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF-style approximate top-k cosine search — the 100 TB scale path.
 
@@ -2000,20 +2144,33 @@ def ivf_topk(
         # vector), but the stride filter pushes through the collapse agg
         # to the scan — through the in-flight GEMM map it could not
         qsrc = canonical_vectors(corpus, id_col, vec_col)
-    cent = _prepared_centroids(corpus, id_col, vec_col, centroids)
-    queries = (
-        qsrc.filter(F.col("nid") % IVF_QUERY_STRIDE == 0)
-        .select(F.col("nid").alias("qid"), F.col("__v").alias("__q"))
-        .withColumn("__nq", F.expr(VEC.norm_clamped("__q", "spark")))
-    )
-    qsim = F.expr(f"({VEC.dot('__q', '__cent', 'spark')}) / (__nq * __nc)")
-    w_probe = Window.partitionBy("qid").orderBy(qsim.desc(), F.col("cid").asc())
-    probes = (
-        queries.join(cent)
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= IVF_NPROBE)
-        .select("qid", "__q", "__nq", F.col("cid").alias("cell"))
-    )
+    if probes is not None:
+        # caller-provided (materialized) probe table (qid, cell) — see
+        # probe_cells; re-bind the query vectors from the same source
+        # the in-flight path would use
+        probes = probes.join(
+            qsrc.select(F.col("nid").alias("qid"), F.col("__v").alias("__q")),
+            "qid",
+        )
+    else:
+        cent = _prepared_centroids(corpus, id_col, vec_col, centroids)
+        queries = (
+            qsrc.filter(F.col("nid") % IVF_QUERY_STRIDE == 0)
+            .select(F.col("nid").alias("qid"), F.col("__v").alias("__q"))
+            .withColumn("__nq", F.expr(VEC.norm_clamped("__q", "spark")))
+        )
+        qsim = F.expr(
+            f"({VEC.dot('__q', '__cent', 'spark')}) / (__nq * __nc)"
+        )
+        w_probe = Window.partitionBy("qid").orderBy(
+            qsim.desc(), F.col("cid").asc()
+        )
+        probes = (
+            queries.join(cent)
+            .withColumn("__rn", F.row_number().over(w_probe))
+            .filter(F.col("__rn") <= IVF_NPROBE)
+            .select("qid", "__q", "__nq", F.col("cid").alias("cell"))
+        )
     # Search: per-cell blocked GEMM with in-kernel per-query top-k
     # partials (see _make_block_topk). The former shape — broadcast
     # probes joined to the assignment, one interpreted HOF dot per
@@ -2052,6 +2209,7 @@ def ivf_topk_sql(
     table: str, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5,
     cent_sql: Optional[str] = None,
     assigned_sql: Optional[str] = None,
+    probes_sql: Optional[str] = None,
 ) -> str:
     """Oracle for ivf_topk. ``cent_sql`` overrides the centroid source
     (default: the deterministic stride subset over the canonical corpus)
@@ -2081,17 +2239,22 @@ def ivf_topk_sql(
            row_number() OVER (PARTITION BY ec.id
              ORDER BY {VEC.cosine('ec.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
     FROM ec CROSS JOIN cent) WHERE rn = 1"""
+    if probes_sql is None:
+        # default: replay probe selection with the SQL fold — valid on
+        # corpora without near-tied centroid pairs; registry entries
+        # pass a read_parquet over the materialized probe table instead
+        # (probe_cells DETERMINISM)
+        probes_sql = f"""SELECT id AS qid, __v AS __q, cid AS cell FROM (
+    SELECT ec.id, ec.__v, cent.cid,
+           row_number() OVER (PARTITION BY ec.id
+             ORDER BY {VEC.cosine('ec.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
+    FROM ec CROSS JOIN cent WHERE ec.id % {IVF_QUERY_STRIDE} = 0) WHERE rn <= {IVF_NPROBE}"""
     return f"""
 WITH e AS (SELECT {id_col} AS id, {vec_col} AS __v FROM {table}),
 ec AS ({_canonical_sql('e')}),
 cent AS ({cent_sql}),
 assigned AS ({assigned_sql}),
-probes AS (
-  SELECT id AS qid, __v AS __q, cid AS cell FROM (
-    SELECT ec.id, ec.__v, cent.cid,
-           row_number() OVER (PARTITION BY ec.id
-             ORDER BY {VEC.cosine('ec.__v', 'cent.__cent', 'duckdb')} DESC, cent.cid ASC) AS rn
-    FROM ec CROSS JOIN cent WHERE ec.id % {IVF_QUERY_STRIDE} = 0) WHERE rn <= {IVF_NPROBE})
+probes AS ({probes_sql})
 SELECT qid, nid, sim, rank FROM (
   SELECT p.qid, a.nid, round({VEC.cosine('p.__q', 'a.__v', 'duckdb')}, 4) + 0.0 AS sim,
          row_number() OVER (PARTITION BY p.qid

@@ -2183,6 +2183,8 @@ def dedup_embedding_cosine_lsh_loose(spark: SparkSession, sf_dir: str) -> DataFr
 _SEMDEDUP_ASSIGN_PATH = stable_work_path("semdedup_assign")
 _IVF_ASSIGN_PATH = stable_work_path("ivf_stride_assign")
 _IVF_KM_ASSIGN_PATH = stable_work_path("ivf_kmeans_assign")
+_IVF_PROBES_PATH = stable_work_path("ivf_stride_probes")
+_IVF_KM_PROBES_PATH = stable_work_path("ivf_kmeans_probes")
 
 
 def _materialized_assignment(
@@ -2208,6 +2210,41 @@ def _materialized_assignment(
         spark.read.parquet(path)
         .withColumn("__nv", F.expr(VEC.norm_clamped("__v", "spark")))
         .select("nid", "__v", "__nv", "cell")
+    )
+
+
+def _materialized_probes(
+    emb: DataFrame,
+    assigned: DataFrame,
+    path: str,
+    centroids: "DataFrame | None" = None,
+) -> DataFrame:
+    """GEMM-select each query's nprobe nearest cells, persist the
+    (qid, cell) probe table to ``path``, and hand back the persisted
+    frame — the probe-selection twin of :func:`_materialized_assignment`
+    (round 11: probe selection was the last interpreted n^1.5 term in
+    the IVF family; the GEMM changes float summation order, so both
+    engines must read the same probe bytes — probe_cells DETERMINISM)."""
+    spark = emb.sparkSession
+    probes = similarity.probe_cells(
+        emb,
+        "vec_id",
+        "embedding",
+        centroids=centroids,
+        queries_from=assigned.select("nid", "__v"),
+    )
+    probes.write.mode("overwrite").parquet(prepare_stable_dir(path))
+    return spark.read.parquet(path)
+
+
+def _probes_oracle(path: str) -> str:
+    """Oracle twin of :func:`_materialized_probes`: the probe table's
+    bytes joined back to the materialized assignment for the query
+    vectors (columns qid, __q, cell — what the search CTE expects)."""
+    return (
+        f"SELECT p.qid, a.__v AS __q, p.cell "
+        f"FROM read_parquet('{path}/*.parquet') p "
+        f"JOIN assigned a ON a.nid = p.qid"
     )
 
 
@@ -2266,6 +2303,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             + _assigned_oracle(_IVF_ASSIGN_PATH)
             + ")"
         ),
+        probes_sql=_probes_oracle(_IVF_PROBES_PATH),
     )
     + "\nORDER BY qid, rank",
 )
@@ -2275,14 +2313,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan both sides (round-8 probe): a NaN assignment cosine would
     place the vector in an engine-dependent cell. Round 10: GEMM cell
     assignment materialized to a stable parquet index both engines verify
-    against (_IVF_ASSIGN_PATH); probes re-derived in SQL from the same
-    stride centroids."""
+    against (_IVF_ASSIGN_PATH). Round 11: the probe table gets the same
+    GEMM + materialization treatment (_IVF_PROBES_PATH), and the search
+    itself is a per-cell blocked GEMM (ivf_topk)."""
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
     assigned = _materialized_assignment(emb, _IVF_ASSIGN_PATH)
+    probes = _materialized_probes(emb, assigned, _IVF_PROBES_PATH)
     return similarity.ivf_topk(
-        emb, "vec_id", "embedding", 5, assigned=assigned
+        emb, "vec_id", "embedding", 5, assigned=assigned, probes=probes
     ).orderBy("qid", "rank")
 
 
@@ -2330,6 +2370,7 @@ _KMEANS_CENT_PATH = stable_work_path("kmeans_centroids")
             + _assigned_oracle(_IVF_KM_ASSIGN_PATH)
             + ")"
         ),
+        probes_sql=_probes_oracle(_IVF_KM_PROBES_PATH),
     )
     + "\nORDER BY qid, rank",
 )
@@ -2355,8 +2396,12 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _materialized_assignment(
         emb, _IVF_KM_ASSIGN_PATH, centroids=cent
     )
+    probes = _materialized_probes(
+        emb, assigned, _IVF_KM_PROBES_PATH, centroids=cent
+    )
     return similarity.ivf_topk(
-        emb, "vec_id", "embedding", 5, centroids=cent, assigned=assigned
+        emb, "vec_id", "embedding", 5, centroids=cent, assigned=assigned,
+        probes=probes,
     ).orderBy("qid", "rank")
 
 

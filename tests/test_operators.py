@@ -810,3 +810,99 @@ def test_bucketed_join_metastore_hygiene(spark):
         helper.wait()
         spark.sql(f"DROP DATABASE IF EXISTS {live_db} CASCADE")
         spark.sql(f"DROP DATABASE IF EXISTS {dead_db} CASCADE")
+
+
+def test_probe_cells_gemm_matches_window_plan(spark):
+    """The GEMM probe selection (round 11) must agree with ivf_topk's
+    HOF-dot window plan probe-for-probe on the fixture, for both the
+    stride and Lloyd-refined centroid sets — same rationale as the
+    assignment pin above: generic float data never lands on the ~1 ulp
+    BLAS-vs-fold boundary, so a mismatch is a kernel bug (tie-break
+    direction, merge comparator, block seam), not noise."""
+    from pyspark.sql import Window as W
+    from polario_spark.functions import vector as VEC
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = similarity.well_formed_vectors(emb, "embedding", 64)
+    for cent in (
+        None,
+        similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=1),
+    ):
+        gemm = {
+            (r.qid, r.cell)
+            for r in similarity.probe_cells(
+                emb, "vec_id", "embedding", centroids=cent
+            ).collect()
+        }
+        cframe = cent
+        if cframe is None:
+            cframe = similarity.default_stride_centroids(
+                emb, "vec_id", "embedding"
+            )
+        prepped = similarity._prepared_centroids(
+            emb, "vec_id", "embedding", cframe
+        )
+        queries = (
+            similarity.canonical_vectors(emb, "vec_id", "embedding")
+            .filter(F.col("nid") % similarity.IVF_QUERY_STRIDE == 0)
+            .select(F.col("nid").alias("qid"), F.col("__v").alias("__q"))
+            .withColumn("__nq", F.expr(VEC.norm_clamped("__q", "spark")))
+        )
+        qsim = F.expr(f"({VEC.dot('__q', '__cent', 'spark')}) / (__nq * __nc)")
+        w = W.partitionBy("qid").orderBy(qsim.desc(), F.col("cid").asc())
+        window = {
+            (r.qid, r.cid)
+            for r in queries.join(prepped)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= similarity.IVF_NPROBE)
+            .select("qid", "cid")
+            .collect()
+        }
+        assert gemm == window
+        assert len(gemm) > 0
+
+    # exact-tie tie-break: two IDENTICAL centroid vectors -> bitwise-
+    # tied sims; top-2 must keep BOTH (they are the two best cells) and
+    # a third, worse centroid must lose to them
+    rows = [(i, [float(i % 7 + 1), 1.0, -0.5]) for i in range(0, 300, 3)]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(3, [1.0, 2.0, 0.0]), (9, [1.0, 2.0, 0.0]), (5, [-9.0, -9.0, 9.0])],
+        "cid long, __cent array<double>",
+    )
+    got = {}
+    for r in similarity.probe_cells(tiny, centroids=cent).collect():
+        got.setdefault(r.qid, set()).add(r.cell)
+    assert got, "stride left no query rows"
+    for qid, cells in got.items():
+        assert cells == {3, 9}, (qid, cells)
+
+
+def test_probe_cells_block_seam_merge(spark):
+    """Force the running top-P merge across GEMM blocks: more centroids
+    than ASSIGN_CENT_BLOCK would be too slow for a unit test, so shrink
+    the block via monkeypatched constant? No — the kernel reads the
+    module constant at closure build; instead verify with K just over a
+    hand-tiled path: a 5-centroid set where each query's two best cells
+    sit in DIFFERENT halves of the cid range, computed against a numpy
+    reference."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((97 * 6, 8))  # qids 0, 97, ... hit stride
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cmat = rng.standard_normal((5, 8))
+    cent = spark.createDataFrame(
+        [(int(c), [float(x) for x in cmat[c]]) for c in range(5)],
+        "cid long, __cent array<double>",
+    )
+    got = {}
+    for r in similarity.probe_cells(df, centroids=cent).collect():
+        got.setdefault(r.qid, set()).add(r.cell)
+    cn = np.maximum(np.sqrt((cmat * cmat).sum(axis=1)), 1e-12)
+    for qid, cells in got.items():
+        q = vecs[qid]
+        sims = (cmat @ q) / (cn * max(np.sqrt(q @ q), 1e-12))
+        want = set(np.argsort(-sims, kind="stable")[:2].tolist())
+        assert cells == want, (qid, cells, want)
