@@ -1244,29 +1244,38 @@ def exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"__toks": F.expr(TXT.tokens("text", "spark"))}
     )
     grams = _exsub_grams(docs).localCheckpoint(eager=True)
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("g")
+    # n_dup by SUBTRACTION, not by joining the duplicated grams back to
+    # the postings: n_dup(doc) = n_grams(doc) - #(df == 1 grams owned by
+    # doc), and a df == 1 gram's owner is recoverable from the df
+    # aggregation itself (min(doc_id) of a single-posting group IS the
+    # posting's doc). The former left-semi join re-shuffled the full
+    # posting stream on the gram string a SECOND time — ~300M postings x
+    # ~50-byte keys at the x300 probe point, where the entry measured
+    # alpha(100->300) = 1.51, the worst shape in the batch families —
+    # while the singles aggregation here ships at most one slim
+    # (owner, count) row per distinct gram.
+    gstats = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("__owner")
+    )
+    uniq = (
+        gstats.filter(F.col("df") == 1)
+        .groupBy(F.col("__owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
     )
     tot = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hit = (
-        grams.join(dup, "g", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
-    )
+    n_dup = (
+        F.col("n_grams") - F.coalesce(F.col("n_uniq"), F.lit(0))
+    ).alias("n_dup")
     dup_frac = F.round(
-        F.coalesce(F.col("n_dup"), F.lit(0)).cast("double") / F.col("n_grams"), 4
+        (F.col("n_grams") - F.coalesce(F.col("n_uniq"), F.lit(0))).cast(
+            "double"
+        )
+        / F.col("n_grams"),
+        4,
     ).alias("dup_frac")
     return (
-        tot.join(hit, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
-            dup_frac,
-        )
+        tot.join(uniq, "doc_id", "left")
+        .select("doc_id", "n_grams", n_dup, dup_frac)
         .filter(F.col("dup_frac") >= EXSUB_MIN_DUP_FRAC)
         .orderBy(F.col("doc_id").asc_nulls_last())
     )
