@@ -5246,23 +5246,24 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the earlier hand-curated _DRIVER_GREEN back-list, which required
 #      manual rotation every round.
 _PRIORITY = [
-    # Round-11 code changes under these entries (kept small per the r7
-    # ruling so the stalest-green rotation keeps refreshing the r8 rows
-    # — the r10 verdict's staleness target):
-    #   - GEMM kernel hardening (non-finite raises; best_cell
-    #     pre-filled; Lloyd broadcasts released eagerly), the
-    #     partial-sum Lloyd loop (mean summation order changed — the
-    #     materialized centroid/assignment bytes shift in ulps), and
-    #     the pair-verify rework (float32 screen + float64 re-score,
-    #     flat block shipping, COSINE_SHIP_TILE units): re-verify every
-    #     consumer of assign_cells / kmeans_centroids / cosine_pairs /
-    #     cosine_pairs_bucketed / semdedup_dropped
+    # Round-11 session-2 code changes under these entries (kept small
+    # per the r7 ruling so the stalest-green rotation keeps refreshing
+    # old rows):
+    #   - semdedup verify rework (per-cell rank blocks, per-id tile
+    #     reduce, dense-dgemm tiles) and the IVF search + probe GEMMs
+    #     with the materialized probe tables: re-verify every consumer
+    #     of semdedup_dropped / ivf_topk / probe_cells /
+    #     _screened_tile_sims (the dense branch also feeds the
+    #     pair-emitting entries)
     "semantic_dedup",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "dedup_embedding_cosine_lsh_loose",
+    #   - exact_substring_dup: n_dup now computed by subtraction (the
+    #     duplicated-gram semi-join replaced by a singles aggregation)
+    "exact_substring_dup",
 ]
 
 
