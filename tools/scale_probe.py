@@ -153,6 +153,38 @@ def _target_files(n_rows: int) -> int:
     return max(4, n_rows // 250_000)
 
 
+# Probe-only queries (not registry entries — no oracle, no bench slot):
+# operator variants whose SCALING question differs from the registry
+# operating point. lsh_cosine_sized is cosine_pairs_bucketed with the
+# dials set the way the operator's own SIZING-AT-SCALE contract says a
+# deployment must set them — bits_per_band r ~ log2(n / COSINE_TILE) so
+# expected bucket size stays ~constant as the corpus grows (verify work
+# ~ L*n*B, linear) instead of the registry's fixed r=4 (verify work
+# ~ L*n^2/2^r, quadratic — fine at the registry's 10^3-10^5 vectors,
+# a killer at 10^9). The registry point stays fixed because its DuckDB
+# oracle's signature SQL is generated at build time; this probe entry is
+# the measured evidence that the documented sizing rule actually
+# linearizes the verify, which only the decorrelated corpus (gen-decorr)
+# can show — on replica corpora every original's R near-identical copies
+# share all band signatures, so their R^2 pair space is REAL output that
+# any correct LSH must verify, and no dial can make that linear.
+def _probe_extra_queries() -> dict:
+    from polario_spark.operators import similarity
+    from polario_spark.sources.tables import load_table
+
+    def lsh_cosine_sized(spark, sf_dir):
+        import math as _m
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        r = max(4, round(_m.log2(max(n, 1) / 128)))
+        return similarity.cosine_pairs_bucketed(
+            emb, "vec_id", "embedding", 0.45, bits_per_band=r
+        )
+
+    return {"lsh_cosine_sized": lsh_cosine_sized}
+
+
 def generate(factor: int) -> None:
     from pyspark.sql import functions as F
 
@@ -202,6 +234,73 @@ def generate(factor: int) -> None:
         print(f"x{factor}/{name}: {base_rows * factor} rows")
     open(f"{dest}/_DONE", "w").write("ok\n")
     print(f"x{factor} generated in {time.perf_counter() - t0:.1f}s")
+    spark.stop()
+
+
+def generate_decorr(factor: int) -> None:
+    """Decorrelated-embeddings twin of x{factor} (directory xd{factor}).
+
+    The organic replicator keeps replica embeddings NEAR their original
+    (+1e-3 on one component) so IVF cell structure persists — right for
+    the search-cost probes, but for the pair-EMITTING cosine dedup it
+    fabricates an R-clique per original vector (every replica is a near
+    dup of every other replica), so pair output grows ~R^2 by
+    construction and alpha_wall ~2 says nothing about the plan. This
+    twin symlinks every table except embeddings into x{factor} and
+    rebuilds embeddings so rep>0 vectors go through a per-rep signed
+    coordinate permutation: embedding'[i] = s(rep,i) * embedding[(i +
+    rep) % dim] with s = +-1 keyed by xxhash64(rep, i). That map is
+    orthogonal and IDENTICAL for every vector of a replica, so norms and
+    all WITHIN-replica pairwise cosines are preserved exactly (the base
+    corpus's duplicate structure survives per replica at original size),
+    while cross-replica cosines collapse to the random-direction
+    distribution ~N(0, 1/dim). Measured on the sf0.1 corpus (dim=64):
+    cross-replica P(cos >= 0.45) ~ 8e-5 and P(cos >= 0.7) = 0 — i.e.
+    even fully decorrelated growth keeps a geometric Theta(n^2)
+    background pair floor at the registry's tau=0.45, which is the
+    honest reason that entry is output-bound at ANY corpus; the floor
+    vanishes above tau ~ 0.6 for this embedding geometry.
+    """
+    src = f"{OUT}/x{factor}"
+    dest = f"{OUT}/xd{factor}"
+    if not os.path.exists(f"{src}/_DONE"):
+        raise SystemExit(f"generate x{factor} before gen-decorr x{factor}")
+    if os.path.exists(f"{dest}/_DONE"):
+        print(f"xd{factor}: already generated, skipping")
+        return
+    os.makedirs(dest, exist_ok=True)
+    for name in DIMS + [n for n in KEYED if n != "embeddings"]:
+        link = f"{dest}/{name}.parquet"
+        if not os.path.lexists(link):
+            os.symlink(f"{src}/{name}.parquet", link)
+
+    from pyspark.sql import functions as F
+
+    from polario_spark import get_spark
+    from polario_spark.sources.tables import load_table
+
+    spark = get_spark(f"scale_probe_gen_xd{factor}")
+    df = load_table(spark, BASE, "embeddings")
+    base_rows = df.count()
+    reps = spark.range(factor).withColumnRenamed("id", "__rep")
+    out = df.crossJoin(reps).withColumn(
+        "vec_id", F.col("vec_id") + F.col("__rep") * F.lit(STRIDE)
+    )
+    decorr = F.expr(
+        "transform(embedding, (x, i) -> cast("
+        " (CASE WHEN pmod(xxhash64(__rep, i), 2) = 0 THEN 1.0D ELSE -1.0D END)"
+        " * element_at(embedding,"
+        "   cast(pmod(i + __rep, size(embedding)) as int) + 1)"
+        " as float))"
+    )
+    out = out.withColumn(
+        "embedding",
+        F.when(F.col("__rep") == 0, F.col("embedding")).otherwise(decorr),
+    )
+    out = out.drop("__rep").repartition(_target_files(base_rows * factor))
+    out.write.mode("overwrite").parquet(f"{dest}/embeddings.parquet")
+    print(f"xd{factor}/embeddings: {base_rows * factor} rows")
+    open(f"{dest}/_DONE", "w").write("ok\n")
     spark.stop()
 
 
@@ -320,7 +419,8 @@ def _child() -> None:
     factor_s, out_path, qcsv = os.environ["SCALE_PROBE_CHILD"].split("|")
     factor = int(factor_s)
     names = qcsv.split(",")
-    sf_dir = BASE if factor == 1 else f"{OUT}/x{factor}"
+    prefix = os.environ.get("SCALE_PROBE_DIR_PREFIX", "x")
+    sf_dir = BASE if factor == 1 else f"{OUT}/{prefix}{factor}"
 
     import __spark_entry__ as entry_mod
     from polario_spark import get_spark
@@ -357,6 +457,7 @@ def _child() -> None:
     # (the default) for continuity with earlier rounds' artifacts;
     # alphas must only ever be compared within one sink mode.
     sink = os.environ.get("SCALE_PROBE_SINK", "collect")
+    queries = {**queries, **_probe_extra_queries()}
     times: dict = {"__calib__": [calib()], "__rows__": {}, "__sink__": sink}
     for name in names:
         runs: list[float] = []
@@ -485,6 +586,10 @@ def report(all_times: dict[int, dict[str, list[float]]], queries: list[str]) -> 
     # collect-sink alpha is never diffed against a count-sink one
     sinks = {all_times[f].get("__sink__", "collect") for f in factors if all_times.get(f)}
     mode = "count" if sinks == {"count"} else "run"
+    # a probe over a non-default corpus twin (gen-decorr) must land in
+    # its own artifact slot — its numbers are not comparable to the
+    # organic-replica curves
+    mode = os.environ.get("SCALE_PROBE_SLOT", mode)
     _emit_artifact({"mode": mode, "factors": factors, "results": results})
 
 
@@ -615,6 +720,11 @@ def main() -> int:
             if f > 1:
                 generate(f)
         return 0
+    if mode == "gen-decorr":
+        for f in factors:
+            if f > 1:
+                generate_decorr(f)
+        return 0
     if mode == "stream":
         squeries = [
             q
@@ -631,7 +741,14 @@ def main() -> int:
             )
         report_stream(all_res, squeries)
         return 0
-    queries = [q for q in PROBE_QUERIES if not os.environ.get("SCALE_PROBE_ONLY") or q in os.environ["SCALE_PROBE_ONLY"].split(",")]
+    # probe-only extras run ONLY when explicitly named: they are scaling
+    # controls, not registry entries, and must not ride the default sweep
+    candidates = PROBE_QUERIES + sorted(
+        n
+        for n in _probe_extra_queries()
+        if n in os.environ.get("SCALE_PROBE_ONLY", "").split(",")
+    )
+    queries = [q for q in candidates if not os.environ.get("SCALE_PROBE_ONLY") or q in os.environ["SCALE_PROBE_ONLY"].split(",")]
     all_times: dict[int, dict[str, list[float]]] = {}
     for f in factors:
         all_times[f] = run_factor(f, queries)
