@@ -1,9 +1,10 @@
 """Session-residue cleanup for long-lived shared sessions.
 
-A handful of diamond-shaped queries (``tfidf_top_terms``,
-``exact_substring_dup``, the k-means centroid loop) materialize an
-intermediate with ``localCheckpoint(eager=True)`` so a subplan feeding
-multiple consumers executes once. Checkpoint blocks live in executor
+A handful of diamond-shaped queries (``tfidf_top_terms``, the k-means
+centroid loop; ``exact_substring_dup`` until round 11, when its measured
+A/B showed recompute beats materializing the posting stream) checkpoint
+an intermediate with ``localCheckpoint(eager=True)`` so a subplan
+feeding multiple consumers executes once. Checkpoint blocks live in executor
 block storage and are NOT freed when the query's action completes — in a
 one-query-per-session cluster job that's irrelevant, but in the shared
 ~120-query bench/driver session every invocation leaves its blocks

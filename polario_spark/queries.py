@@ -1175,8 +1175,9 @@ def _exsub_grams(docs: DataFrame) -> DataFrame:
     """Per-doc distinct EXSUB_N-gram postings, one row per (doc_id, g).
 
     Module-level (not inlined in exact_substring_dup) so the plan tests
-    can assert its pre-checkpoint shape: the query's localCheckpoint
-    truncates lineage, hiding this subplan from the final explain.
+    can assert its shape in isolation (it was hidden from the query's
+    final explain while a localCheckpoint truncated lineage there,
+    rounds 9-11).
     explode_outer + null filter, not plain explode: see _decontam_plan —
     InferFiltersFromGenerate would push a size()>0 predicate that
     re-inlines the tokenizer into the shingle lambda (quadratic).
@@ -1227,13 +1228,18 @@ def exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: one shingle explode shuffled on the gram
     string (map-side combinable counts; per-doc grams are pre-distinct'd
-    so a gram's row count IS its document frequency), duplicated grams
-    join back to the postings on the gram key. The postings table feeds
-    three consumers (df, per-doc totals, per-doc hits) — the same
-    diamond tfidf_top_terms has — so it is materialized once with
-    localCheckpoint; a cluster run would persist or write it, and the
-    shared bench session sweeps the blocks between queries with
-    plans.release_cached_residue. Suffix
+    so a gram's row count IS its document frequency). The postings feed
+    exactly TWO consumers since the subtraction rewrite (the gram-stats
+    agg and the per-doc totals), and both are re-derived from the scan
+    rather than from a localCheckpoint: the checkpoint materialized the
+    full posting stream (~40 GB at the x300 probe point) into executor
+    block storage, and the measured same-session interleaved A/B at x300
+    was recompute 86-97 s vs checkpoint 123-127 s — PLUS the checkpoint
+    blocks' async unpersist degraded the next workload 6-25x (calib
+    0.12-0.52 after recompute vs 2.95-3.06 after checkpoint), one of the
+    order-effect residue mechanisms SCALE.md's bench-noise section
+    documents. Tokenize+shingle is cheap codegen; running it twice beats
+    storing its output once the stream outgrows the page cache. Suffix
     automata are the paper's single-machine tool; at corpus scale the
     fixed-width shingle join is the standard distributed approximation
     (it finds every duplicated run of >= 8 tokens, positioned by its
@@ -1243,7 +1249,7 @@ def exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumns(
         {"__toks": F.expr(TXT.tokens("text", "spark"))}
     )
-    grams = _exsub_grams(docs).localCheckpoint(eager=True)
+    grams = _exsub_grams(docs)
     # n_dup by SUBTRACTION, not by joining the duplicated grams back to
     # the postings: n_dup(doc) = n_grams(doc) - #(df == 1 grams owned by
     # doc), and a df == 1 gram's owner is recoverable from the df
