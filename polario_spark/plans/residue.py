@@ -1,10 +1,15 @@
 """Session-residue cleanup for long-lived shared sessions.
 
-A handful of diamond-shaped queries (``tfidf_top_terms``, the k-means
-centroid loop; ``exact_substring_dup`` until round 11, when its measured
-A/B showed recompute beats materializing the posting stream) checkpoint
-an intermediate with ``localCheckpoint(eager=True)`` so a subplan
-feeding multiple consumers executes once. Checkpoint blocks live in executor
+A handful of diamond-shaped queries (``q11_important_parts``, the
+k-means centroid loop, the dedup signature builders;
+``exact_substring_dup`` and ``tfidf_top_terms`` until round 11, when
+measured A/Bs showed recompute beats materializing corpus-sized
+intermediates — see SCALE.md round-11 session 3) checkpoint an
+intermediate with ``localCheckpoint`` so a subplan feeding multiple
+consumers executes once. The surviving checkpoints all materialize
+SMALL frames (dictionary- or per-doc-sized) against expensive
+recomputes; a checkpoint whose frame grows with the corpus is the
+anti-pattern the round-11 A/Bs quantified. Checkpoint blocks live in executor
 block storage and are NOT freed when the query's action completes — in a
 one-query-per-session cluster job that's irrelevant, but in the shared
 ~120-query bench/driver session every invocation leaves its blocks

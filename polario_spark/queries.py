@@ -830,24 +830,25 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the term key (dictionary-sized, not corpus-sized), and the corpus
     row count N arrives as a broadcast single-row cross join — standard
     distributed inverted-index construction. tf feeds two consumers
-    (scores and df) and Catalyst does not reuse the subplan, so it is
-    materialized once with localCheckpoint — the explode runs one time,
-    the same diamond-shape fix q11_important_parts uses (a cluster
-    deployment would persist or write the tf table instead; in the
-    shared bench session the blocks are swept between queries by
-    plans.release_cached_residue, since a returned DataFrame cannot
-    unpersist its own checkpoint before the caller collects). Ranking
+    (scores and df) and Catalyst does not reuse the subplan, so the
+    explode+agg runs twice — a localCheckpoint here was used rounds
+    8-11 and REMOVED after the same-session interleaved A/B at the x300
+    probe point measured recompute at-or-below the checkpoint on wall
+    (41.4/60.3 s vs 45.4/61.5 s) while the checkpoint's materialized
+    (doc, term, tf) blocks degraded the NEXT workload ~10x even after
+    the residue sweep (calib 1.66-1.77 after vs 0.13-0.20 clean) — the
+    exact_substring_dup finding; see SCALE.md's round-11 session-3
+    section. q11_important_parts keeps its checkpoint because there the
+    materialized frame is dictionary-sized against a lineitem-scan
+    recompute; here the frame GROWS with the corpus while the recompute
+    is one cheap codegen explode. Ranking
     happens on the ROUNDED score (4 dp) with a term tiebreak in both
     dialects, so the oracle can never disagree on near-tie ordering."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.expr(TXT.tokens("text", "spark"))).alias("term")
     )
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df derives from tf (one row per (doc, term) -> row count per term IS
     # the document frequency): saves the second corpus scan + explode the
     # naive countDistinct-over-tokens formulation costs
@@ -5268,8 +5269,12 @@ _PRIORITY = [
     "dedup_embedding_cosine_lsh",
     "dedup_embedding_cosine_lsh_loose",
     #   - exact_substring_dup: n_dup now computed by subtraction (the
-    #     duplicated-gram semi-join replaced by a singles aggregation)
+    #     duplicated-gram semi-join replaced by a singles aggregation);
+    #     session 3 also removed its postings localCheckpoint
     "exact_substring_dup",
+    #   - tfidf_top_terms: tf localCheckpoint removed (round-11 session-3
+    #     A/B: recompute at-or-below on wall, no residue poisoning)
+    "tfidf_top_terms",
 ]
 
 
