@@ -118,16 +118,32 @@ def minhash_candidate_pairs(
 
     Scale: the naive formulation (union of per-band self-joins) recomputes
     the signature pipeline 2 x bands times; this shape computes it once
-    for the band explode and twice for the estimate join-back, and the
-    only shuffled objects are (id, band) rows and the candidate id pairs.
-    Band buckets are the skew hazard: m boilerplate-identical docs share
-    one bucket and all-pairs enumeration is O(m^2). Buckets over
-    ``bucket_cap`` therefore emit star pairs to the bucket's min id
-    (m-1 pairs) — connected components through the candidate graph are
-    unchanged (every member still reaches the hub), and over-cap buckets
-    are degenerate near-identical groups where the individual pair list
-    carries no extra information. The bucket census is a window count on
-    the SAME band key the join shuffles on (one exchange, reused).
+    for the band explode. Band buckets are the skew hazard: m
+    boilerplate-identical docs share one bucket and all-pairs enumeration
+    is O(m^2). Buckets over ``bucket_cap`` therefore emit star pairs to
+    the bucket's min id (m-1 pairs) — connected components through the
+    candidate graph are unchanged (every member still reaches the hub;
+    hypothesis-pinned), and over-cap buckets are degenerate
+    near-identical groups where the individual pair list carries no
+    extra information. The bucket census is an aggregate on the SAME
+    band key the join shuffles on (one exchange, reused).
+
+    The estimate is computed INSIDE the candidate join's projection —
+    each band row carries its doc's full k-value signature (k ints,
+    linear in corpus) — and the ``est_sim >= MINHASH_MIN_EST_SIM``
+    filter runs before anything else touches the pair stream. Round 11's
+    x300 probe measured why this matters: bucket families grow linearly
+    with the corpus while staying under the cap, so the CANDIDATE pair
+    space is quadratic (21.4M at x100 -> 192.7M at x300) while true
+    pairs stay linear (69k) — the earlier shape shipped that quadratic
+    stream through a distinct() exchange plus TWO signature join-backs
+    before filtering 99.96% of it away. Scoring in the join keeps the
+    quadratic part streaming through whole-stage codegen inside the
+    join task (12 int compares per candidate, never materialized); only
+    surviving pairs — linear — reach a shuffle. distinct() then dedups
+    multi-band collisions AFTER the filter, which is equivalent because
+    est_sim is a pure function of the two signatures (every band's copy
+    of a pair scores identically).
     """
     band_structs = F.array(
         *[
@@ -141,13 +157,16 @@ def minhash_candidate_pairs(
             for band in range(MINHASH_BANDS)
         ]
     )
-    # the signature pipeline (token explode + k min-aggregates) feeds five
-    # plan branches (a/b/star band rows + both est join-backs); a lazy
+    # the signature pipeline (token explode + k min-aggregates) feeds
+    # multiple plan branches (a/b band rows + the star hub lookup); a lazy
     # localCheckpoint materializes it once — one row per doc, far cheaper
     # to store than to recompute, and release_cached_residue sweeps the
     # blocks between bench runs
     sig = sig.localCheckpoint(eager=False)
-    bands = sig.select(F.col(id_col), F.explode(band_structs).alias("__b"))
+    sig_cols = [f"mh{i}" for i in range(MINHASH_K)]
+    bands = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("__b"), *sig_cols
+    )
     # bucket census as an AGGREGATE, not a window (map-side combine: the
     # shuffle carries one partial per (task, bucket)), then keep ONLY the
     # over-cap buckets — that frame is <= |band rows|/cap by construction
@@ -161,41 +180,57 @@ def minhash_candidate_pairs(
     )
     small = bands.join(hot.select("__b"), "__b", "left_anti")
     a, b = small.alias("a"), small.alias("b")
-    all_pairs = a.join(
-        b,
-        (F.col("a.__b") == F.col("b.__b"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
+
+    def est(left: str, right: str):
+        return (
+            sum(
+                F.when(F.col(f"{left}.mh{i}") == F.col(f"{right}.mh{i}"), 1).otherwise(0)
+                for i in range(MINHASH_K)
+            )
+            / F.lit(float(MINHASH_K))
+        ).alias("est_sim")
+
+    all_pairs = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            est("a", "b"),
+        )
+        .filter(F.col("est_sim") >= MINHASH_MIN_EST_SIM)
     )
-    star_pairs = (
-        bands.join(hot, "__b")
-        .filter(F.col(id_col) != F.col("__bmin"))
-        .select(F.col("__bmin").alias("id_a"), F.col(id_col).alias("id_b"))
-    )
-    cand = all_pairs.unionAll(star_pairs).distinct()
-    sa = sig.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(MINHASH_K)],
-    )
-    sb = sig.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(MINHASH_K)],
-    )
-    est = (
+    # star pairs score member-vs-hub: the hub's signature arrives on the
+    # (tiny, <= |band rows|/cap) hot frame via one broadcast lookup
+    hub_sig = hot.join(
+        sig.select(
+            F.col(id_col).alias("__bmin"),
+            *[F.col(f"mh{i}").alias(f"__hub_mh{i}") for i in range(MINHASH_K)],
+        ),
+        "__bmin",
+    ).select("__b", "__bmin", *[f"__hub_mh{i}" for i in range(MINHASH_K)])
+    est_hub = (
         sum(
-            F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+            F.when(F.col(f"__hub_mh{i}") == F.col(f"m.mh{i}"), 1).otherwise(0)
             for i in range(MINHASH_K)
         )
         / F.lit(float(MINHASH_K))
     ).alias("est_sim")
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", est)
+    star_pairs = (
+        bands.alias("m")
+        .join(F.broadcast(hub_sig), "__b")
+        .filter(F.col(id_col) != F.col("__bmin"))
+        .select(
+            F.col("__bmin").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            est_hub,
+        )
         .filter(F.col("est_sim") >= MINHASH_MIN_EST_SIM)
     )
+    return all_pairs.unionAll(star_pairs).distinct()
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
