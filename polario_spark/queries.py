@@ -133,9 +133,17 @@ LIMIT 10
 """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: 3-way join + top-10. customer is tiny -> broadcast; the
-    orders<->lineitem join shuffles on orderkey (both sides pre-filtered,
-    so the shuffle carries only qualifying rows)."""
+    """TPC-H Q3: 3-way join + top-10. The orders<->lineitem join shuffles
+    on orderkey (both sides pre-filtered, so the shuffle carries only
+    qualifying rows). customer is NOT force-broadcast: it scales with SF
+    (unlike nation/region), so pinning broadcast is a driver OOM at
+    cluster SF — AQE picks broadcast from runtime sizes whenever the
+    filtered side fits (measured at x300: AQE chooses the same broadcast
+    plan, within ~20% of the forced pin from the extra decision stage),
+    and falls back to a shuffle join when it must. Round-11 policy: force
+    broadcast only on frames bounded by CONTRACT (dims, single-row aggs,
+    literal spines, the decontamination eval set), never on SF-scaling
+    tables."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -145,7 +153,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -196,9 +204,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -237,7 +245,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
     )
     return (
-        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "total_spend", "n_orders")
         .orderBy(F.col("total_spend").desc(), F.col("c_custkey").asc())
         .limit(10)
@@ -2009,7 +2017,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan filters; part is broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -2471,7 +2479,7 @@ def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 100 == 0)
     base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
@@ -2698,7 +2706,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         F.round(
             100.0
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
@@ -2741,7 +2749,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("__mx"))
-        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .join(sup, rev.l_suppkey == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
@@ -2768,7 +2776,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey")
     with_avg = li.withColumn("__avg_qty", F.avg("l_quantity").over(w))
     return (
-        with_avg.join(F.broadcast(part), with_avg.l_partkey == part.p_partkey)
+        with_avg.join(part, with_avg.l_partkey == part.p_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -2808,7 +2816,7 @@ def sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = _t(spark, sf_dir, "supplier")
     return (
-        sole.join(F.broadcast(sup), sole.the_supp == sup.s_suppkey)
+        sole.join(sup, sole.the_supp == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("n_sole_orders"))
         .orderBy(F.col("n_sole_orders").desc(), F.col("s_name"))
@@ -3036,10 +3044,10 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__ns_key"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__nc_key"))
         .filter(pair)
         .select("supp_nation", "cust_nation", vol)
@@ -3075,7 +3083,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(
@@ -3153,8 +3161,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
@@ -3213,8 +3221,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,4)").alias("amount")
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount)
@@ -3409,7 +3417,7 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_type"))
@@ -3438,14 +3446,14 @@ def q20_heavy_gear_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("__qty"))
         .filter(F.col("__qty") > 400)
     )
     sup = _t(spark, sf_dir, "supplier")
     return (
-        sup.join(F.broadcast(heavy), sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
@@ -3712,7 +3720,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         NUM.safe_decimal("l_extendedprice * (1 - l_discount)")
     )
     per_part = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(value_expr).alias("value"))
@@ -4233,7 +4241,7 @@ def ols_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
         "p_brand",
         F.col("l_quantity").cast("double").alias("x"),
         F.col("l_extendedprice").cast("double").alias("y"),
@@ -4362,7 +4370,7 @@ def upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * 2).alias("o_totalprice"),
     )
     merged = (
-        orders.join(F.broadcast(updates), "o_orderkey", "left_outer")
+        orders.join(updates, "o_orderkey", "left_outer")
         .select(
             "o_orderkey",
             "o_orderstatus",
@@ -5222,7 +5230,7 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
