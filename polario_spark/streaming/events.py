@@ -371,12 +371,20 @@ def static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer dimension (user_id = c_custkey), summarized per market
     segment.
 
-    The static side is a plain batch DataFrame broadcast into every
-    micro-batch — no state store is involved, so the join costs nothing
-    beyond the hash table. This is the canonical streaming enrichment
-    shape; at 100 TB/day the dim stays broadcast as long as it fits
-    (~10s of MB), otherwise it becomes a shuffled stream-static join on
-    the same code.
+    The static side is a plain batch DataFrame joined into every
+    micro-batch — no state store is involved. The dim is NOT
+    force-broadcast (round 11): customer scales with SF, so the planner
+    picks broadcast from its size stats while it fits and a shuffled
+    stream-static join when it doesn't — the same contract-bounded
+    broadcast policy the batch queries adopted. The per-segment
+    aggregation runs IN the stream (complete output mode), so the
+    memory sink holds one row per market segment per trigger instead of
+    the raw enriched event stream: the earlier append-mode shape
+    materialized O(corpus) joined rows in the sink and died with a Java
+    heap OOM at the x300 stream probe (30M enriched rows in a
+    ParallelCollection-backed memory table) — a scale bug the probe
+    caught that sf0.1 never could. Aggregate state is |segments| rows;
+    the sink is bounded by the group count at any corpus size.
 
     **The dimension snapshot is frozen at query start** (probed, round
     9): the parquet file LISTING is resolved when the plan is built, so
@@ -393,13 +401,19 @@ def static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .select("c_custkey", "c_mktsegment")
     )
-    joined = _event_stream(spark, sf_dir).join(
-        F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "inner"
+    enriched = (
+        _event_stream(spark, sf_dir)
+        .join(dim, F.col("user_id") == F.col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("__sv"),
+        )
     )
     name = f"enrich_{uuid.uuid4().hex[:8]}"
     with _state_partitions(spark):
         query = (
-            joined.writeStream.outputMode("append")
+            enriched.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
             .start()
@@ -410,10 +424,10 @@ def static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.stop()
     return (
         spark.table(name)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+        .select(
+            "c_mktsegment",
+            "n_events",
+            F.round("__sv", 2).alias("sum_value"),
         )
         .orderBy("c_mktsegment")
     )
