@@ -204,7 +204,12 @@ def minhash_candidate_pairs(
         .filter(F.col("est_sim") >= MINHASH_MIN_EST_SIM)
     )
     # star pairs score member-vs-hub: the hub's signature arrives on the
-    # (tiny, <= |band rows|/cap) hot frame via one broadcast lookup
+    # hot frame (almost always tiny, <= |band rows|/cap) — but that bound
+    # SCALES with the corpus, so the broadcast decision is left to AQE's
+    # runtime sizing rather than forced (a boilerplate-heavy 1e9-doc
+    # corpus can push hub_sig to millions of rows; a pinned broadcast
+    # there is a driver OOM, exactly the shape round 11 unforced in the
+    # batch queries)
     hub_sig = hot.join(
         sig.select(
             F.col(id_col).alias("__bmin"),
@@ -221,7 +226,7 @@ def minhash_candidate_pairs(
     ).alias("est_sim")
     star_pairs = (
         bands.alias("m")
-        .join(F.broadcast(hub_sig), "__b")
+        .join(hub_sig, "__b")
         .filter(F.col(id_col) != F.col("__bmin"))
         .select(
             F.col("__bmin").alias("id_a"),

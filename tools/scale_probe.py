@@ -172,12 +172,27 @@ def _probe_extra_queries() -> dict:
     from polario_spark.operators import similarity
     from polario_spark.sources.tables import load_table
 
+    # n comes from parquet footer metadata (no data scan), memoized per
+    # sf_dir — an emb.count() inside the timed body folded a full
+    # embeddings scan into the wall time of the very entry meant to
+    # evidence the sizing rule, biasing its alpha (round-12 advisor
+    # finding). Footer reads are O(#files) and identical across reps.
+    _n_cache: dict = {}
+
+    def _n_rows(sf_dir: str) -> int:
+        if sf_dir not in _n_cache:
+            import pyarrow.dataset as pads
+
+            _n_cache[sf_dir] = pads.dataset(
+                f"{sf_dir}/embeddings.parquet"
+            ).count_rows()
+        return _n_cache[sf_dir]
+
     def lsh_cosine_sized(spark, sf_dir):
         import math as _m
 
         emb = load_table(spark, sf_dir, "embeddings")
-        n = emb.count()
-        r = max(4, round(_m.log2(max(n, 1) / 128)))
+        r = max(4, round(_m.log2(max(_n_rows(sf_dir), 1) / 128)))
         return similarity.cosine_pairs_bucketed(
             emb, "vec_id", "embedding", 0.45, bits_per_band=r
         )
@@ -588,7 +603,14 @@ def report(all_times: dict[int, dict[str, list[float]]], queries: list[str]) -> 
     mode = "count" if sinks == {"count"} else "run"
     # a probe over a non-default corpus twin (gen-decorr) must land in
     # its own artifact slot — its numbers are not comparable to the
-    # organic-replica curves
+    # organic-replica curves. The slot is DERIVED from the corpus prefix
+    # so forgetting SCALE_PROBE_SLOT cannot silently write decorr
+    # numbers into the organic-replica slot; the env var remains as an
+    # explicit override on top of the derived name.
+    prefix = os.environ.get("SCALE_PROBE_DIR_PREFIX", "x")
+    if prefix != "x":
+        twin = "decorr" if prefix == "xd" else prefix
+        mode = f"{twin}-{mode}"
     mode = os.environ.get("SCALE_PROBE_SLOT", mode)
     _emit_artifact({"mode": mode, "factors": factors, "results": results})
 
