@@ -1083,6 +1083,46 @@ LSH_SEED = 0xC051FE
 LSH_BITS_PER_BAND = 4
 LSH_N_BANDS = 16
 
+#: Dials for the SIZED operating point (lsh_sized_dials): target expected
+#: bucket size, and the candidate recall the band count must hold at the
+#: query threshold as r grows. 16 (vs COSINE_TILE=1024) makes the rule
+#: bite already at gate-scale corpora (n=500 -> r=5, n=2000 -> r=7), so
+#: the correctness gate executes a genuinely different banding than the
+#: fixed r=4 entries rather than degenerating to them.
+LSH_SIZED_BUCKET = 16
+LSH_SIZED_RECALL = 0.9
+
+
+def lsh_sized_dials(
+    n: int,
+    threshold: float,
+    target_bucket: int = LSH_SIZED_BUCKET,
+    recall: float = LSH_SIZED_RECALL,
+) -> "tuple[int, int]":
+    """(bits_per_band, n_bands) per the measured SIZING-AT-SCALE rule.
+
+    r = max(4, round(log2(n / target_bucket))) holds expected bucket size
+    at ~target_bucket as the corpus grows, so verify work PER BAND is
+    ~n*B (linear) instead of the fixed-r n^2/2^r (quadratic — the x300
+    decorrelated-corpus probe measured alpha_unit -0.32 under this rule,
+    tools/scale_probe.py). L then rises to hold candidate recall at
+    sim=threshold under the standard hyperplane-LSH collision model
+    P(candidate) = 1 - (1 - p^r)^L, p = 1 - arccos(threshold)/pi:
+    L = ceil(ln(1-recall) / ln(1-p^r)) ~ (n/B)^(-log2 p) — i.e. total
+    verify work L*n*B ~ n^(1+rho), the classic hyperplane-LSH exponent
+    (rho ~ 0.5 at tau 0.6): vastly sub-quadratic but NOT linear; holding
+    both bucket size and recall costs the rho term, the known price of
+    miss-rate-preserving LSH. Both outputs are pure functions of
+    (n, threshold), so a build-time DuckDB oracle constructed from the
+    gate corpus's row count bands identically to the runtime Spark plan.
+    """
+    import math
+
+    r = max(4, round(math.log2(max(n, 1) / target_bucket)))
+    p = 1.0 - math.acos(threshold) / math.pi
+    n_bands = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p**r)))
+    return r, n_bands
+
 
 def _lsh_index_pairs(
     dim: int,

@@ -2196,6 +2196,73 @@ def dedup_embedding_cosine_lsh_loose(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("id_a", "id_b")
 
 
+def _footer_rows(sf_dir: str, table: str) -> Optional[int]:
+    """Row count from parquet footer metadata only — no Spark job, no data
+    scan, O(#files). None when the path isn't footer-readable (non-local
+    filesystems, missing table) so callers can fall back."""
+    try:
+        import pyarrow.dataset as _pads
+
+        return _pads.dataset(f"{sf_dir}/{table}.parquet").count_rows()
+    except Exception:
+        return None
+
+
+#: The correctness gate runs every oracle at sf0.01 (driver contract), so
+#: a build-time oracle for a corpus-size-derived operating point is
+#: constructed from THAT corpus's row count. Footer-read at import; the
+#: recorded sf0.01 count is the fallback for environments without the
+#: testdata tree (keeps `import polario_spark.queries` total).
+_GATE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+_SIZED_LSH_TAU = 0.45
+_SIZED_LSH_DIALS = similarity.lsh_sized_dials(
+    _footer_rows(_GATE_SF_DIR, "embeddings") or 500, _SIZED_LSH_TAU
+)
+
+
+@_register(
+    "dedup_embedding_cosine_lsh_sized",
+    similarity.cosine_pairs_bucketed_sql(
+        "embeddings",
+        "vec_id",
+        "embedding",
+        _SIZED_LSH_TAU,
+        bits_per_band=_SIZED_LSH_DIALS[0],
+        n_bands=_SIZED_LSH_DIALS[1],
+    )
+    + "\nORDER BY id_a, id_b",
+)
+def dedup_embedding_cosine_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third operating point for LSH cosine dedup — the SIZED one: the
+    band dials are not pinned constants but derived from the corpus row
+    count per the measured log2(n/B) rule (lsh_sized_dials), exactly as a
+    100 TB deployment must set them. This is the gate twin of the probe's
+    `lsh_cosine_sized` control (tools/scale_probe.py): r grows with the
+    corpus so expected bucket size stays ~LSH_SIZED_BUCKET and verify
+    work stays linear; L grows to hold candidate recall at tau. At the
+    gate corpus (sf0.01, n=500) this resolves to r=5/L=19 — a genuinely
+    different banding than the fixed r=4/L=16 entries — and at bench
+    (sf0.1, n=2000) to r=7/L=47, so the rule executes, not just its
+    gate-point value. n comes from parquet footer metadata (no count
+    job); the oracle bands identically because lsh_sized_dials is a pure
+    function of (n, tau) and the oracle was built from the same gate
+    corpus's footer count. tau stays at the default 0.45 so the gate
+    compares real pairs (tau>=0.5 yields <=1 pair on the sparse sf0.01
+    corpus — a vacuous match); the Theta(n^2) OUTPUT geometry of tau=0.45
+    at dim 64 (background P(cos>=0.45) ~ 8e-5, SCALE.md r11) is a
+    property of the threshold, not the plan — the sizing rule keeps the
+    COMPUTE sub-quadratic (n^(1+rho)) whatever tau the caller picks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = _footer_rows(sf_dir, "embeddings")
+    if n is None:
+        n = emb.count()
+    r, n_bands = similarity.lsh_sized_dials(n, _SIZED_LSH_TAU)
+    return similarity.cosine_pairs_bucketed(
+        emb, "vec_id", "embedding", _SIZED_LSH_TAU,
+        bits_per_band=r, n_bands=n_bands,
+    ).orderBy("id_a", "id_b")
+
+
 #: Fixed on-disk home for each entry's materialized GEMM cell assignment
 #: (the inverted file): the Spark query writes (nid, cell) here and the
 #: DuckDB oracle reads the SAME bytes back, so the BLAS argmax is computed
@@ -5261,28 +5328,15 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the earlier hand-curated _DRIVER_GREEN back-list, which required
 #      manual rotation every round.
 _PRIORITY = [
-    # Round-11 session-2 code changes under these entries (kept small
-    # per the r7 ruling so the stalest-green rotation keeps refreshing
-    # old rows):
-    #   - semdedup verify rework (per-cell rank blocks, per-id tile
-    #     reduce, dense-dgemm tiles) and the IVF search + probe GEMMs
-    #     with the materialized probe tables: re-verify every consumer
-    #     of semdedup_dropped / ivf_topk / probe_cells /
-    #     _screened_tile_sims (the dense branch also feeds the
-    #     pair-emitting entries)
-    "semantic_dedup",
-    "ann_ivf_topk",
-    "ann_ivf_kmeans_topk",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine_lsh_loose",
-    #   - exact_substring_dup: n_dup now computed by subtraction (the
-    #     duplicated-gram semi-join replaced by a singles aggregation);
-    #     session 3 also removed its postings localCheckpoint
-    "exact_substring_dup",
-    #   - tfidf_top_terms: tf localCheckpoint removed (round-11 session-3
-    #     A/B: recompute at-or-below on wall, no residue poisoning)
-    "tfidf_top_terms",
+    # Round-12 code changes under these entries (kept small per the r7
+    # ruling so the stalest-green rotation keeps refreshing old rows —
+    # the r9-stale cohort must fit in this round's 50-entry sample):
+    #   - minhash_pairs: hub_sig broadcast pin removed (AQE decides;
+    #     round-12 advisor finding)
+    "dedup_minhash",
+    #   - brand new this round: the gate twin of the probe's sizing-rule
+    #     control (needs its first driver row)
+    "dedup_embedding_cosine_lsh_sized",
 ]
 
 

@@ -906,3 +906,54 @@ def test_probe_cells_block_seam_merge(spark):
         sims = (cmat @ q) / (cn * max(np.sqrt(q @ q), 1e-12))
         want = set(np.argsort(-sims, kind="stable")[:2].tolist())
         assert cells == want, (qid, cells, want)
+
+
+def test_lsh_sized_dials_rule_properties():
+    """The sizing rule's contract, pinned: r tracks log2(n/B) with a floor
+    of 4 (expected bucket size ~B at every n), L holds the candidate
+    recall bound under the hyperplane collision model at every operating
+    point, and both outputs are pure functions of (n, tau) — the property
+    the build-time oracle's validity rests on."""
+    import math
+
+    for n, tau in [(500, 0.45), (2000, 0.45), (60_000, 0.6), (10**9, 0.6)]:
+        r, bands = similarity.lsh_sized_dials(n, tau)
+        assert r == max(4, round(math.log2(n / similarity.LSH_SIZED_BUCKET)))
+        p = 1.0 - math.acos(tau) / math.pi
+        recall = 1.0 - (1.0 - p**r) ** bands
+        assert recall >= similarity.LSH_SIZED_RECALL, (n, tau, r, bands, recall)
+        # minimality: one fewer band would break the recall bound
+        if bands > 1:
+            assert 1.0 - (1.0 - p**r) ** (bands - 1) < similarity.LSH_SIZED_RECALL
+        assert (r, bands) == similarity.lsh_sized_dials(n, tau)
+    # monotone: a bigger corpus never gets looser buckets
+    rs = [similarity.lsh_sized_dials(n, 0.45)[0] for n in (10**3, 10**5, 10**7)]
+    assert rs == sorted(rs) and rs[0] < rs[-1]
+
+
+def test_cosine_pairs_bucketed_sized_subset_and_recall(spark):
+    """The SIZED operating point (r/L from lsh_sized_dials instead of the
+    fixed defaults) keeps the bucketed contract: subset of exact pairs at
+    the same threshold, sims exact, recall held at the model's bound, and
+    the banding genuinely differs from the fixed-dial entry (r > 4)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    r, bands = similarity.lsh_sized_dials(n, 0.45)
+    assert r > similarity.LSH_BITS_PER_BAND  # the rule bites at n=500
+    exact = {
+        (row.id_a, row.id_b): row.sim
+        for row in similarity.cosine_pairs(
+            emb, "vec_id", "embedding", 0.45
+        ).collect()
+    }
+    sized = {
+        (row.id_a, row.id_b): row.sim
+        for row in similarity.cosine_pairs_bucketed(
+            emb, "vec_id", "embedding", 0.45, bits_per_band=r, n_bands=bands
+        ).collect()
+    }
+    assert set(sized) <= set(exact)
+    assert len(exact) > 0
+    assert len(sized) / len(exact) >= 0.8, (len(sized), len(exact))
+    for pair, sim in sized.items():
+        assert sim == exact[pair], pair

@@ -54,6 +54,11 @@ SUBSET = [
     "zipwith_consecutive_dot",
     "argmax_supplier_per_nation",
     "federated_three_formats",
+    # sized LSH: the oracle was built from the GATE corpus's footer count
+    # (sf0.01, n=500); sf0.001 has the same embeddings count, so the
+    # build-time dials and the runtime dials coincide here exactly as
+    # they do at the driver's gate
+    "dedup_embedding_cosine_lsh_sized",
 ]
 
 
