@@ -73,12 +73,18 @@ SELECT qid, nid, sim, rank FROM (
 """
 
 
-def _quantize_exprs(vec_col: str, dialect: str) -> tuple[str, str]:
+def _quantize_exprs(
+    vec_col: str, dialect: str, width: str = "bigint"
+) -> tuple[str, str]:
     """(scale expr over vec_col, int8 array expr over vec_col + bound
     ``__qscale``): symmetric per-vector int8 quantization q_i =
     round(x_i * 127 / max|x|). The scale column must be BOUND before the
     quantize transform (an inlined array_max inside the lambda would
-    re-scan the vector per element — the HOF-inlining trap)."""
+    re-scan the vector per element — the HOF-inlining trap). ``width``
+    picks the Spark storage type: ``bigint`` for in-flight math,
+    ``tinyint`` for a materialized index where the 1-byte element IS the
+    memory win (values are bounded in [-127, 127] by construction, so
+    the ANSI cast cannot overflow)."""
     if dialect == "spark":
         scale = (
             f"greatest(array_max(transform({vec_col}, "
@@ -86,7 +92,7 @@ def _quantize_exprs(vec_col: str, dialect: str) -> tuple[str, str]:
         )
         quant = (
             f"transform({vec_col}, x -> cast(round(cast(x as double) "
-            f"* 127 / __qscale) as bigint))"
+            f"* 127 / __qscale) as {width}))"
         )
     else:
         scale = (
@@ -2299,6 +2305,130 @@ SELECT qid, nid, sim, rank FROM (
   SELECT p.qid, a.nid, round({VEC.cosine('p.__q', 'a.__v', 'duckdb')}, 4) + 0.0 AS sim,
          row_number() OVER (PARTITION BY p.qid
            ORDER BY round({VEC.cosine('p.__q', 'a.__v', 'duckdb')}, 4) DESC, a.nid ASC) AS rank
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid != a.nid
+) WHERE rank <= {k}
+"""
+
+
+def quantized_index(assigned: DataFrame, vec_col: str = "__v") -> DataFrame:
+    """(nid, __qv array<tinyint>, cell) — the int8-QUANTIZED inverted
+    file: the cell assignment's float vectors symmetrically quantized to
+    one byte per component (``_quantize_exprs``), which is the actual
+    memory claim of quantized search — the index a 1000-executor search
+    fleet holds resident is 1/8th the float64 corpus, and the float
+    corpus is not needed again after indexing. Per-vector scales are NOT
+    stored: they cancel out of the integer cosine (see ``_int_cosine``),
+    so the index is self-contained for similarity search."""
+    scale, quant = _quantize_exprs(vec_col, "spark", width="tinyint")
+    return (
+        assigned.withColumns({"__qscale": F.expr(scale)})
+        .withColumns({"__qv": F.expr(quant)})
+        .select("nid", "__qv", "cell")
+    )
+
+
+def dequant_expr(col: str = "__qv") -> str:
+    """Spark expr casting an int8 index vector back to array<double> for
+    the GEMM kernels. The values stay the exact integers — dim 64 at
+    |q| <= 127 keeps every dot product below 2^21, so float GEMM over
+    these is integer-exact and bitwise equal to DuckDB's integer fold."""
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def ivf_topk_quantized(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroids: Optional[DataFrame] = None,
+    assigned_q: Optional[DataFrame] = None,
+    probes: Optional[DataFrame] = None,
+) -> DataFrame:
+    """IVF top-k over the int8-quantized inverted file — the scale path
+    that replaces ``quantized_topk``'s broadcast-query quadratic: cell
+    geometry and probe selection are the float IVF machinery (coarse
+    quantizer stays float, IVF-PQ style), but everything the SEARCH
+    touches — member vectors AND query vectors — is the quantized index,
+    so the resident working set is 1/8th the float corpus and the sim is
+    the same integer-dot cosine ``quantized_topk`` defines. The kernel
+    path is byte-for-byte the float IVF one (``_cell_rank_blocks`` +
+    ``_make_block_topk``): int8 values cast to double are exact in BLAS
+    GEMM (dim 64, |q| <= 127 -> dots < 2^21), so no separate quantized
+    kernel exists to drift.
+
+    ``assigned_q`` injects a materialized (nid, __qv, cell) index (see
+    ``quantized_index``); ``probes`` a materialized (qid, cell) table.
+    Registry entries materialize both so the DuckDB oracle verifies
+    against the same bytes (assign_cells/probe_cells DETERMINISM).
+    """
+    corpus = ensure_parallelism(corpus)
+    if assigned_q is None:
+        assigned_q = quantized_index(
+            assign_cells(corpus, id_col, vec_col, centroids).select(
+                "nid", "__v", "cell"
+            )
+        )
+    dq = assigned_q.select(
+        "cell", "nid", F.expr(dequant_expr("__qv")).alias("__qd")
+    )
+    if probes is None:
+        probes = probe_cells(
+            corpus,
+            id_col,
+            vec_col,
+            centroids=centroids,
+            queries_from=dq.select("nid", F.col("__qd").alias("__v")),
+        )
+    pq = probes.select("qid", "cell").join(
+        dq.select(F.col("nid").alias("qid"), F.col("__qd").alias("__q")),
+        "qid",
+    )
+    qb = _cell_rank_blocks(
+        pq.select("cell", "qid", "__q"), "qid", "__q", "__qids", "__qflat"
+    )
+    mb = _cell_rank_blocks(
+        dq.select("cell", "nid", F.col("__qd").alias("__nv")),
+        "nid",
+        "__nv",
+        "__nids",
+        "__nflat",
+    )
+    cand = (
+        qb.drop("__blk")
+        .join(mb.drop("__blk"), "cell")
+        .mapInPandas(
+            _make_block_topk(k), schema="qid long, nid long, sim double"
+        )
+    )
+    w_top = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )
+
+
+def ivf_topk_quantized_sql(
+    qassigned_sql: str, probes_sql: str, k: int = 5
+) -> str:
+    """Oracle for ivf_topk_quantized: integer-dot cosine over the probed
+    cells of the materialized quantized index. Both CTE sources are
+    required read_parquet frames over the bytes the Spark twin wrote —
+    the quantization, assignment, and probe selection are never replayed
+    in SQL, so a BLAS near-tie cannot split the engines. ``qassigned_sql``
+    must yield (nid, __qv DOUBLE[], cell); ``probes_sql`` (qid, __qa
+    DOUBLE[], cell), typically a join of the probe table back to the
+    assigned CTE for the query vectors."""
+    sim = _int_cosine("p.__qa", "a.__qv", "duckdb")
+    return f"""
+WITH assigned AS ({qassigned_sql}),
+probes AS ({probes_sql})
+SELECT qid, nid, sim, rank FROM (
+  SELECT p.qid, a.nid, round({sim}, 4) + 0.0 AS sim,
+         row_number() OVER (PARTITION BY p.qid
+           ORDER BY round({sim}, 4) DESC, a.nid ASC) AS rank
   FROM probes p JOIN assigned a ON p.cell = a.cell AND p.qid != a.nid
 ) WHERE rank <= {k}
 """

@@ -2426,18 +2426,82 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nORDER BY qid, rank",
 )
 def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 cosine neighbors over int8-quantized embeddings — the
-    memory-scale complement to ann_topk_cosine: 4x smaller vectors,
-    integer-dot cosine (per-vector scales cancel), same broadcast-query /
-    stationary-corpus plan. Malformed vectors shed at the scan both sides
-    (a NaN component would kill the NaN->BIGINT quantize cast under ANSI
-    — round-8 probe)."""
+    """Top-5 cosine neighbors over int8-quantized embeddings — an EXACT
+    OPT-IN BASELINE, the third alongside ann_topk_cosine and
+    dedup_embedding_cosine: the broadcast-query / stationary-corpus plan
+    is compute-quadratic by design (it scans every (query, member) pair
+    — the int8 win here is memory and integer SIMD, not plan shape), so
+    it exists to pin the exact integer-cosine semantics and as the
+    recall reference. The scale path with the same quantized semantics
+    is ann_ivf_quantized_topk (probed cells only, n^1.5 work).
+    Malformed vectors shed at the scan both sides (a NaN component would
+    kill the NaN->BIGINT quantize cast under ANSI — round-8 probe)."""
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
     return similarity.quantized_topk(emb, "vec_id", "embedding", 5).orderBy(
         "qid", "rank"
     )
+
+
+#: Materialized homes for the QUANTIZED inverted file and its probe table
+#: (see _SEMDEDUP_ASSIGN_PATH rationale — one path per entry).
+_IVF_Q_ASSIGN_PATH = stable_work_path("ivf_quant_assign")
+_IVF_Q_PROBES_PATH = stable_work_path("ivf_quant_probes")
+
+
+@_register(
+    "ann_ivf_quantized_topk",
+    similarity.ivf_topk_quantized_sql(
+        qassigned_sql=(
+            f"SELECT t.nid, (t.__qv)::DOUBLE[] AS __qv, t.cell "
+            f"FROM read_parquet('{_IVF_Q_ASSIGN_PATH}/*.parquet') t"
+        ),
+        probes_sql=(
+            f"SELECT p.qid, a.__qv AS __qa, p.cell "
+            f"FROM read_parquet('{_IVF_Q_PROBES_PATH}/*.parquet') p "
+            f"JOIN assigned a ON a.nid = p.qid"
+        ),
+        k=5,
+    )
+    + "\nORDER BY qid, rank",
+)
+def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over the int8-QUANTIZED inverted file — the scale path
+    that makes ann_topk_quantized's memory story real: the materialized
+    index stores one byte per component (array<tinyint>, 1/8th the
+    float64 corpus — what a search fleet actually holds resident), the
+    float corpus is never touched after indexing (probe queries use the
+    dequantized index vectors; scale cancels out of cosine), and the
+    search is the per-cell blocked GEMM of ann_ivf_topk — int8 values
+    cast to double are integer-exact in BLAS at dim 64, so the float
+    kernel IS the quantized kernel and the sim is bitwise the
+    integer-dot cosine the oracle computes. Assignment and probe tables
+    materialized; the oracle reads the same bytes (no SQL replay of
+    quantization, GEMM argmax, or probe selection)."""
+    emb = similarity.well_formed_vectors(
+        _t(spark, sf_dir, "embeddings"), "embedding", 64
+    )
+    qidx = similarity.quantized_index(
+        similarity.assign_cells(emb, "vec_id", "embedding").select(
+            "nid", "__v", "cell"
+        )
+    )
+    qidx.write.mode("overwrite").parquet(prepare_stable_dir(_IVF_Q_ASSIGN_PATH))
+    assigned_q = spark.read.parquet(_IVF_Q_ASSIGN_PATH)
+    probes = similarity.probe_cells(
+        emb,
+        "vec_id",
+        "embedding",
+        queries_from=assigned_q.select(
+            "nid", F.expr(similarity.dequant_expr("__qv")).alias("__v")
+        ),
+    )
+    probes.write.mode("overwrite").parquet(prepare_stable_dir(_IVF_Q_PROBES_PATH))
+    probes = spark.read.parquet(_IVF_Q_PROBES_PATH)
+    return similarity.ivf_topk_quantized(
+        emb, "vec_id", "embedding", 5, assigned_q=assigned_q, probes=probes
+    ).orderBy("qid", "rank")
 
 
 #: Fixed on-disk home for the Lloyd-refined centroid table: the Spark query
@@ -5335,8 +5399,10 @@ _PRIORITY = [
     #     round-12 advisor finding)
     "dedup_minhash",
     #   - brand new this round: the gate twin of the probe's sizing-rule
-    #     control (needs its first driver row)
+    #     control, and the quantized IVF scale path (both need their
+    #     first driver row)
     "dedup_embedding_cosine_lsh_sized",
+    "ann_ivf_quantized_topk",
 ]
 
 

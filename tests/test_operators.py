@@ -957,3 +957,55 @@ def test_cosine_pairs_bucketed_sized_subset_and_recall(spark):
     assert len(sized) / len(exact) >= 0.8, (len(sized), len(exact))
     for pair, sim in sized.items():
         assert sim == exact[pair], pair
+
+
+def test_ivf_topk_quantized_sims_are_integer_cosines(spark):
+    """The quantized IVF's sims must be exactly the integer-dot cosine
+    quantized_topk defines (the float GEMM over int8-cast values is
+    integer-exact at dim 64): every (qid, nid) the IVF path returns that
+    the exact quantized scan also scored must carry the identical sim,
+    and the result shape/rank contract must match the IVF family."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = similarity.well_formed_vectors(emb, "embedding", 64)
+    exact = {
+        (r.qid, r.nid): r.sim
+        for r in similarity.quantized_topk(emb, "vec_id", "embedding", 5)
+        .collect()
+    }
+    got = similarity.ivf_topk_quantized(emb, "vec_id", "embedding", 5).collect()
+    assert len(got) > 0
+    assert {c for c in got[0].asDict()} == {"qid", "nid", "sim", "rank"}
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.qid, []).append(r)
+        if (r.qid, r.nid) in exact:
+            assert r.sim == exact[(r.qid, r.nid)], (r.qid, r.nid)
+    for qid, rows in per_q.items():
+        ranks = sorted(x.rank for x in rows)
+        assert ranks == list(range(1, len(rows) + 1)), qid
+        sims = [x.sim for x in sorted(rows, key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True), qid
+
+
+def test_quantized_index_stores_tinyint(spark, tmp_path):
+    """The materialized quantized index must be genuinely int8 storage
+    (array<tinyint>) with values bounded in [-127, 127] — the memory
+    claim the operator's docstring makes — and dequantization must
+    reproduce the exact integers."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = similarity.well_formed_vectors(emb, "embedding", 64)
+    cells = similarity.assign_cells(emb, "vec_id", "embedding").select(
+        "nid", "__v", "cell"
+    )
+    qidx = similarity.quantized_index(cells)
+    assert dict(qidx.dtypes)["__qv"] == "array<tinyint>"
+    path = str(tmp_path / "qidx")
+    qidx.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["__qv"] == "array<tinyint>"
+    row = back.selectExpr(
+        "max(array_max(__qv)) AS hi", "min(array_min(__qv)) AS lo",
+        "max(abs(array_max(__qv))) AS m",
+    ).collect()[0]
+    assert -127 <= row.lo <= row.hi <= 127
+    assert row.m == 127  # symmetric scaling always hits full range

@@ -59,6 +59,7 @@ SUBSET = [
     # build-time dials and the runtime dials coincide here exactly as
     # they do at the driver's gate
     "dedup_embedding_cosine_lsh_sized",
+    "ann_ivf_quantized_topk",
 ]
 
 
