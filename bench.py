@@ -84,6 +84,21 @@ def run_shard(names: list[str], sf_dir: str, spark) -> dict:
     calib_start = time.perf_counter()
     spark.range(200_000_000).selectExpr("sum(id * 3 + 1)", "avg(id % 7)").collect()
     calib_sec = round(time.perf_counter() - calib_start, 3)
+    # Second calibration term (round-12): the FIXED per-query overhead —
+    # a 0-row two-stage query (plan + AQE + shuffle stage + job launch +
+    # empty collect) pays everything an entry pays except data work.
+    # Sub-second entries are dominated by this floor, so normalizing by
+    # calib_sec alone over-corrects them on slow machines (the r9-r11
+    # verdicts' normalizations disagreed ~15% by method). Model:
+    # t ~ calib_fixed_sec + w * calib_sec, with w the machine-independent
+    # work coefficient the tripwire compares across rounds. min-of-3: the
+    # floor estimator must not absorb a GC pause.
+    fixed_runs = []
+    for _ in range(3):
+        f0 = time.perf_counter()
+        spark.range(0).selectExpr("id % 7 AS k").groupBy("k").count().collect()
+        fixed_runs.append(time.perf_counter() - f0)
+    calib_fixed_sec = round(min(fixed_runs), 4)
     for t in TABLES:
         try:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
@@ -143,7 +158,12 @@ def run_shard(names: list[str], sf_dir: str, spark) -> dict:
         # ADVICE) — only a base-repeat failure marks the entry errored
         timings[name] = min(ok) if base_clean else -1.0
 
-    return {"calib_sec": calib_sec, "queries": timings, "runs": all_runs}
+    return {
+        "calib_sec": calib_sec,
+        "calib_fixed_sec": calib_fixed_sec,
+        "queries": timings,
+        "runs": all_runs,
+    }
 
 
 def _run_shard_subprocess(idx: int, k: int, sf_dir: str, out_path: str) -> bool:
@@ -220,6 +240,8 @@ def main() -> None:
     all_runs = {n: rr for r in shard_results for n, rr in r["runs"].items()}
     shard_calibs = [r["calib_sec"] for r in shard_results]
     calib_sec = round(sum(shard_calibs) / len(shard_calibs), 3)
+    shard_fixed = [r.get("calib_fixed_sec", 0.0) for r in shard_results]
+    calib_fixed_sec = round(sum(shard_fixed) / len(shard_fixed), 4)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     n_errors = sum(1 for t in timings.values() if t < 0)
@@ -231,7 +253,9 @@ def main() -> None:
                 "sf": sf,
                 "total_sec": total,
                 "calib_sec": calib_sec,
+                "calib_fixed_sec": calib_fixed_sec,
                 "shard_calibs": shard_calibs,
+                "shard_fixed": shard_fixed,
                 "shard_of": shard_of,
                 "n_errors": n_errors,
                 "queries": timings,
@@ -252,6 +276,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_errors": n_errors,
                 "calib_sec": calib_sec,
+                "calib_fixed_sec": calib_fixed_sec,
             }
         )
     )

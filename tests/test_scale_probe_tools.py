@@ -79,3 +79,43 @@ def test_single_factor_yields_nothing():
     probe = _load()
     d = probe.derive_cost_shape(_entry({30: 5.0}, {30: 10}, alpha=None))
     assert d == {}
+
+
+_TW_SPEC = importlib.util.spec_from_file_location(
+    "bench_tripwire",
+    pathlib.Path(__file__).resolve().parents[1] / "tools" / "bench_tripwire.py",
+)
+
+
+def _load_tripwire():
+    mod = importlib.util.module_from_spec(_TW_SPEC)
+    _TW_SPEC.loader.exec_module(mod)  # type: ignore[union-attr]
+    return mod
+
+
+def test_tripwire_two_term_normalization():
+    """The round-12 two-term model: w = max(t - fixed, 0) / rate, with
+    shard-level terms when present and a fixed=0 degrade for pre-r12
+    runs — the normalization the verdict compares rounds with, pinned so
+    it stops being a judgment call."""
+    tw = _load_tripwire()
+    sharded = {
+        "calib_sec": 0.6,
+        "calib_fixed_sec": 0.2,
+        "shard_of": {"q": 1},
+        "shard_calibs": [0.5, 0.8],
+        "shard_fixed": [0.1, 0.3],
+    }
+    assert tw._calib_for(sharded, "q") == (0.8, 0.3)
+    assert tw._calib_for(sharded, "unknown") == (0.6, 0.2)
+    legacy = {"calib_sec": 0.7}
+    assert tw._calib_for(legacy, "q") == (0.7, 0.0)
+    # a floor-dominated entry: 0.35s at fixed 0.3 is w=0.1/rate, and the
+    # same work on a 2x-slower machine (rate 1.0, fixed 0.6, t=0.7)
+    # normalizes to the SAME coefficient — rate-only division would have
+    # claimed a 1.4x change
+    w_fast = tw._work_coeff(0.35, (0.5, 0.3))
+    w_slow = tw._work_coeff(0.7, (1.0, 0.6))
+    assert abs(w_fast - w_slow) < 1e-9
+    # never negative even when t < fixed (measurement jitter)
+    assert tw._work_coeff(0.1, (0.5, 0.3)) == 0.0

@@ -47,15 +47,40 @@ THRESHOLD = 2.0  # calib-normalized worsening factor that trips
 MIN_ABS_SEC = 0.5  # ignore entries faster than this in BOTH runs
 
 
-def _calib_for(run: dict, name: str) -> float:
-    """Entry's normalizing calibration: its shard's calib when the run is
-    sharded, else the run-wide calib_sec."""
+def _calib_for(run: dict, name: str) -> tuple[float, float]:
+    """Entry's normalizing terms (rate_calib_sec, fixed_overhead_sec):
+    its shard's when the run is sharded, else the run-wide values.
+
+    Round 12 two-term model (verdict item 5): an entry's wall time is
+    t ~ fixed + w * rate, where ``fixed`` is the per-query floor (plan +
+    job launch + empty collect — measured by bench.py's 0-row query) and
+    ``w`` the machine-independent work coefficient. Comparing
+    w = max(t - fixed, 0) / rate across rounds removes BOTH machine
+    axes; dividing t by rate alone (the pre-r12 method) over-corrects
+    floor-dominated sub-second entries, which is exactly where rounds
+    9-11's normalizations disagreed ~15%. Runs that pre-date the second
+    term carry no calib_fixed_sec and degrade to fixed = 0 — the old
+    behavior, slightly conservative on the old side of one round
+    transition."""
     shard_of = run.get("shard_of") or {}
     shard_calibs = run.get("shard_calibs") or []
+    shard_fixed = run.get("shard_fixed") or []
     idx = shard_of.get(name)
     if isinstance(idx, int) and 0 <= idx < len(shard_calibs):
-        return float(shard_calibs[idx]) or 1.0
-    return float(run.get("calib_sec") or 1.0)
+        rate = float(shard_calibs[idx]) or 1.0
+        fixed = (
+            float(shard_fixed[idx]) if idx < len(shard_fixed) else 0.0
+        )
+        return rate, fixed
+    return (
+        float(run.get("calib_sec") or 1.0),
+        float(run.get("calib_fixed_sec") or 0.0),
+    )
+
+
+def _work_coeff(t: float, terms: tuple[float, float]) -> float:
+    rate, fixed = terms
+    return max(t - fixed, 0.0) / rate
 
 
 def _newest_bench_round() -> str | None:
@@ -93,8 +118,9 @@ def _load_previous_full() -> tuple[dict | None, str]:
         return None, f"git lookup failed: {exc}"
 
 
-def _load_previous_top10() -> tuple[dict[str, float], float, str]:
-    """(top-10 seconds, calib_sec, source) from the newest BENCH_r*.json."""
+def _load_previous_top10() -> tuple[dict[str, float], tuple[float, float], str]:
+    """(top-10 seconds, (calib_sec, calib_fixed_sec), source) from the
+    newest BENCH_r*.json."""
     rounds = sorted(
         f for f in os.listdir(REPO)
         if f.startswith("BENCH_r") and f.endswith(".json")
@@ -104,12 +130,15 @@ def _load_previous_top10() -> tuple[dict[str, float], float, str]:
             parsed = json.load(open(os.path.join(REPO, fname)))["parsed"]
             return (
                 dict(parsed["queries"]),
-                float(parsed.get("calib_sec") or 1.0),
+                (
+                    float(parsed.get("calib_sec") or 1.0),
+                    float(parsed.get("calib_fixed_sec") or 0.0),
+                ),
                 fname,
             )
         except Exception:
             continue
-    return {}, 1.0, "none"
+    return {}, (1.0, 0.0), "none"
 
 
 def main() -> int:
@@ -136,7 +165,10 @@ def main() -> int:
             if t is None or t < 0:
                 return None, None, "no clean previous time"
             return t, _calib_for(prev_full, name), "vs exact (full map)"
-        prev_calib_desc = f"{prev_full.get('calib_sec')}"
+        prev_calib_desc = (
+            f"{prev_full.get('calib_sec')}"
+            f"+{prev_full.get('calib_fixed_sec', 0.0)}"
+        )
     else:
         prev_q, prev_calib, source = _load_previous_top10()
         if not prev_q:
@@ -167,13 +199,16 @@ def main() -> int:
             continue
         if max(old_t, new_t) < MIN_ABS_SEC:
             continue
-        ratio = (new_t / _calib_for(new, name)) / max(old_t / old_calib, 1e-9)
+        ratio = _work_coeff(new_t, _calib_for(new, name)) / max(
+            _work_coeff(old_t, old_calib), 1e-9
+        )
         if ratio > THRESHOLD and name not in touched:
             tripped.append((name, old_t, new_t, ratio, why))
 
     print(
         f"tripwire: {len(new_q)} queries vs {source} "
-        f"(prev calib {prev_calib_desc} -> new {new.get('calib_sec')})"
+        f"(prev calib {prev_calib_desc} -> new {new.get('calib_sec')}"
+        f"+{new.get('calib_fixed_sec', 0.0)})"
     )
     if not tripped:
         print("tripwire: clean — no untouched entry worsened "
