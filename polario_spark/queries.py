@@ -646,10 +646,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard >= 0.6 for same-language pairs (blocked
-    quadratic — exact complement to the MinHash approximation)."""
+    quadratic — exact complement to the MinHash approximation). The
+    prefix-filter auto-dispatch size signal comes from parquet footer
+    metadata (no count job in the plan-build path — round-12 advisor
+    sweep); the in-operator count() remains only as the fallback for
+    non-footer-readable sources."""
     docs = _t(spark, sf_dir, "documents")
     return similarity.ngram_jaccard_pairs(
-        docs, "doc_id", "text", ("lang",), 0.6
+        docs, "doc_id", "text", ("lang",), 0.6,
+        n_docs=_footer_rows(sf_dir, "documents"),
     ).orderBy("id_a", "id_b")
 
 

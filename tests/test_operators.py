@@ -1009,3 +1009,24 @@ def test_quantized_index_stores_tinyint(spark, tmp_path):
     ).collect()[0]
     assert -127 <= row.lo <= row.hi <= 127
     assert row.m == 127  # symmetric scaling always hits full range
+
+
+def test_dedup_ngram_jaccard_builds_without_count_job(spark, monkeypatch):
+    """Registry plan-build must not run a Spark job: the prefix-filter
+    auto-dispatch size signal comes from parquet footer metadata, so
+    DataFrame.count must never fire during construction (it re-executes
+    the upstream plan when the input is derived — round-12 advisor
+    sweep). The count() fallback stays available for sources without
+    readable footers, so only the REGISTRY path is pinned here."""
+    from pyspark.sql import DataFrame as _DF
+
+    from polario_spark import queries as Q
+
+    def _boom(self):
+        raise AssertionError("DataFrame.count ran during plan build")
+
+    monkeypatch.setattr(_DF, "count", _boom)
+    df = Q.REGISTRY["dedup_ngram_jaccard"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert df.columns == ["id_a", "id_b", "jaccard"]
