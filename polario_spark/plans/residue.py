@@ -30,14 +30,26 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
-def release_cached_residue(spark: SparkSession) -> int:
+def release_cached_residue(spark: SparkSession, blocking: bool = True) -> int:
     """Unpersist all persistent RDDs (localCheckpoint blocks included);
-    returns how many were released. Non-blocking: block deletion
-    proceeds asynchronously while the next query plans."""
+    returns how many were released.
+
+    BLOCKING by default (round-12 A/B, RESIDUE_AB_r12.json): after a
+    checkpointing x100 workload, an async ``unpersist(False)`` returned
+    in ~0.05 s but left block deletion racing the NEXT workload — the
+    first calibration sample after it measured 1.13-1.27 s against a
+    0.11-0.16 s quiet floor (and round 11's substring checkpoint showed
+    the same mechanism at 6-25x), i.e. ~1 s of deletion cost paid
+    UNATTRIBUTABLY inside whatever runs next. Blocking pays the same
+    ~1.0-1.2 s inside this call — bounded, attributable, outside every
+    caller's timed region (bench.py and the probes sweep between
+    repeats) — and the very next calibration sample is already at the
+    quiet floor. Pass ``blocking=False`` only when the caller neither
+    times nor immediately runs follow-on work."""
     released = 0
     for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
         try:
-            jrdd.unpersist(False)
+            jrdd.unpersist(blocking)
             released += 1
         except Exception:  # a racing job holding the RDD must not fail the sweep
             pass

@@ -5403,6 +5403,8 @@ _PRIORITY = [
     #   - minhash_pairs: hub_sig broadcast pin removed (AQE decides;
     #     round-12 advisor finding)
     "dedup_minhash",
+    #   - prefix-dispatch size signal now footer-sourced (no count job)
+    "dedup_ngram_jaccard",
     #   - brand new this round: the gate twin of the probe's sizing-rule
     #     control, and the quantized IVF scale path (both need their
     #     first driver row)
