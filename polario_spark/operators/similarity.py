@@ -1189,6 +1189,54 @@ def _lsh_band_sigs(
     return sigs
 
 
+#: Dial-product bound for the codegen signature path: r*L CASE scalar
+#: expressions in one projection compile fine at the fixed entries' 64
+#: and the gate-sized 95, but the Janino compiler itself OOMs somewhere
+#: below the x30 probe point's 4980 (round 12). 512 is comfortably
+#: inside compiled territory; above it the literal-array HOF form takes
+#: over (identical outputs, equivalence test-pinned).
+LSH_CODEGEN_MAX_BITS = 512
+
+
+def _lsh_banded_hof(
+    base: DataFrame, vec_col: str, dim: int, r: int, n_bands: int
+) -> DataFrame:
+    """Band/sig assembly for large dial products, data-driven: hyperplane
+    index pairs ride as array LITERALS and the per-plane sign tests run
+    in interpreted higher-order functions — one ``__bits`` column bound
+    first (computed once per row), then L (band, sig) structs exploded.
+    Bitwise identical to the ``_lsh_band_sigs`` codegen form: bit j of a
+    band's signature weighs 2^j over the same ``_lsh_index_pairs``
+    order. See cosine_pairs_bucketed for why this form exists."""
+    idx = _lsh_index_pairs(dim, r * n_bands, LSH_SEED, r)
+    a_lit = F.lit([a for a, _ in idx])
+    b_lit = F.lit([b for _, b in idx])
+    w_lit = F.lit([1 << j for j in range(r)])
+    bits = F.zip_with(
+        F.transform(a_lit, lambda i: F.element_at(F.col(vec_col), i + 1)),
+        F.transform(b_lit, lambda i: F.element_at(F.col(vec_col), i + 1)),
+        lambda x, y: F.when(x > y, F.lit(1)).otherwise(F.lit(0)),
+    )
+    bs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda band: F.struct(
+            band.alias("band"),
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(r)),
+                F.lit(0),
+                lambda acc, j: acc
+                + F.element_at(F.col("__bits"), band * r + j)
+                * F.element_at(w_lit, j),
+            ).alias("sig"),
+        ),
+    )
+    return (
+        base.withColumn("__bits", bits)
+        .withColumn("__bs", F.explode(bs))
+        .drop("__bits")
+    )
+
+
 def cosine_pairs_bucketed(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1197,6 +1245,7 @@ def cosine_pairs_bucketed(
     dim: int = 64,
     bits_per_band: int = LSH_BITS_PER_BAND,
     n_bands: int = LSH_N_BANDS,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing
     — the 100 TB default that replaces ``cosine_pairs``'s exact all-pairs.
@@ -1244,26 +1293,65 @@ def cosine_pairs_bucketed(
     (not count()-adaptive) because the DuckDB oracle's signature
     expressions are generated at BUILD time — both sides of a comparison
     must be constructed with the same (r, L).
+
+    ``n_rows`` (optional, corpus row count — pass a footer-metadata
+    count, never a count() job) sizes the bucket shuffle: the signature
+    stream is n*L rows EACH CARRYING ITS VECTOR (~dim*8+48 bytes), so at
+    sized dials (L in the hundreds — see lsh_sized_dials) it reaches
+    tens of GB while the session default of 32 shuffle partitions hands
+    each of 32 concurrent applyInPandas tasks a ~0.5 GB Arrow group
+    batch — measured Java-heap OOM at the x30 probe point (round 12).
+    With n_rows the stream is explicitly hash-repartitioned on the
+    grouping keys to ~128 MB partitions; the groupBy's own exchange is
+    then satisfied by the existing partitioning (same keys), so this
+    adds no extra shuffle, only picks the partition COUNT the default
+    could not know. Results are identical either way — partitioning
+    never changes bucket membership.
     """
     corpus = ensure_parallelism(well_formed_vectors(corpus, vec_col, dim))
-    sig_structs = ", ".join(
-        f"named_struct('band', {band}, 'sig', {sig})"
-        for band, sig in enumerate(
-            _lsh_band_sigs("__v", dim, "spark", bits_per_band, n_bands)
-        )
+    base = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
     )
-    sigs = (
-        corpus.select(
-            F.col(id_col).alias("__id"),
-            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
+    if bits_per_band * n_bands <= LSH_CODEGEN_MAX_BITS:
+        # small dial products: one codegen projection of r*L CASE
+        # expressions — the fastest form, and what the DuckDB oracle's
+        # generated SQL mirrors expression-for-expression
+        sig_structs = ", ".join(
+            f"named_struct('band', {band}, 'sig', {sig})"
+            for band, sig in enumerate(
+                _lsh_band_sigs("__v", dim, "spark", bits_per_band, n_bands)
+            )
         )
-        .withColumn("__bs", F.explode(F.expr(f"array({sig_structs})")))
-        .select(
-            "__id", "__v",
-            F.col("__bs.band").alias("band"),
-            F.col("__bs.sig").alias("sig"),
+        banded = base.withColumn(
+            "__bs", F.explode(F.expr(f"array({sig_structs})"))
         )
+    else:
+        # sized dials (L in the hundreds — lsh_sized_dials): r*L scalar
+        # CASEs in ONE projection OOM the Janino whole-stage-codegen
+        # compiler itself (measured at the x30 probe point, r=12/L=415 =
+        # 4980 CASEs: java.lang.OutOfMemoryError inside
+        # UnitCompiler.buildLocalVariableMap — a COMPILER blowup, not a
+        # data-memory one). Same math, data-driven: the hyperplane index
+        # pairs become three array LITERALS (one Catalyst literal each,
+        # however many planes) and the signature assembly runs through
+        # interpreted higher-order functions — ~2*r*L ops per vector,
+        # linear and small next to the bucket-verify GEMM. ``__bits`` is
+        # BOUND as a column first so it computes once per row (the
+        # HOF-inlining trap: referenced inline it would re-evaluate per
+        # band). Bit j weights 2^j exactly as _lsh_band_sigs emits, so
+        # both forms produce identical (band, sig) values — equivalence
+        # is test-pinned.
+        banded = _lsh_banded_hof(base, "__v", dim, bits_per_band, n_bands)
+    sigs = banded.select(
+        "__id", "__v",
+        F.col("__bs.band").alias("band"),
+        F.col("__bs.sig").alias("sig"),
     )
+    if n_rows is not None:
+        stream_bytes = n_rows * n_bands * (dim * 8 + 48)
+        parts = max(32, -(-stream_bytes // (128 << 20)))
+        sigs = sigs.repartition(int(parts), "band", "sig")
 
     def bucket_pairs(pdf):
         import numpy as np

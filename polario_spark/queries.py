@@ -2264,7 +2264,7 @@ def dedup_embedding_cosine_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFr
     r, n_bands = similarity.lsh_sized_dials(n, _SIZED_LSH_TAU)
     return similarity.cosine_pairs_bucketed(
         emb, "vec_id", "embedding", _SIZED_LSH_TAU,
-        bits_per_band=r, n_bands=n_bands,
+        bits_per_band=r, n_bands=n_bands, n_rows=n,
     ).orderBy("id_a", "id_b")
 
 

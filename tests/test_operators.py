@@ -1030,3 +1030,41 @@ def test_dedup_ngram_jaccard_builds_without_count_job(spark, monkeypatch):
         spark, "/root/testdata/sf0.001"
     )
     assert df.columns == ["id_a", "id_b", "jaccard"]
+
+
+def test_lsh_hof_banding_matches_codegen_form(spark):
+    """The two signature-assembly forms (codegen CASE expressions vs the
+    literal-array HOF path that large sized dials dispatch to) must
+    produce IDENTICAL (id, band, sig) sets — the HOF form exists only
+    because Janino OOMs compiling thousands of scalar CASEs, never to
+    change the banding. Pinned at dials where both run comfortably."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = similarity.well_formed_vectors(emb, "embedding", 64).select(
+        F.col("vec_id").alias("__id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("__v"),
+    )
+    r, n_bands = 5, 19
+    sig_structs = ", ".join(
+        f"named_struct('band', {band}, 'sig', {sig})"
+        for band, sig in enumerate(
+            similarity._lsh_band_sigs("__v", 64, "spark", r, n_bands)
+        )
+    )
+    codegen = {
+        (x["__id"], x.band, x.sig)
+        for x in base.withColumn(
+            "__bs", F.explode(F.expr(f"array({sig_structs})"))
+        )
+        .select("__id", F.col("__bs.band").alias("band"), F.col("__bs.sig").alias("sig"))
+        .collect()
+    }
+    hof = {
+        (x["__id"], x.band, x.sig)
+        for x in similarity._lsh_banded_hof(base, "__v", 64, r, n_bands)
+        .select("__id", F.col("__bs.band").alias("band"), F.col("__bs.sig").alias("sig"))
+        .collect()
+    }
+    assert len(codegen) == 500 * n_bands
+    assert hof == codegen

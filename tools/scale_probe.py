@@ -116,9 +116,17 @@ PROBE_QUERIES = [
     "dedup_clusters",
     "semantic_dedup",
     "dedup_embedding_cosine_lsh",
+    # sized LSH operating point (round 12): holds BOTH bucket size and
+    # candidate recall, so L ~ (n/B)^rho and the signature stream (each
+    # band row carries its vector) grows n^(1+rho) by design — probe it
+    # to x100 at most; past that the stream is the measurement, not the
+    # plan (the probe-only lsh_cosine_sized control, fixed L, is the
+    # instrument for the r-rule's unit cost at x300)
+    "dedup_embedding_cosine_lsh_sized",
     # similarity search
     "ann_topk_cosine",
     "ann_ivf_topk",
+    "ann_ivf_quantized_topk",
     "ann_ivf_kmeans_topk",
     # multimodal (Arrow-batched kernel path)
     "multimodal_features",
