@@ -5405,6 +5405,11 @@ _PRIORITY = [
     "dedup_minhash",
     #   - prefix-dispatch size signal now footer-sourced (no count job)
     "dedup_ngram_jaccard",
+    #   - cosine_pairs_bucketed restructured (codegen/HOF signature
+    #     dispatch + stream-sized bucket shuffle): re-verify the two
+    #     fixed-dial consumers too
+    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_loose",
     #   - brand new this round: the gate twin of the probe's sizing-rule
     #     control, and the quantized IVF scale path (both need their
     #     first driver row)
