@@ -84,6 +84,8 @@ AFFECTED = [
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_sized",
+    "ann_ivf_quantized_topk",
     "semantic_dedup",
     "embedding_norm_stats",
     "zipwith_consecutive_dot",   # the job-kill this suite exists for

@@ -41,6 +41,8 @@ AFFECTED = [
     "ann_topk_cosine",
     "ann_topk_quantized",
     "ann_ivf_topk",
+    "ann_ivf_quantized_topk",
+    "dedup_embedding_cosine_lsh_sized",
 ]
 
 

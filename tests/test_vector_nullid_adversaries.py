@@ -38,6 +38,8 @@ AFFECTED = [
     "dedup_embedding_cosine",
     "dedup_embedding_cosine_lsh",
     "dedup_embedding_cosine_lsh_loose",
+    "dedup_embedding_cosine_lsh_sized",
+    "ann_ivf_quantized_topk",
     "semantic_dedup",
     "embedding_norm_stats",
     "embedding_dim_stats",
