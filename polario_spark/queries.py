@@ -44,7 +44,7 @@ from polario_spark.operators.multimodal import (
     frame_sample,
     with_binary_payload,
 )
-from polario_spark.sources.tables import load_table
+from polario_spark.sources.tables import footer_rows, load_table
 from polario_spark.streaming import events as streaming_events
 from polario_spark.streaming.events import hourly_counts
 from polario_spark.workdir import prepare_stable_dir, stable_work_path, work_dir
@@ -2201,28 +2201,35 @@ def dedup_embedding_cosine_lsh_loose(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("id_a", "id_b")
 
 
-def _footer_rows(sf_dir: str, table: str) -> Optional[int]:
-    """Row count from parquet footer metadata only — no Spark job, no data
-    scan, O(#files). None when the path isn't footer-readable (non-local
-    filesystems, missing table) so callers can fall back."""
-    try:
-        import pyarrow.dataset as _pads
-
-        return _pads.dataset(f"{sf_dir}/{table}.parquet").count_rows()
-    except Exception:
-        return None
+#: Shared footer-metadata row counter (sources/tables.py) — no Spark
+#: job; None when not footer-readable so callers can fall back.
+_footer_rows = footer_rows
 
 
 #: The correctness gate runs every oracle at sf0.01 (driver contract), so
 #: a build-time oracle for a corpus-size-derived operating point is
-#: constructed from THAT corpus's row count. Footer-read at import; the
-#: recorded sf0.01 count is the fallback for environments without the
-#: testdata tree (keeps `import polario_spark.queries` total).
+#: constructed from THAT corpus's row count. Footer-read at import (one
+#: small-file metadata read — pyarrow is already a pyspark dependency);
+#: the recorded sf0.01 count is the fallback for environments without
+#: the testdata tree (keeps `import polario_spark.queries` total), and
+#: the fallback WARNS: a silent divergence between the baked oracle's
+#: dials and a runtime twin reading the real corpus is exactly the
+#: failure the gate could not attribute (self-review r12).
 _GATE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 _SIZED_LSH_TAU = 0.45
-_SIZED_LSH_DIALS = similarity.lsh_sized_dials(
-    _footer_rows(_GATE_SF_DIR, "embeddings") or 500, _SIZED_LSH_TAU
-)
+_GATE_EMB_ROWS = _footer_rows(_GATE_SF_DIR, "embeddings")
+if _GATE_EMB_ROWS is None:
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"gate corpus {_GATE_SF_DIR}/embeddings.parquet not footer-readable; "
+        "dedup_embedding_cosine_lsh_sized's oracle dials fall back to the "
+        "recorded n=500 — its gate comparison is only valid on a corpus "
+        "with the same sized-dial resolution",
+        RuntimeWarning,
+    )
+    _GATE_EMB_ROWS = 500
+_SIZED_LSH_DIALS = similarity.lsh_sized_dials(_GATE_EMB_ROWS, _SIZED_LSH_TAU)
 
 
 @_register(

@@ -55,3 +55,21 @@ def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql queries)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def footer_rows(sf_dir: str, name: str) -> "int | None":
+    """Row count of ``{sf_dir}/{name}.parquet`` from parquet FOOTER
+    metadata only — no Spark job, no data scan, O(#files) driver-side.
+
+    Returns None when the path is not footer-readable (missing table,
+    non-local filesystem without a pyarrow handler) so callers can fall
+    back to a count() job — the shared helper behind the registry's
+    plan-build row counts and the scale probe's sizing controls
+    (self-review r12: two private copies had already drifted on
+    fallback behavior)."""
+    try:
+        import pyarrow.dataset as _pads
+
+        return _pads.dataset(f"{sf_dir}/{name}.parquet").count_rows()
+    except Exception:
+        return None

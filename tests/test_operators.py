@@ -1005,10 +1005,15 @@ def test_quantized_index_stores_tinyint(spark, tmp_path):
     assert dict(back.dtypes)["__qv"] == "array<tinyint>"
     row = back.selectExpr(
         "max(array_max(__qv)) AS hi", "min(array_min(__qv)) AS lo",
-        "max(abs(array_max(__qv))) AS m",
+        # per-vector peak MAGNITUDE: greatest(|max|, |min|) — abs of the
+        # max element alone misses vectors whose largest-|x| component
+        # is negative (self-review r12). Symmetric scaling maps every
+        # vector's peak-|x| component to +-127, so the MIN over vectors
+        # pins the invariant for each row, not just one lucky one.
+        "min(greatest(abs(array_max(__qv)), abs(array_min(__qv)))) AS m",
     ).collect()[0]
     assert -127 <= row.lo <= row.hi <= 127
-    assert row.m == 127  # symmetric scaling always hits full range
+    assert row.m == 127  # symmetric scaling hits full range per vector
 
 
 def test_dedup_ngram_jaccard_builds_without_count_job(spark, monkeypatch):

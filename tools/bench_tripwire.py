@@ -59,9 +59,10 @@ def _calib_for(run: dict, name: str) -> tuple[float, float]:
     axes; dividing t by rate alone (the pre-r12 method) over-corrects
     floor-dominated sub-second entries, which is exactly where rounds
     9-11's normalizations disagreed ~15%. Runs that pre-date the second
-    term carry no calib_fixed_sec and degrade to fixed = 0 — the old
-    behavior, slightly conservative on the old side of one round
-    transition."""
+    term carry no calib_fixed_sec and report fixed = 0; the comparison
+    loop then drops the fixed term on BOTH sides so the one transition
+    round is compared under one model instead of a mixed, trip-
+    suppressing one (self-review r12)."""
     shard_of = run.get("shard_of") or {}
     shard_calibs = run.get("shard_calibs") or []
     shard_fixed = run.get("shard_fixed") or []
@@ -199,9 +200,30 @@ def main() -> int:
             continue
         if max(old_t, new_t) < MIN_ABS_SEC:
             continue
-        ratio = _work_coeff(new_t, _calib_for(new, name)) / max(
-            _work_coeff(old_t, old_calib), 1e-9
-        )
+        new_terms = _calib_for(new, name)
+        old_terms = old_calib
+        # One-transition symmetry (self-review r12): when only ONE side
+        # carries the second calibration term (the reference pre-dates
+        # r12), subtracting the floor from the new side alone deflates
+        # every ratio and a genuine >2x work regression can slip through
+        # the exact transition round the screen exists for. Compare both
+        # sides with the same model: fixed = 0 on both when either side
+        # lacks it.
+        if (old_terms[1] == 0.0) != (new_terms[1] == 0.0):
+            old_terms = (old_terms[0], 0.0)
+            new_terms = (new_terms[0], 0.0)
+        old_w = _work_coeff(old_t, old_terms)
+        new_w = _work_coeff(new_t, new_terms)
+        # Floor-dominated old entries (old_t at or under the old fixed
+        # floor -> old_w ~ 0) have no meaningful work coefficient — a
+        # near-zero denominator would manufacture astronomical trips
+        # even for entries that got FASTER in raw seconds (self-review
+        # r12). Degrade to the raw-time ratio there: the entry's cost IS
+        # the floor, so raw wall is the only signal left.
+        if old_w < 0.05:
+            ratio = new_t / max(old_t, 1e-9)
+        else:
+            ratio = new_w / old_w
         if ratio > THRESHOLD and name not in touched:
             tripped.append((name, old_t, new_t, ratio, why))
 

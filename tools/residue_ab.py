@@ -39,14 +39,13 @@ sys.path.insert(0, REPO)
 
 
 def _release(spark, blocking: bool) -> tuple[int, float]:
+    """Time the LIBRARY release path itself (not a copy of its loop), so
+    the A/B always measures the code whose default its verdict decides
+    (self-review r12)."""
+    from polario_spark.plans import release_cached_residue
+
     start = time.perf_counter()
-    released = 0
-    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
-        try:
-            jrdd.unpersist(blocking)
-            released += 1
-        except Exception:
-            pass
+    released = release_cached_residue(spark, blocking=blocking)
     return released, round(time.perf_counter() - start, 3)
 
 

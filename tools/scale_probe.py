@@ -180,27 +180,29 @@ def _probe_extra_queries() -> dict:
     from polario_spark.operators import similarity
     from polario_spark.sources.tables import load_table
 
-    # n comes from parquet footer metadata (no data scan), memoized per
-    # sf_dir — an emb.count() inside the timed body folded a full
-    # embeddings scan into the wall time of the very entry meant to
-    # evidence the sizing rule, biasing its alpha (round-12 advisor
-    # finding). Footer reads are O(#files) and identical across reps.
+    # n comes from parquet footer metadata (no data scan; the shared
+    # helper in sources/tables), memoized per sf_dir — an emb.count()
+    # inside the timed body folded a full embeddings scan into the wall
+    # time of the very entry meant to evidence the sizing rule, biasing
+    # its alpha (round-12 advisor finding). The count() fallback (non-
+    # footer-readable source) runs OUTSIDE the memo only once per dir.
+    from polario_spark.sources.tables import footer_rows
+
     _n_cache: dict = {}
 
-    def _n_rows(sf_dir: str) -> int:
+    def _n_rows(spark, sf_dir: str) -> int:
         if sf_dir not in _n_cache:
-            import pyarrow.dataset as pads
-
-            _n_cache[sf_dir] = pads.dataset(
-                f"{sf_dir}/embeddings.parquet"
-            ).count_rows()
+            n = footer_rows(sf_dir, "embeddings")
+            if n is None:
+                n = load_table(spark, sf_dir, "embeddings").count()
+            _n_cache[sf_dir] = n
         return _n_cache[sf_dir]
 
     def lsh_cosine_sized(spark, sf_dir):
         import math as _m
 
         emb = load_table(spark, sf_dir, "embeddings")
-        r = max(4, round(_m.log2(max(_n_rows(sf_dir), 1) / 128)))
+        r = max(4, round(_m.log2(max(_n_rows(spark, sf_dir), 1) / 128)))
         return similarity.cosine_pairs_bucketed(
             emb, "vec_id", "embedding", 0.45, bits_per_band=r
         )
