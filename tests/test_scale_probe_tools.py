@@ -119,3 +119,75 @@ def test_tripwire_two_term_normalization():
     assert abs(w_fast - w_slow) < 1e-9
     # never negative even when t < fixed (measurement jitter)
     assert tw._work_coeff(0.1, (0.5, 0.3)) == 0.0
+
+
+def test_tripwire_floor_fallback_is_rate_scaled():
+    """r12 advisor: the floor-dominated degrade path (old_w ~ 0) must
+    still remove the machine-speed axis. An entry sitting AT the old
+    floor that doubles in raw seconds on a machine whose rate calib also
+    doubled has NOT regressed — a bare raw ratio would have tripped it."""
+    tw = _load_tripwire()
+    # old: 0.6s at (rate 0.5, fixed 0.6) -> old_w = 0 (floor-dominated);
+    # new machine 2x slower (rate 1.0), same work: 1.2s raw
+    r = tw._ratio(0.6, 1.2, (0.5, 0.6), (1.0, 1.2))
+    assert abs(r - 1.0) < 1e-9
+    # same machines, raw genuinely 3x -> trips at 3.0
+    r = tw._ratio(0.6, 1.8, (0.5, 0.6), (0.5, 0.6))
+    assert abs(r - 3.0) < 1e-9
+    # non-floor entries keep the work-coefficient ratio
+    r = tw._ratio(1.6, 2.6, (0.5, 0.6), (0.5, 0.6))
+    assert abs(r - 2.0) < 1e-9
+
+
+def test_tripwire_refuses_self_comparison():
+    """r12 blind spot: a reference whose shared entries and calib are
+    byte-equal to the candidate IS the candidate — must refuse, never
+    print clean."""
+    tw = _load_tripwire()
+    q = {"a": 1.234, "b": 0.777}
+    assert tw._is_self_comparison(q, 0.5, dict(q), 0.5)
+    # one differing shared value -> genuinely distinct runs
+    assert not tw._is_self_comparison(q, 0.5, {"a": 1.234, "b": 0.778}, 0.5)
+    # identical values but different calib -> distinct runs
+    assert not tw._is_self_comparison(q, 0.5, dict(q), 0.6)
+    # disjoint maps -> nothing shared, not a self-comparison
+    assert not tw._is_self_comparison(q, 0.5, {"c": 1.0}, 0.5)
+
+
+def test_tripwire_uncommitted_round_uses_committed_map(tmp_path):
+    """r12 blind spot, reference-selection half: when the newest
+    BENCH_r*.json is NOT committed (driver artifacts land untracked),
+    the reference must be the newest COMMITTED bench_full.json — never
+    an on-disk artifact that could be the candidate itself."""
+    import json as _json
+    import subprocess as _sp
+
+    tw = _load_tripwire()
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    _sp.run(["git", "init", "-q"], cwd=repo, check=True)
+    _sp.run(["git", "config", "user.email", "t@t"], cwd=repo, check=True)
+    _sp.run(["git", "config", "user.name", "t"], cwd=repo, check=True)
+    committed = {"queries": {"a": 1.0}, "calib_sec": 0.5}
+    (repo / "bench_full.json").write_text(_json.dumps(committed))
+    _sp.run(["git", "add", "bench_full.json"], cwd=repo, check=True)
+    _sp.run(["git", "commit", "-qm", "r12 map"], cwd=repo, check=True)
+    # the driver's new round artifact: on disk, NOT committed; the
+    # working-tree bench_full.json is the new run
+    (repo / "BENCH_r13.json").write_text(
+        _json.dumps({"parsed": {"queries": {"a": 9.0}, "calib_sec": 0.6}})
+    )
+    (repo / "bench_full.json").write_text(
+        _json.dumps({"queries": {"a": 9.0}, "calib_sec": 0.6})
+    )
+    tw.REPO = str(repo)
+    prev, source = tw._load_previous_full()
+    assert prev == committed, source
+    assert "uncommitted" in source and "committed map" in source
+    # and when the newest round file IS committed, the anchor is that
+    # round's commit (the pre-r13 behavior, unchanged)
+    _sp.run(["git", "add", "BENCH_r13.json", "bench_full.json"], cwd=repo, check=True)
+    _sp.run(["git", "commit", "-qm", "r13 artifacts"], cwd=repo, check=True)
+    prev, source = tw._load_previous_full()
+    assert prev["queries"] == {"a": 9.0}
+    assert "BENCH_r13.json's commit" in source

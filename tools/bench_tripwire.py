@@ -13,16 +13,27 @@ the SCALE.md protocol says to re-time in a fresh session before
 believing either number.
 
 Reference, in preference order (round-9, closing the r8 verdict's
-"bounded from above" caveat):
+"bounded from above" caveat; round-13 closes the r12 blind spot):
 
 1. The newest COMMITTED ``bench_full.json`` as of the latest driver
    round commit — ``git show <rev>:bench_full.json`` where ``<rev>`` is
    the last commit that touched the file at or before the newest
    ``BENCH_r*.json``'s commit. That is the predecessor round's complete
    117-entry map, making the >2x screen EXACT for every entry.
-2. Fallback (git unavailable / file never committed): the newest
+2. When the newest ``BENCH_r*.json`` is NOT committed (the round-12
+   failure mode: driver artifacts land untracked while the working-tree
+   ``bench_full.json`` IS the candidate run), the newest committed
+   ``bench_full.json`` as of HEAD — never an on-disk artifact, which
+   could be the candidate itself.
+3. Fallback (git unavailable / file never committed): the newest
    ``BENCH_r*.json``'s ``parsed.queries`` top-10, with absence from the
    top-10 bounding an entry's old time above by min(top-10).
+
+Whatever the source, a reference whose every shared entry (and calib)
+is byte-equal to the candidate is the candidate — the round-12 screen
+printed "clean" against itself exactly this way — so that case REFUSES
+(exit 2) instead of passing. ``--ref path.json`` overrides reference
+selection entirely for adjudication re-runs against a specific map.
 
 Comparisons are calib-normalized — each side's time divided by its
 run's ``calib_sec``; when a side carries the round-9 sharded-bench
@@ -33,6 +44,7 @@ signal. Exit code 1 when anything trips, so the pre-snapshot checklist
 can gate on it.
 
 Usage: python tools/bench_tripwire.py [new_bench_full.json]
+                                      [--ref reference_bench_full.json]
 """
 
 from __future__ import annotations
@@ -84,6 +96,42 @@ def _work_coeff(t: float, terms: tuple[float, float]) -> float:
     return max(t - fixed, 0.0) / rate
 
 
+def _ratio(
+    old_t: float,
+    new_t: float,
+    old_terms: tuple[float, float],
+    new_terms: tuple[float, float],
+) -> float:
+    """Calib-normalized worsening factor under the two-term model.
+
+    Floor-dominated old entries (old_t at or under the old fixed floor
+    -> old_w ~ 0) have no meaningful work coefficient — a near-zero
+    denominator would manufacture astronomical trips even for entries
+    that got FASTER in raw seconds (self-review r12). Degrade to the
+    RATE-scaled raw-time ratio there (r12 advisor: a bare raw ratio
+    would falsely trip any floor-level entry on a machine with a >2x
+    slower per-query floor — the cross-machine axis this model exists
+    to remove)."""
+    old_w = _work_coeff(old_t, old_terms)
+    new_w = _work_coeff(new_t, new_terms)
+    if old_w < 0.05:
+        return (new_t / new_terms[0]) / max(old_t / old_terms[0], 1e-9)
+    return new_w / old_w
+
+
+def _is_self_comparison(
+    ref_q: dict, ref_calib: float | None, new_q: dict, new_calib: float | None
+) -> bool:
+    """True when the reference IS the candidate: every entry they share
+    is float-equal AND the run-wide rate calib matches. Two genuinely
+    distinct runs cannot produce byte-equal min-of-N wall times across
+    a whole map, so exact equality is the right test — no tolerance."""
+    shared = [k for k in ref_q if k in new_q]
+    if not shared:
+        return False
+    return all(ref_q[k] == new_q[k] for k in shared) and ref_calib == new_calib
+
+
 def _newest_bench_round() -> str | None:
     rounds = sorted(
         f for f in os.listdir(REPO)
@@ -102,10 +150,17 @@ def _load_previous_full() -> tuple[dict | None, str]:
             ["git", "log", "-n1", "--format=%H", "--", newest],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
-        if not round_commit:
-            return None, f"{newest} not committed"
+        if round_commit:
+            anchor, why = round_commit, f"map as of {newest}'s commit"
+        else:
+            # Round-12 blind spot: the driver's BENCH_r*.json can sit
+            # untracked while the working-tree bench_full.json IS the
+            # new run — any on-disk fallback then self-compares and the
+            # screen passes vacuously. Anchor at HEAD instead: the
+            # newest COMMITTED map, whatever round produced it.
+            anchor, why = "HEAD", f"{newest} uncommitted -> newest committed map"
         full_commit = subprocess.run(
-            ["git", "rev-list", "-n1", round_commit, "--", "bench_full.json"],
+            ["git", "rev-list", "-n1", anchor, "--", "bench_full.json"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
         if not full_commit:
@@ -114,7 +169,7 @@ def _load_previous_full() -> tuple[dict | None, str]:
             ["git", "show", f"{full_commit}:bench_full.json"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout
-        return json.loads(blob), f"git {full_commit[:9]}:bench_full.json"
+        return json.loads(blob), f"git {full_commit[:9]}:bench_full.json ({why})"
     except Exception as exc:
         return None, f"git lookup failed: {exc}"
 
@@ -143,13 +198,20 @@ def _load_previous_top10() -> tuple[dict[str, float], tuple[float, float], str]:
 
 
 def main() -> int:
-    new_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, "bench_full.json"
-    )
+    argv = list(sys.argv[1:])
+    ref_path = None
+    if "--ref" in argv:
+        i = argv.index("--ref")
+        ref_path = argv[i + 1]
+        del argv[i : i + 2]
+    new_path = argv[0] if argv else os.path.join(REPO, "bench_full.json")
     new = json.load(open(new_path))
     new_q: dict[str, float] = new["queries"]
 
-    prev_full, full_source = _load_previous_full()
+    if ref_path is not None:
+        prev_full, full_source = json.load(open(ref_path)), f"--ref {ref_path}"
+    else:
+        prev_full, full_source = _load_previous_full()
 
     sys.path.insert(0, REPO)
     from polario_spark.queries import _PRIORITY  # noqa: E402
@@ -160,6 +222,17 @@ def main() -> int:
     if prev_full is not None:
         prev_q = prev_full["queries"]
         source = full_source
+        if _is_self_comparison(
+            prev_q, prev_full.get("calib_sec"), new_q, new.get("calib_sec")
+        ):
+            print(
+                f"tripwire: REFUSING — reference ({source}) is the candidate "
+                f"({new_path}): every shared entry and the calib are "
+                "byte-equal. Commit the previous round's bench_full.json or "
+                "pass an explicit --ref; a self-comparison can only print "
+                "'clean'."
+            )
+            return 2
         def old_lookup(name):
             """(old_raw_sec, old_calib, why) or (None, None, why)."""
             t = prev_q.get(name)
@@ -175,6 +248,14 @@ def main() -> int:
         if not prev_q:
             print("tripwire: no committed bench reference found — nothing to diff")
             return 0
+        if _is_self_comparison(
+            prev_q, prev_calib[0], new_q, new.get("calib_sec")
+        ):
+            print(
+                f"tripwire: REFUSING — top-10 fallback ({source}) is the "
+                f"candidate ({new_path}) — self-comparison (see above)."
+            )
+            return 2
         clean_prev = [t for t in prev_q.values() if t >= 0]
         # absence from the old top-10 bounds an entry's old time above;
         # an all-error previous round has no bound — degrade gracefully
@@ -212,18 +293,7 @@ def main() -> int:
         if (old_terms[1] == 0.0) != (new_terms[1] == 0.0):
             old_terms = (old_terms[0], 0.0)
             new_terms = (new_terms[0], 0.0)
-        old_w = _work_coeff(old_t, old_terms)
-        new_w = _work_coeff(new_t, new_terms)
-        # Floor-dominated old entries (old_t at or under the old fixed
-        # floor -> old_w ~ 0) have no meaningful work coefficient — a
-        # near-zero denominator would manufacture astronomical trips
-        # even for entries that got FASTER in raw seconds (self-review
-        # r12). Degrade to the raw-time ratio there: the entry's cost IS
-        # the floor, so raw wall is the only signal left.
-        if old_w < 0.05:
-            ratio = new_t / max(old_t, 1e-9)
-        else:
-            ratio = new_w / old_w
+        ratio = _ratio(old_t, new_t, old_terms, new_terms)
         if ratio > THRESHOLD and name not in touched:
             tripped.append((name, old_t, new_t, ratio, why))
 
