@@ -1124,9 +1124,23 @@ def lsh_sized_dials(
     """
     import math
 
+    if not -1.0 < threshold < 1.0:
+        # acos is defined at the closed endpoints but the collision
+        # model degenerates there: p=1 (every pair collides in every
+        # band — no banding needed) and p=0 (no pair ever collides — no
+        # L holds any recall). Neither is an LSH operating point.
+        raise ValueError(
+            f"lsh_sized_dials: threshold must be a cosine similarity in "
+            f"the open interval (-1, 1), got {threshold}"
+        )
     r = max(4, round(math.log2(max(n, 1) / target_bucket)))
     p = 1.0 - math.acos(threshold) / math.pi
-    n_bands = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p**r)))
+    # p**r underflows to 0.0 for thresholds near -1 with large r, and
+    # log(1 - p**r) rounds to 0.0 once p**r < ~1e-17 even when p**r is
+    # representable — both end in ZeroDivision (r12 advisor). log1p
+    # keeps the denominator exact down to the 1e-300 clamp.
+    pr = min(max(p**r, 1e-300), 1.0 - 1e-12)
+    n_bands = max(1, math.ceil(math.log(1.0 - recall) / math.log1p(-pr)))
     return r, n_bands
 
 
@@ -1208,10 +1222,26 @@ def _lsh_banded_hof(
     Bitwise identical to the ``_lsh_band_sigs`` codegen form: bit j of a
     band's signature weighs 2^j over the same ``_lsh_index_pairs``
     order. See cosine_pairs_bucketed for why this form exists."""
+    if r > 62:
+        # bit r-1 weighs 2^(r-1): past 62 the signature no longer fits a
+        # BIGINT. r = round(log2(n/B)) reaches 62 only at n ~ 7e19 rows
+        # — far beyond any real corpus — so refuse loudly rather than
+        # silently overflow (r12 advisor).
+        raise ValueError(
+            f"bits_per_band={r} overflows the 64-bit band signature; "
+            f"the sizing rule should never exceed 62 bits per band"
+        )
     idx = _lsh_index_pairs(dim, r * n_bands, LSH_SEED, r)
     a_lit = F.lit([a for a, _ in idx])
     b_lit = F.lit([b for _, b in idx])
-    w_lit = F.lit([1 << j for j in range(r)])
+    # LONG weights and a LONG accumulator, unconditionally: at r >= 32
+    # the 1 << 31 weight exceeds INT and the literal array promotes to
+    # array<bigint> on its own — an INT accumulator then fails analysis
+    # exactly at the corpus sizes (n > ~3e10) the sized rule exists for
+    # (r12 advisor). The codegen form's CASE sums stay INT at r <= 31,
+    # but sig values are equal integers either way (equivalence pinned
+    # in tests/test_operators.py) and each join binds one form only.
+    w_lit = F.lit([1 << j for j in range(r)]).cast("array<bigint>")
     bits = F.zip_with(
         F.transform(a_lit, lambda i: F.element_at(F.col(vec_col), i + 1)),
         F.transform(b_lit, lambda i: F.element_at(F.col(vec_col), i + 1)),
@@ -1223,7 +1253,7 @@ def _lsh_banded_hof(
             band.alias("band"),
             F.aggregate(
                 F.sequence(F.lit(1), F.lit(r)),
-                F.lit(0),
+                F.lit(0).cast("long"),
                 lambda acc, j: acc
                 + F.element_at(F.col("__bits"), band * r + j)
                 * F.element_at(w_lit, j),

@@ -2269,6 +2269,24 @@ def dedup_embedding_cosine_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFr
     if n is None:
         n = emb.count()
     r, n_bands = similarity.lsh_sized_dials(n, _SIZED_LSH_TAU)
+    if (r, n_bands) != _SIZED_LSH_DIALS:
+        # The baked oracle bands from _GATE_SF_DIR's import-time footer
+        # count; a run on a corpus with a different sized-dial
+        # resolution (e.g. bench at sf0.1: r=7/L=47) is fine on its own
+        # but CANNOT be hash-compared against that oracle — warn now so
+        # a wrong-corpus gate failure is attributable to banding, not
+        # mistaken for a correctness bug (r12 advisor).
+        import warnings
+
+        warnings.warn(
+            f"dedup_embedding_cosine_lsh_sized: runtime dials r={r}/"
+            f"L={n_bands} (n={n} from {sf_dir}) differ from the baked "
+            f"oracle dials r={_SIZED_LSH_DIALS[0]}/L={_SIZED_LSH_DIALS[1]} "
+            f"derived from {_GATE_SF_DIR}; an oracle comparison of this "
+            "run would mismatch on banding, not correctness",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return similarity.cosine_pairs_bucketed(
         emb, "vec_id", "embedding", _SIZED_LSH_TAU,
         bits_per_band=r, n_bands=n_bands, n_rows=n,

@@ -931,6 +931,60 @@ def test_lsh_sized_dials_rule_properties():
     assert rs == sorted(rs) and rs[0] < rs[-1]
 
 
+def test_lsh_sized_dials_threshold_edges():
+    """r12 advisor: the collision model degenerates at the similarity
+    endpoints (p=1 -> log(0) domain error; p~0 with p**r underflow ->
+    ZeroDivision). Endpoints must raise a clear ValueError, and extreme
+    but valid thresholds must return finite dials, never crash."""
+    import math
+
+    import pytest
+
+    for bad in (1.0, -1.0, 1.5, -2.0):
+        with pytest.raises(ValueError, match="open interval"):
+            similarity.lsh_sized_dials(500, bad)
+    # near the +1 endpoint p -> 1: a handful of bands suffices
+    r, bands = similarity.lsh_sized_dials(10**6, 1.0 - 1e-12)
+    assert bands >= 1 and r == round(math.log2(10**6 / 16))
+    # near the -1 endpoint p -> 0 and p**r underflows: the pre-fix code
+    # raised ZeroDivisionError here; now it returns a finite (absurdly
+    # large, honestly so) band count
+    r, bands = similarity.lsh_sized_dials(10**9, -1.0 + 1e-15)
+    assert bands >= 1 and math.isfinite(bands)
+
+
+def test_lsh_banded_hof_long_signatures(spark):
+    """r12 advisor: at r >= 32 the 1 << 31 weight promotes the literal
+    weight array to array<bigint>; with the old INT accumulator the HOF
+    path failed analysis at exactly the corpus sizes the sized rule
+    exists for. Pin that r=33 now ANALYZES and computes the right
+    >2^31 signature, and that r > 62 refuses with a clear error."""
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    # an ascending vector sets bit j exactly when plane j's pair has
+    # a > b — which under LSH_SEED includes bit 32, so the expected
+    # signature exceeds int32 range
+    base = spark.range(1).select(
+        F.col("id").alias("__id"),
+        F.expr(
+            "transform(sequence(0, 63), x -> cast(x as double))"
+        ).alias("__v"),
+    )
+    banded = similarity._lsh_banded_hof(base, "__v", 64, 33, 1).select(
+        F.col("__bs.sig").alias("sig")
+    )
+    assert banded.schema["sig"].dataType.simpleString() == "bigint"
+    rows = banded.collect()
+    assert len(rows) == 1
+    idx = similarity._lsh_index_pairs(64, 33, similarity.LSH_SEED, 33)
+    want = sum(1 << j for j, (a, b) in enumerate(idx) if a > b)
+    assert rows[0].sig == want and want > 2**31
+    with pytest.raises(ValueError, match="64-bit band signature"):
+        similarity._lsh_banded_hof(base, "__v", 64, 63, 1)
+
+
 def test_cosine_pairs_bucketed_sized_subset_and_recall(spark):
     """The SIZED operating point (r/L from lsh_sized_dials instead of the
     fixed defaults) keeps the bucketed contract: subset of exact pairs at

@@ -121,3 +121,33 @@ def test_every_query_has_oracle_or_reason():
     }
     assert missing <= exempt, missing - exempt
     assert exempt <= set(qs), "exemptions must name real entries"
+
+
+def test_sized_lsh_warns_on_mismatched_corpus_dials(spark, tmp_path):
+    """r12 advisor: the sized entry's oracle bands from the GATE corpus's
+    import-time footer count; a run whose corpus resolves to different
+    dials must warn loudly (it cannot be hash-compared against that
+    oracle), and a run on the gate corpus itself must stay silent."""
+    import warnings
+
+    from polario_spark import queries as Q
+
+    fn = Q.REGISTRY["dedup_embedding_cosine_lsh_sized"].spark
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fn(spark, Q._GATE_SF_DIR)  # plan build only — no execution
+        assert not [x for x in w if "differ from the baked" in str(x.message)]
+    # a corpus 8x the gate size -> r = log2(4000/16) = 8, not the baked 5
+    other = tmp_path / "sf_other"
+    other.mkdir()
+    spark.range(4000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), x -> cast(x * (id + 1) % 7 as double))"
+        " AS embedding",
+    ).coalesce(1).write.parquet(str(other / "embeddings.parquet"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fn(spark, str(other))
+        hits = [x for x in w if "differ from the baked" in str(x.message)]
+    assert len(hits) == 1, [str(x.message) for x in w]
+    assert "banding, not correctness" in str(hits[0].message)
