@@ -1278,7 +1278,11 @@ def cosine_pairs_bucketed(
     n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing
-    — the 100 TB default that replaces ``cosine_pairs``'s exact all-pairs.
+    — the scale PLAN that replaces ``cosine_pairs``'s exact all-pairs.
+    The default dials (r=4/L=16) are oracle-stability compat points, NOT
+    the deployment setting: at scale, pass dials from ``lsh_sized_dials``
+    (the corpus-sized rule the ``dedup_embedding_cosine_lsh_sized`` entry
+    gates) — the 100 TB default is that SIZED operating point.
 
     Plan shape: each vector computes L band signatures in pure codegen
     (sign tests on coordinate differences — genuine random-hyperplane LSH

@@ -2174,10 +2174,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing
-    — the 100 TB scale path: candidates from (band, signature) bucket
-    collisions, exact-cosine verify only within buckets, pair space never
-    enumerated. The exact all-pairs baseline (dedup_embedding_cosine) is
-    the explicit opt-in for small corpora."""
+    at the FIXED compat dials (r=4/L=16) — an oracle-stability operating
+    point, not the deployment default: with r pinned, verify work is
+    L*n^2/2^r (quadratic; alpha 1.19 measured at x300). The 100 TB
+    default is dedup_embedding_cosine_lsh_sized, whose dials grow with
+    the corpus per lsh_sized_dials. The exact all-pairs baseline
+    (dedup_embedding_cosine) is the explicit opt-in for small corpora."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_bucketed(
         emb, "vec_id", "embedding", 0.45
@@ -2190,11 +2192,13 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     + "\nORDER BY id_a, id_b",
 )
 def dedup_embedding_cosine_lsh_loose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second operating point for LSH cosine dedup (threshold 0.35): pins
-    the candidate-generation recall behavior away from the default 0.45 —
-    looser thresholds admit pairs that collide in fewer bands, so the
-    identical-banding oracle must agree on exactly which candidates exist,
-    not just the easy high-sim ones."""
+    """Second FIXED-DIAL operating point for LSH cosine dedup (threshold
+    0.35): pins the candidate-generation recall behavior away from the
+    default 0.45 — looser thresholds admit pairs that collide in fewer
+    bands, so the identical-banding oracle must agree on exactly which
+    candidates exist, not just the easy high-sim ones. Like
+    dedup_embedding_cosine_lsh this is an oracle-stability compat point;
+    the 100 TB default is the sized entry."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_bucketed(
         emb, "vec_id", "embedding", 0.35
@@ -2245,10 +2249,11 @@ _SIZED_LSH_DIALS = similarity.lsh_sized_dials(_GATE_EMB_ROWS, _SIZED_LSH_TAU)
     + "\nORDER BY id_a, id_b",
 )
 def dedup_embedding_cosine_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Third operating point for LSH cosine dedup — the SIZED one: the
-    band dials are not pinned constants but derived from the corpus row
-    count per the measured log2(n/B) rule (lsh_sized_dials), exactly as a
-    100 TB deployment must set them. This is the gate twin of the probe's
+    """Third operating point for LSH cosine dedup — the SIZED one, and
+    the 100 TB default a deployment should pick: the band dials are not
+    pinned constants but derived from the corpus row count per the
+    measured log2(n/B) rule (lsh_sized_dials), exactly as a 100 TB
+    deployment must set them. This is the gate twin of the probe's
     `lsh_cosine_sized` control (tools/scale_probe.py): r grows with the
     corpus so expected bucket size stays ~LSH_SIZED_BUCKET and verify
     work stays linear; L grows to hold candidate recall at tau. At the
