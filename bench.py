@@ -28,6 +28,12 @@ isolation (same JVM) but still a bounded-age SQL session.
 Each query is timed end-to-end (plan build + execution to a driver-side
 collect), after one tiny warm-up action so JVM/codegen startup isn't
 billed to the first query.
+
+Round-13: ``python bench.py --fresh-retime [names...]`` runs the
+SCALE.md load-noise adjudication protocol as one command — re-times the
+tripwire's flagged entries (or the given names) in a fresh session with
+min-of-3 and prints ACQUITTED/CONFIRMED per entry vs the committed
+reference map.
 """
 
 from __future__ import annotations
@@ -189,21 +195,132 @@ def _shard_child() -> None:
     idx, k = map(int, os.environ["SPARK_GRAFT_BENCH_SHARD"].split("/"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_path = os.environ["SPARK_GRAFT_BENCH_SHARD_OUT"]
+    # --fresh-retime passes an explicit entry list: the child times
+    # exactly those instead of a contiguous shard slice
+    explicit = os.environ.get("SPARK_GRAFT_BENCH_NAMES")
+    names = explicit.split(",") if explicit else _shard_slice(
+        _query_names(), idx, k
+    )
     from polario_spark import get_spark
 
     spark = get_spark(f"polario_spark_bench_shard{idx}")
     try:
-        result = run_shard(_shard_slice(_query_names(), idx, k), sf_dir, spark)
+        result = run_shard(names, sf_dir, spark)
     finally:
         spark.stop()
     with open(out_path, "w") as fh:
         json.dump(result, fh)
 
 
+def _fresh_retime(names: list[str]) -> int:
+    """One-command load-noise adjudication (r12 verdict item 7): re-time
+    the tripwire's flagged entries in a FRESH session and re-judge each
+    against the COMMITTED reference — the SCALE.md fresh-session
+    protocol that rounds 6-12 ran by hand. A flagged entry whose fresh
+    work coefficient sits back inside the tripwire threshold is
+    ACQUITTED (the flagged number was load noise); one that reproduces
+    is CONFIRMED (a real regression — bisect it). Exit 0 = all
+    acquitted / nothing flagged; 1 = at least one confirmed.
+
+    With no names given, the flagged set is recomputed from the current
+    bench_full.json vs the tripwire's committed reference via the SAME
+    code path the tripwire prints (tools/bench_tripwire.flagged_full)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_tripwire", os.path.join(REPO, "tools", "bench_tripwire.py")
+    )
+    tw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tw)
+
+    cand_path = os.path.join(REPO, "bench_full.json")
+    cand = json.load(open(cand_path))
+    prev_full, source = tw._load_previous_full()
+    if prev_full is None:
+        print(f"fresh-retime: no committed reference ({source})")
+        return 1
+    if not names:
+        from polario_spark.queries import _PRIORITY
+
+        names = [
+            name
+            for name, _, new_t, _, _ in tw.flagged_full(
+                cand, prev_full, set(_PRIORITY)
+            )
+            if new_t >= 0  # errored entries need a fix, not a re-time
+        ]
+    if not names:
+        print("fresh-retime: nothing flagged — tripwire is clean")
+        return 0
+    print(f"fresh-retime: {len(names)} entries vs {source}", file=sys.stderr)
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_path = os.path.join(REPO, "bench_retime_shard.json")
+    if os.path.exists(out_path):
+        os.remove(out_path)
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_SHARD"] = "0/1"
+    env["SPARK_GRAFT_BENCH_SHARD_OUT"] = out_path
+    env["SPARK_GRAFT_BENCH_NAMES"] = ",".join(names)
+    # min-of-3: the whole point is separating a pause from the floor
+    env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "3")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, cwd=REPO,
+    )
+    if proc.returncode != 0 or not os.path.exists(out_path):
+        tail = (proc.stderr or b"")[-2000:].decode(errors="replace")
+        print(f"fresh-retime: session failed (rc={proc.returncode}): {tail}")
+        return 1
+    fresh = json.load(open(out_path))
+    os.remove(out_path)
+    fresh_terms = (fresh["calib_sec"], fresh.get("calib_fixed_sec", 0.0))
+
+    verdicts = {}
+    confirmed = 0
+    for name in names:
+        old_t = prev_full["queries"].get(name)
+        fresh_t = fresh["queries"].get(name, -1.0)
+        if old_t is None or old_t < 0 or fresh_t < 0:
+            ratio, verdict = float("inf"), "ERROR"
+        else:
+            old_terms, new_terms = tw.normalized_terms(
+                tw._calib_for(prev_full, name), fresh_terms
+            )
+            ratio = tw._ratio(old_t, fresh_t, old_terms, new_terms)
+            verdict = "ACQUITTED" if ratio <= tw.THRESHOLD else "CONFIRMED"
+        confirmed += verdict != "ACQUITTED"
+        verdicts[name] = {
+            "old": old_t,
+            "flagged": cand["queries"].get(name),
+            "fresh": fresh_t,
+            "fresh_ratio": None if ratio == float("inf") else round(ratio, 2),
+            "verdict": verdict,
+        }
+        print(
+            f"{verdict:9s} {name}: committed {old_t} -> flagged "
+            f"{cand['queries'].get(name)} -> fresh {fresh_t} "
+            f"({'inf' if ratio == float('inf') else f'{ratio:.2f}x'} "
+            f"calib-normalized vs committed)",
+            file=sys.stderr,
+        )
+    print(json.dumps({
+        "metric": "fresh_retime",
+        "reference": source,
+        "calib_sec": fresh["calib_sec"],
+        "calib_fixed_sec": fresh.get("calib_fixed_sec", 0.0),
+        "entries": verdicts,
+    }))
+    return 1 if confirmed else 0
+
+
 def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SHARD"):
         _shard_child()
         return
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--fresh-retime":
+        sys.exit(_fresh_retime(sys.argv[2:]))
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -132,6 +132,47 @@ def _is_self_comparison(
     return all(ref_q[k] == new_q[k] for k in shared) and ref_calib == new_calib
 
 
+def normalized_terms(
+    old_terms: tuple[float, float], new_terms: tuple[float, float]
+) -> tuple[tuple[float, float], tuple[float, float]]:
+    """One-transition symmetry (self-review r12): when only ONE side
+    carries the second calibration term (the reference pre-dates r12),
+    subtracting the floor from the new side alone deflates every ratio
+    and a genuine >2x work regression can slip through the exact
+    transition round the screen exists for. Compare both sides with the
+    same model: fixed = 0 on both when either side lacks it."""
+    if (old_terms[1] == 0.0) != (new_terms[1] == 0.0):
+        return (old_terms[0], 0.0), (new_terms[0], 0.0)
+    return old_terms, new_terms
+
+
+def flagged_full(
+    new: dict, prev_full: dict, touched: set
+) -> list[tuple[str, float | None, float, float, str]]:
+    """The exact-full-map trip computation, callable outside main() so
+    bench.py's --fresh-retime adjudicates the SAME flagged set the
+    tripwire printed (r12 verdict item 7). Returns (name, old_t, new_t,
+    ratio, why) tuples; errored new entries ride with ratio=inf."""
+    prev_q = prev_full["queries"]
+    tripped = []
+    for name, new_t in sorted(new["queries"].items()):
+        if new_t < 0:
+            tripped.append((name, None, new_t, float("inf"), "ERROR"))
+            continue
+        old_t = prev_q.get(name)
+        if old_t is None or old_t < 0:
+            continue
+        if max(old_t, new_t) < MIN_ABS_SEC:
+            continue
+        old_terms, new_terms = normalized_terms(
+            _calib_for(prev_full, name), _calib_for(new, name)
+        )
+        ratio = _ratio(old_t, new_t, old_terms, new_terms)
+        if ratio > THRESHOLD and name not in touched:
+            tripped.append((name, old_t, new_t, ratio, "vs exact (full map)"))
+    return tripped
+
+
 def _newest_bench_round() -> str | None:
     rounds = sorted(
         f for f in os.listdir(REPO)
@@ -233,12 +274,7 @@ def main() -> int:
                 "'clean'."
             )
             return 2
-        def old_lookup(name):
-            """(old_raw_sec, old_calib, why) or (None, None, why)."""
-            t = prev_q.get(name)
-            if t is None or t < 0:
-                return None, None, "no clean previous time"
-            return t, _calib_for(prev_full, name), "vs exact (full map)"
+        tripped = flagged_full(new, prev_full, touched)
         prev_calib_desc = (
             f"{prev_full.get('calib_sec')}"
             f"+{prev_full.get('calib_fixed_sec', 0.0)}"
@@ -271,31 +307,21 @@ def main() -> int:
                 return None, None, "all-error previous round"
             return old_bound, prev_calib, "vs top-10 floor bound"
         prev_calib_desc = f"{prev_calib}"
-
-    for name, new_t in sorted(new_q.items()):
-        if new_t < 0:
-            tripped.append((name, None, new_t, float("inf"), "ERROR"))
-            continue
-        old_t, old_calib, why = old_lookup(name)
-        if old_t is None:
-            continue
-        if max(old_t, new_t) < MIN_ABS_SEC:
-            continue
-        new_terms = _calib_for(new, name)
-        old_terms = old_calib
-        # One-transition symmetry (self-review r12): when only ONE side
-        # carries the second calibration term (the reference pre-dates
-        # r12), subtracting the floor from the new side alone deflates
-        # every ratio and a genuine >2x work regression can slip through
-        # the exact transition round the screen exists for. Compare both
-        # sides with the same model: fixed = 0 on both when either side
-        # lacks it.
-        if (old_terms[1] == 0.0) != (new_terms[1] == 0.0):
-            old_terms = (old_terms[0], 0.0)
-            new_terms = (new_terms[0], 0.0)
-        ratio = _ratio(old_t, new_t, old_terms, new_terms)
-        if ratio > THRESHOLD and name not in touched:
-            tripped.append((name, old_t, new_t, ratio, why))
+        for name, new_t in sorted(new_q.items()):
+            if new_t < 0:
+                tripped.append((name, None, new_t, float("inf"), "ERROR"))
+                continue
+            old_t, old_calib, why = old_lookup(name)
+            if old_t is None:
+                continue
+            if max(old_t, new_t) < MIN_ABS_SEC:
+                continue
+            old_terms, new_terms = normalized_terms(
+                old_calib, _calib_for(new, name)
+            )
+            ratio = _ratio(old_t, new_t, old_terms, new_terms)
+            if ratio > THRESHOLD and name not in touched:
+                tripped.append((name, old_t, new_t, ratio, why))
 
     print(
         f"tripwire: {len(new_q)} queries vs {source} "
