@@ -207,7 +207,26 @@ def _probe_extra_queries() -> dict:
             emb, "vec_id", "embedding", 0.45, bits_per_band=r
         )
 
-    return {"lsh_cosine_sized": lsh_cosine_sized}
+    # The FULL recall-holding sizing rule (r AND L from lsh_sized_dials)
+    # at tau 0.6 — the registry sized entry's law probed past x30, which
+    # tau 0.45 cannot afford: at x100 the 0.45 operating point needs
+    # L=988 and a ~100 GB vectors-ride-bands shuffle (SCALE.md r12),
+    # while 0.6 thins the background floor to L=308 (~34 GB at x100).
+    # The rule is tau-parametric, so its n^(1+rho) compute law is the
+    # same object at either threshold; rho shrinks as tau rises.
+    def lsh_cosine_sized_tau06(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = _n_rows(spark, sf_dir)
+        r, n_bands = similarity.lsh_sized_dials(n, 0.6)
+        return similarity.cosine_pairs_bucketed(
+            emb, "vec_id", "embedding", 0.6,
+            bits_per_band=r, n_bands=n_bands, n_rows=n,
+        )
+
+    return {
+        "lsh_cosine_sized": lsh_cosine_sized,
+        "lsh_cosine_sized_tau06": lsh_cosine_sized_tau06,
+    }
 
 
 def generate(factor: int) -> None:
