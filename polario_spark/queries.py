@@ -5427,24 +5427,15 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the earlier hand-curated _DRIVER_GREEN back-list, which required
 #      manual rotation every round.
 _PRIORITY = [
-    # Round-12 code changes under these entries (kept small per the r7
-    # ruling so the stalest-green rotation keeps refreshing old rows —
-    # the r9-stale cohort must fit in this round's 50-entry sample):
-    #   - minhash_pairs: hub_sig broadcast pin removed (AQE decides;
-    #     round-12 advisor finding)
-    "dedup_minhash",
-    #   - prefix-dispatch size signal now footer-sourced (no count job)
-    "dedup_ngram_jaccard",
-    #   - cosine_pairs_bucketed restructured (codegen/HOF signature
-    #     dispatch + stream-sized bucket shuffle): re-verify the two
-    #     fixed-dial consumers too
-    "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine_lsh_loose",
-    #   - brand new this round: the gate twin of the probe's sizing-rule
-    #     control, and the quantized IVF scale path (both need their
-    #     first driver row)
+    # Round-13 code changes (kept small per the r7 ruling so the
+    # stalest-green rotation keeps refreshing old rows — the whole
+    # r10-stale cohort of 22 must fit this round's 50-entry sample):
+    #   - the one entry whose code path changed this round: sized-dial
+    #     edge validation + log1p band equation (same dial values at
+    #     every real operating point), the runtime-vs-baked dial
+    #     mismatch warning, and the HOF signature path's long
+    #     weights/accumulator (engaged only above LSH_CODEGEN_MAX_BITS)
     "dedup_embedding_cosine_lsh_sized",
-    "ann_ivf_quantized_topk",
 ]
 
 
