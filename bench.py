@@ -29,11 +29,11 @@ Each query is timed end-to-end (plan build + execution to a driver-side
 collect), after one tiny warm-up action so JVM/codegen startup isn't
 billed to the first query.
 
-Round-13: ``python bench.py --fresh-retime [names...]`` runs the
-SCALE.md load-noise adjudication protocol as one command — re-times the
-tripwire's flagged entries (or the given names) in a fresh session with
-min-of-3 and prints ACQUITTED/CONFIRMED per entry vs the committed
-reference map.
+Round-13: ``python bench.py --fresh-retime [names...] [--ref map.json]``
+runs the SCALE.md load-noise adjudication protocol as one command —
+re-times the tripwire's flagged entries (or the given names) in a fresh
+session with min-of-3 and prints ACQUITTED/CONFIRMED per entry vs the
+committed reference map (or the explicit ``--ref`` one).
 """
 
 from __future__ import annotations
@@ -224,7 +224,12 @@ def _fresh_retime(names: list[str]) -> int:
 
     With no names given, the flagged set is recomputed from the current
     bench_full.json vs the tripwire's committed reference via the SAME
-    code path the tripwire prints (tools/bench_tripwire.flagged_full)."""
+    code path the tripwire prints (tools/bench_tripwire.flagged_full).
+    ``--ref path.json`` overrides the reference — use it when the newest
+    committed map is itself a flagged-as-loaded run (SCALE.md r13:
+    load-skewed maps deflate work coefficients ~2x and everything
+    honest looks like a regression against them); adjudicate against
+    the newest CLEAN committed map instead."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -233,9 +238,18 @@ def _fresh_retime(names: list[str]) -> int:
     tw = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(tw)
 
+    ref_path = None
+    if "--ref" in names:
+        i = names.index("--ref")
+        ref_path = names[i + 1]
+        names = names[:i] + names[i + 2 :]
+
     cand_path = os.path.join(REPO, "bench_full.json")
     cand = json.load(open(cand_path))
-    prev_full, source = tw._load_previous_full()
+    if ref_path is not None:
+        prev_full, source = json.load(open(ref_path)), f"--ref {ref_path}"
+    else:
+        prev_full, source = tw._load_previous_full()
     if prev_full is None:
         print(f"fresh-retime: no committed reference ({source})")
         return 1
@@ -252,6 +266,11 @@ def _fresh_retime(names: list[str]) -> int:
     if not names:
         print("fresh-retime: nothing flagged — tripwire is clean")
         return 0
+    known = set(_query_names())
+    unknown = [n for n in names if n not in known]
+    if unknown:
+        print(f"fresh-retime: not registry entries: {', '.join(unknown)}")
+        return 1
     print(f"fresh-retime: {len(names)} entries vs {source}", file=sys.stderr)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -191,3 +191,55 @@ def test_tripwire_uncommitted_round_uses_committed_map(tmp_path):
     prev, source = tw._load_previous_full()
     assert prev["queries"] == {"a": 9.0}
     assert "BENCH_r13.json's commit" in source
+
+
+def test_lsh_recall_check_true_pairs(tmp_path):
+    """Pin the ground-truth pair counter behind the r13 recall evidence:
+    exact upper-triangle counting at the operator's round(cos,4) >= tau
+    HALF_UP semantics, malformed rows shed, multi-part dirs read."""
+    import importlib.util
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "lsh_recall_check",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools"
+        / "lsh_recall_check.py",
+    )
+    rc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rc)  # type: ignore[union-attr]
+
+    d = tmp_path / "sf"
+    (d / "embeddings.parquet").mkdir(parents=True)
+    e0 = [1.0] + [0.0] * 63
+    e1 = [1.0] + [0.0] * 63            # cos(e0,e1)=1
+    e2 = [0.6, 0.8] + [0.0] * 62       # cos(e0,e2)=0.6 exactly
+    e3 = [0.0, 1.0] + [0.0] * 62       # cos(e0,e3)=0, cos(e2,e3)=0.8
+    bad = [float("nan")] * 64          # malformed: shed
+    def write(rows, name):
+        pq.write_table(
+            pa.table({"embedding": pa.array(rows, pa.list_(pa.float64()))}),
+            str(d / "embeddings.parquet" / name),
+        )
+    write([e0, e1, e2], "part-0.parquet")
+    write([e3, bad], "part-1.parquet")
+    n, tp = rc.true_pairs(str(d), 0.6)
+    # pairs >= 0.6: (e0,e1)=1, (e0,e2)=0.6 (boundary INCLUDED — half-up
+    # keeps it), (e1,e2)=0.6, (e2,e3)=0.8 -> 4; nan row excluded from n
+    assert (n, tp) == (4, 4)
+    # a hair under the boundary still rounds up at 4 decimals — rebuild
+    # the dir with just the boundary pair
+    m = np.asarray([e0, [0.599960, np.sqrt(1 - 0.599960**2)] + [0.0] * 62])
+    for f in (d / "embeddings.parquet").iterdir():
+        f.unlink()
+    write(list(m), "part-0.parquet")
+    assert rc.true_pairs(str(d), 0.6)[1] == 1
+    # and below the half-up cut (0.59990 rounds to 0.5999) it does not
+    m2 = np.asarray([e0, [0.599900, np.sqrt(1 - 0.599900**2)] + [0.0] * 62])
+    for f in (d / "embeddings.parquet").iterdir():
+        f.unlink()
+    write(list(m2), "part-0.parquet")
+    assert rc.true_pairs(str(d), 0.6)[1] == 0
