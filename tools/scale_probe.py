@@ -208,24 +208,28 @@ def _probe_extra_queries() -> dict:
         )
 
     # The FULL recall-holding sizing rule (r AND L from lsh_sized_dials)
-    # at tau 0.6 — the registry sized entry's law probed past x30, which
-    # tau 0.45 cannot afford: at x100 the 0.45 operating point needs
-    # L=988 and a ~100 GB vectors-ride-bands shuffle (SCALE.md r12),
-    # while 0.6 thins the background floor to L=308 (~34 GB at x100).
-    # The rule is tau-parametric, so its n^(1+rho) compute law is the
-    # same object at either threshold; rho shrinks as tau rises.
-    def lsh_cosine_sized_tau06(spark, sf_dir):
-        emb = load_table(spark, sf_dir, "embeddings")
-        n = _n_rows(spark, sf_dir)
-        r, n_bands = similarity.lsh_sized_dials(n, 0.6)
-        return similarity.cosine_pairs_bucketed(
-            emb, "vec_id", "embedding", 0.6,
-            bits_per_band=r, n_bands=n_bands, n_rows=n,
-        )
+    # probed past x30 at thresholds the band stream can afford — the
+    # registry sized entry's tau 0.45 needs L=988 and a ~100 GB
+    # vectors-ride-bands shuffle at x100 (SCALE.md r12). The rule is
+    # tau-parametric (same n^(1+rho) law at any threshold; rho shrinks
+    # as tau rises), so higher-tau twins extend the measured decades:
+    # 0.6 thins the floor to L=308 at x100 (~34 GB, the r13 x100 row);
+    # 0.75 thins it to L=116 at x300 (~38 GB, the r13 x300 row).
+    def _sized_at(tau):
+        def probe(spark, sf_dir):
+            emb = load_table(spark, sf_dir, "embeddings")
+            n = _n_rows(spark, sf_dir)
+            r, n_bands = similarity.lsh_sized_dials(n, tau)
+            return similarity.cosine_pairs_bucketed(
+                emb, "vec_id", "embedding", tau,
+                bits_per_band=r, n_bands=n_bands, n_rows=n,
+            )
+        return probe
 
     return {
         "lsh_cosine_sized": lsh_cosine_sized,
-        "lsh_cosine_sized_tau06": lsh_cosine_sized_tau06,
+        "lsh_cosine_sized_tau06": _sized_at(0.6),
+        "lsh_cosine_sized_tau075": _sized_at(0.75),
     }
 
 
