@@ -45,7 +45,15 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", [n for n in sorted(Q.REGISTRY) if n not in SKIP])
 def test_registry_entry_tolerates_empty_tables(spark, empty_sf_dir, name):
-    rows = Q.REGISTRY[name].spark(spark, empty_sf_dir).collect()
+    if name == "dedup_embedding_cosine_lsh_sized":
+        # an empty corpus legitimately resolves different sized dials
+        # than the baked gate oracle — the r13 mismatch warning firing
+        # here is CORRECT behavior, so assert it (and keep the suite
+        # warning-clean)
+        with pytest.warns(RuntimeWarning, match="differ from the baked"):
+            rows = Q.REGISTRY[name].spark(spark, empty_sf_dir).collect()
+    else:
+        rows = Q.REGISTRY[name].spark(spark, empty_sf_dir).collect()
     assert isinstance(rows, list)
 
 
