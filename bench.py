@@ -241,6 +241,9 @@ def _fresh_retime(names: list[str]) -> int:
     ref_path = None
     if "--ref" in names:
         i = names.index("--ref")
+        if i + 1 >= len(names):
+            print("fresh-retime: --ref requires a path argument")
+            return 1
         ref_path = names[i + 1]
         names = names[:i] + names[i + 2 :]
 

@@ -243,6 +243,9 @@ def main() -> int:
     ref_path = None
     if "--ref" in argv:
         i = argv.index("--ref")
+        if i + 1 >= len(argv):
+            print("tripwire: --ref requires a path argument")
+            return 2
         ref_path = argv[i + 1]
         del argv[i : i + 2]
     new_path = argv[0] if argv else os.path.join(REPO, "bench_full.json")
