@@ -1133,6 +1133,13 @@ def lsh_sized_dials(
             f"lsh_sized_dials: threshold must be a cosine similarity in "
             f"the open interval (-1, 1), got {threshold}"
         )
+    if not 0.0 < recall < 1.0:
+        # same degeneracy on the other dial: recall=1 needs infinite
+        # bands (log(0)), recall<=0 needs none
+        raise ValueError(
+            f"lsh_sized_dials: recall must be in the open interval "
+            f"(0, 1), got {recall}"
+        )
     r = max(4, round(math.log2(max(n, 1) / target_bucket)))
     p = 1.0 - math.acos(threshold) / math.pi
     # p**r underflows to 0.0 for thresholds near -1 with large r, and

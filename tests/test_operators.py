@@ -943,6 +943,9 @@ def test_lsh_sized_dials_threshold_edges():
     for bad in (1.0, -1.0, 1.5, -2.0):
         with pytest.raises(ValueError, match="open interval"):
             similarity.lsh_sized_dials(500, bad)
+    for bad_recall in (0.0, 1.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="recall"):
+            similarity.lsh_sized_dials(500, 0.45, recall=bad_recall)
     # near the +1 endpoint p -> 1: a handful of bands suffices
     r, bands = similarity.lsh_sized_dials(10**6, 1.0 - 1e-12)
     assert bands >= 1 and r == round(math.log2(10**6 / 16))
