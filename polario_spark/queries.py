@@ -2303,14 +2303,20 @@ def dedup_embedding_cosine_lsh_sized(spark: SparkSession, sf_dir: str) -> DataFr
 #: DuckDB oracle reads the SAME bytes back, so the BLAS argmax is computed
 #: exactly once and a near-tie can never split the engines — the same
 #: treatment the k-means centroid table gets (see assign_cells
-#: DETERMINISM in operators/similarity.py). One path per entry: the
-#: driver may interleave entries, and each oracle must see the bytes ITS
-#: Spark twin wrote.
-_SEMDEDUP_ASSIGN_PATH = stable_work_path("semdedup_assign")
-_IVF_ASSIGN_PATH = stable_work_path("ivf_stride_assign")
-_IVF_KM_ASSIGN_PATH = stable_work_path("ivf_kmeans_assign")
-_IVF_PROBES_PATH = stable_work_path("ivf_stride_probes")
-_IVF_KM_PROBES_PATH = stable_work_path("ivf_kmeans_probes")
+#: DETERMINISM in operators/similarity.py). One path per (entry, corpus):
+#: the driver may interleave entries, and each oracle must see the bytes
+#: ITS Spark twin wrote. These constants bake the GATE corpus into the
+#: oracle strings at import time; the query functions recompute the same
+#: path from their runtime ``sf_dir`` (pinned equal for the gate corpus
+#: by tests/test_workdir.py), so a pytest run at sf0.001 and a gate
+#: mirror at sf0.01 in concurrent PROCESSES write disjoint dirs — the
+#: round-13-reproduced overwrite-then-read race between corpora is gone
+#: by construction (workdir.stable_work_path).
+_SEMDEDUP_ASSIGN_PATH = stable_work_path("semdedup_assign", _GATE_SF_DIR)
+_IVF_ASSIGN_PATH = stable_work_path("ivf_stride_assign", _GATE_SF_DIR)
+_IVF_KM_ASSIGN_PATH = stable_work_path("ivf_kmeans_assign", _GATE_SF_DIR)
+_IVF_PROBES_PATH = stable_work_path("ivf_stride_probes", _GATE_SF_DIR)
+_IVF_KM_PROBES_PATH = stable_work_path("ivf_kmeans_probes", _GATE_SF_DIR)
 
 
 def _materialized_assignment(
@@ -2413,7 +2419,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
-    assigned = _materialized_assignment(emb, _SEMDEDUP_ASSIGN_PATH)
+    assigned = _materialized_assignment(
+        emb, stable_work_path("semdedup_assign", sf_dir)
+    )
     return similarity.semdedup_dropped(emb, assigned=assigned).orderBy(
         "vec_id"
     )
@@ -2445,8 +2453,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
-    assigned = _materialized_assignment(emb, _IVF_ASSIGN_PATH)
-    probes = _materialized_probes(emb, assigned, _IVF_PROBES_PATH)
+    assigned = _materialized_assignment(
+        emb, stable_work_path("ivf_stride_assign", sf_dir)
+    )
+    probes = _materialized_probes(
+        emb, assigned, stable_work_path("ivf_stride_probes", sf_dir)
+    )
     return similarity.ivf_topk(
         emb, "vec_id", "embedding", 5, assigned=assigned, probes=probes
     ).orderBy("qid", "rank")
@@ -2480,9 +2492,11 @@ def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Materialized homes for the QUANTIZED inverted file and its probe table
-#: (see _SEMDEDUP_ASSIGN_PATH rationale — one path per entry).
-_IVF_Q_ASSIGN_PATH = stable_work_path("ivf_quant_assign")
-_IVF_Q_PROBES_PATH = stable_work_path("ivf_quant_probes")
+#: (see _SEMDEDUP_ASSIGN_PATH rationale — one path per (entry, corpus);
+#: constants bake the gate corpus for the oracle strings, functions
+#: recompute from runtime sf_dir).
+_IVF_Q_ASSIGN_PATH = stable_work_path("ivf_quant_assign", _GATE_SF_DIR)
+_IVF_Q_PROBES_PATH = stable_work_path("ivf_quant_probes", _GATE_SF_DIR)
 
 
 @_register(
@@ -2517,13 +2531,15 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
+    q_assign_path = stable_work_path("ivf_quant_assign", sf_dir)
+    q_probes_path = stable_work_path("ivf_quant_probes", sf_dir)
     qidx = similarity.quantized_index(
         similarity.assign_cells(emb, "vec_id", "embedding").select(
             "nid", "__v", "cell"
         )
     )
-    qidx.write.mode("overwrite").parquet(prepare_stable_dir(_IVF_Q_ASSIGN_PATH))
-    assigned_q = spark.read.parquet(_IVF_Q_ASSIGN_PATH)
+    qidx.write.mode("overwrite").parquet(prepare_stable_dir(q_assign_path))
+    assigned_q = spark.read.parquet(q_assign_path)
     probes = similarity.probe_cells(
         emb,
         "vec_id",
@@ -2532,8 +2548,8 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nid", F.expr(similarity.dequant_expr("__qv")).alias("__v")
         ),
     )
-    probes.write.mode("overwrite").parquet(prepare_stable_dir(_IVF_Q_PROBES_PATH))
-    probes = spark.read.parquet(_IVF_Q_PROBES_PATH)
+    probes.write.mode("overwrite").parquet(prepare_stable_dir(q_probes_path))
+    probes = spark.read.parquet(q_probes_path)
     return similarity.ivf_topk_quantized(
         emb, "vec_id", "embedding", 5, assigned_q=assigned_q, probes=probes
     ).orderBy("qid", "rank")
@@ -2543,7 +2559,7 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: materializes centroids here, and the DuckDB oracle reads the SAME bytes
 #: back by literal path — so the hash gate covers the probe + search
 #: without replaying the iterative refinement in SQL.
-_KMEANS_CENT_PATH = stable_work_path("kmeans_centroids")
+_KMEANS_CENT_PATH = stable_work_path("kmeans_centroids", _GATE_SF_DIR)
 
 
 @_register(
@@ -2580,14 +2596,18 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
+    cent_path = stable_work_path("kmeans_centroids", sf_dir)
     cent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=3)
-    cent.write.mode("overwrite").parquet(prepare_stable_dir(_KMEANS_CENT_PATH))
-    cent = spark.read.parquet(_KMEANS_CENT_PATH)
+    cent.write.mode("overwrite").parquet(prepare_stable_dir(cent_path))
+    cent = spark.read.parquet(cent_path)
     assigned = _materialized_assignment(
-        emb, _IVF_KM_ASSIGN_PATH, centroids=cent
+        emb, stable_work_path("ivf_kmeans_assign", sf_dir), centroids=cent
     )
     probes = _materialized_probes(
-        emb, assigned, _IVF_KM_PROBES_PATH, centroids=cent
+        emb,
+        assigned,
+        stable_work_path("ivf_kmeans_probes", sf_dir),
+        centroids=cent,
     )
     return similarity.ivf_topk(
         emb, "vec_id", "embedding", 5, centroids=cent, assigned=assigned,

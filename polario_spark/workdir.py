@@ -54,8 +54,9 @@ def work_dir(spark: SparkSession, kind: str) -> str:
 _STABLE_ROOT = os.path.join(_WORK_ROOT, "stable")
 
 
-def stable_work_path(kind: str) -> str:
-    """A FIXED scratch path for artifacts a DuckDB oracle reads back.
+def stable_work_path(kind: str, corpus: str) -> str:
+    """A FIXED scratch path for artifacts a DuckDB oracle reads back,
+    keyed by (artifact kind, source corpus).
 
     ``work_dir`` paths are keyed by applicationId and invocation count,
     so they cannot appear inside an ``oracle_sql()`` string — oracles are
@@ -63,7 +64,24 @@ def stable_work_path(kind: str) -> str:
     is literal and stable: the Spark query materializes to it with
     ``mode("overwrite")``, and the oracle's ``read_parquet`` sees exactly
     the bytes the query's own search consumed (the gate runs the Spark
-    side, then its oracle, in one process).
+    side, then its oracle, in one process). Determinism contract: the
+    same (kind, corpus) pair yields the same string in every process, so
+    an oracle baked at import from the gate corpus matches the path the
+    runtime query computes from its ``sf_dir`` argument whenever — and
+    only when — the two corpora are the same directory.
+
+    ``corpus`` folds the SOURCE DATA directory into the path
+    (``<root>/<basename>-<md5(normpath)[:8]>/<kind>``). Round 13's
+    verdict reproduced the cross-PROCESS race the old single shared path
+    carried: pytest driving the registry at sf0.001 concurrently with a
+    gate mirror at sf0.01 interleaved overwrite-then-read on the one
+    ``semdedup_assign`` dir and produced a one-off unattributable
+    mismatch (green serially). Distinct corpora now land on distinct
+    dirs, so the only remaining race is two concurrent processes on the
+    SAME corpus — which ``prepare_stable_dir``'s flock tripwire already
+    names loudly. The md5 suffix disambiguates same-basename corpora
+    (two tmp dirs both named ``sf0.01``); the basename keeps the layout
+    human-readable.
 
     PURE path computation — no filesystem effects. This function runs at
     registry import time, and the exit-time cleanup used to be
@@ -73,12 +91,17 @@ def stable_work_path(kind: str) -> str:
     under a concurrently running session — observed as a one-off
     ann_ivf_kmeans_topk bench failure in round 7. Writers call
     ``prepare_stable_dir`` instead, so only a process that actually
-    materialized bytes schedules the cleanup. Two *concurrent* writer
-    processes on one machine would still race on the path — acceptable
-    for the single-driver gate, and each writer overwrites before it
-    reads.
+    materialized bytes schedules the cleanup.
     """
-    return os.path.join(_STABLE_ROOT, kind)
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(corpus))
+    tag = (
+        os.path.basename(norm)
+        + "-"
+        + hashlib.md5(norm.encode("utf-8")).hexdigest()[:8]
+    )
+    return os.path.join(_STABLE_ROOT, tag, kind)
 
 
 _stable_locks: dict[str, int] = {}
@@ -96,7 +119,16 @@ def prepare_stable_dir(path: str) -> str:
     on ``<path>.lock``; a second concurrent writer process gets a loud
     RuntimeWarning naming the race instead of silently interleaving
     overwrites under a reader. Best-effort: filesystems without flock
-    (or an unimportable fcntl) degrade to the documented assumption."""
+    (or an unimportable fcntl) degrade to the documented assumption.
+
+    Exit cleanup is PER PREPARED PATH, not the shared stable root
+    (round 14): registering ``rmtree(_STABLE_ROOT)`` here meant the
+    first writer process to exit deleted every OTHER live process's
+    corpus-keyed artifacts too — the two-process disjoint-corpus test
+    caught exactly that (child B finished, its atexit yanked child A's
+    dir at iter ~18.5k). Each process now removes only the dirs it
+    itself materialized; a crashed process leaves at most
+    #corpora x #kinds small dirs, each overwritten by the next writer."""
     os.makedirs(path, exist_ok=True)
     if path not in _stable_locks:
         try:
@@ -121,7 +153,15 @@ def prepare_stable_dir(path: str) -> str:
                 )
         except ImportError:
             pass
-    if _STABLE_ROOT not in _cleanup_registered:
-        _cleanup_registered.add(_STABLE_ROOT)
-        atexit.register(shutil.rmtree, _STABLE_ROOT, True)
+    if path not in _cleanup_registered:
+        _cleanup_registered.add(path)
+        atexit.register(shutil.rmtree, path, True)
+        atexit.register(_unlink_quiet, path + ".lock")
     return path
+
+
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass

@@ -49,11 +49,13 @@ def _child() -> None:
 
     from polario_spark import get_spark
     from polario_spark.operators import similarity
-    from polario_spark.queries import (
-        _IVF_ASSIGN_PATH,
-        _materialized_assignment,
-        _t,
-    )
+    from polario_spark.queries import _materialized_assignment, _t
+    from polario_spark.workdir import stable_work_path
+
+    # keyed by the PROBE corpus (round 14): writing the gate-baked path
+    # from a tool process is exactly the cross-corpus overwrite race the
+    # corpus-keyed layout removed.
+    _IVF_ASSIGN_PATH = stable_work_path("ivf_stride_assign", corpus_dir)
 
     spark = get_spark("ivf_mat_trade")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
