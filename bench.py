@@ -212,6 +212,29 @@ def _shard_child() -> None:
         json.dump(result, fh)
 
 
+def _retime_verdict(
+    tw,
+    old_t: "float | None",
+    fresh_t: float,
+    prev_terms: tuple,
+    fresh_terms: tuple,
+) -> tuple:
+    """(ratio, verdict) for one fresh-retimed entry vs the committed
+    reference. Pure so the screen is unit-testable. Verdicts: ERROR
+    (either side missing/errored), BELOW-THRESHOLD (r13 advisor: an
+    EXPLICITLY named entry under the tripwire's MIN_ABS_SEC in both
+    runs is pure floor noise — flagged_full never surfaces these, so a
+    by-hand name must not print CONFIRMED / exit 1 on it; advisory,
+    does not count as confirmed), ACQUITTED, CONFIRMED."""
+    if old_t is None or old_t < 0 or fresh_t < 0:
+        return float("inf"), "ERROR"
+    old_terms, new_terms = tw.normalized_terms(prev_terms, fresh_terms)
+    ratio = tw._ratio(old_t, fresh_t, old_terms, new_terms)
+    if max(old_t, fresh_t) < tw.MIN_ABS_SEC:
+        return ratio, "BELOW-THRESHOLD"
+    return ratio, "ACQUITTED" if ratio <= tw.THRESHOLD else "CONFIRMED"
+
+
 def _fresh_retime(names: list[str]) -> int:
     """One-command load-noise adjudication (r12 verdict item 7): re-time
     the tripwire's flagged entries in a FRESH session and re-judge each
@@ -303,15 +326,10 @@ def _fresh_retime(names: list[str]) -> int:
     for name in names:
         old_t = prev_full["queries"].get(name)
         fresh_t = fresh["queries"].get(name, -1.0)
-        if old_t is None or old_t < 0 or fresh_t < 0:
-            ratio, verdict = float("inf"), "ERROR"
-        else:
-            old_terms, new_terms = tw.normalized_terms(
-                tw._calib_for(prev_full, name), fresh_terms
-            )
-            ratio = tw._ratio(old_t, fresh_t, old_terms, new_terms)
-            verdict = "ACQUITTED" if ratio <= tw.THRESHOLD else "CONFIRMED"
-        confirmed += verdict != "ACQUITTED"
+        ratio, verdict = _retime_verdict(
+            tw, old_t, fresh_t, tw._calib_for(prev_full, name), fresh_terms
+        )
+        confirmed += verdict not in ("ACQUITTED", "BELOW-THRESHOLD")
         verdicts[name] = {
             "old": old_t,
             "flagged": cand["queries"].get(name),

@@ -1171,6 +1171,19 @@ def _lsh_index_pairs(
     """
     import random
 
+    if bits_per_band > 62:
+        # bit r-1 weighs 2^(r-1): past 62 a band signature no longer fits
+        # a 64-bit integer. The refusal lives HERE because every signature
+        # form funnels through this plane generator — the HOF path, the
+        # codegen path (whose `1 << j` SQL literals would otherwise parse
+        # as DECIMAL in Spark and silently change semantics when
+        # r*L <= LSH_CODEGEN_MAX_BITS, e.g. explicit r=70/L=7 dials —
+        # r13 advisor), and the DuckDB oracle builder. r = round(log2(n/B))
+        # reaches 62 only at n ~ 7e19 rows, so no sized corpus hits this.
+        raise ValueError(
+            f"bits_per_band={bits_per_band} overflows the 64-bit band "
+            f"signature; the sizing rule should never exceed 62 bits per band"
+        )
     if dim * (dim - 1) // 2 <= bits_per_band:
         raise ValueError(f"dim {dim} too small for {bits_per_band}-bit bands")
     rnd = random.Random(seed)
@@ -1229,15 +1242,8 @@ def _lsh_banded_hof(
     Bitwise identical to the ``_lsh_band_sigs`` codegen form: bit j of a
     band's signature weighs 2^j over the same ``_lsh_index_pairs``
     order. See cosine_pairs_bucketed for why this form exists."""
-    if r > 62:
-        # bit r-1 weighs 2^(r-1): past 62 the signature no longer fits a
-        # BIGINT. r = round(log2(n/B)) reaches 62 only at n ~ 7e19 rows
-        # — far beyond any real corpus — so refuse loudly rather than
-        # silently overflow (r12 advisor).
-        raise ValueError(
-            f"bits_per_band={r} overflows the 64-bit band signature; "
-            f"the sizing rule should never exceed 62 bits per band"
-        )
+    # r > 62 refused inside _lsh_index_pairs (r13 advisor: the refusal
+    # must cover the codegen form too, so it lives in the shared funnel)
     idx = _lsh_index_pairs(dim, r * n_bands, LSH_SEED, r)
     a_lit = F.lit([a for a, _ in idx])
     b_lit = F.lit([b for _, b in idx])

@@ -986,6 +986,29 @@ def test_lsh_banded_hof_long_signatures(spark):
     assert rows[0].sig == want and want > 2**31
     with pytest.raises(ValueError, match="64-bit band signature"):
         similarity._lsh_banded_hof(base, "__v", 64, 63, 1)
+    # r13 advisor: the CODEGEN form must refuse identically — r=70/L=7
+    # lands under LSH_CODEGEN_MAX_BITS (490 <= 512), where the old guard
+    # (HOF-only) let `1 << j` SQL literals exceed BIGINT and parse as
+    # DECIMAL, silently changing signature semantics. The refusal now
+    # lives in the shared _lsh_index_pairs funnel, so every entry point
+    # (bucketed join, raw sig builder, DuckDB oracle builder) throws.
+    emb = spark.range(2).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(0, 63), x -> cast(x as double))").alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(ValueError, match="64-bit band signature"):
+        similarity.cosine_pairs_bucketed(
+            emb, "vec_id", "embedding", 0.45, bits_per_band=70, n_bands=7
+        )
+    with pytest.raises(ValueError, match="64-bit band signature"):
+        similarity._lsh_band_sigs("__v", 64, "spark", 70, 7)
+    with pytest.raises(ValueError, match="64-bit band signature"):
+        similarity.cosine_pairs_bucketed_sql(
+            "embeddings", "vec_id", "embedding", 0.45,
+            bits_per_band=70, n_bands=7,
+        )
 
 
 def test_cosine_pairs_bucketed_sized_subset_and_recall(spark):

@@ -93,6 +93,41 @@ def _load_tripwire():
     return mod
 
 
+_BENCH_SPEC = importlib.util.spec_from_file_location(
+    "bench_mod",
+    pathlib.Path(__file__).resolve().parents[1] / "bench.py",
+)
+
+
+def _load_bench():
+    mod = importlib.util.module_from_spec(_BENCH_SPEC)
+    _BENCH_SPEC.loader.exec_module(mod)  # type: ignore[union-attr]
+    return mod
+
+
+def test_fresh_retime_verdict_screens_sub_threshold(monkeypatch):
+    """r13 advisor: --fresh-retime with EXPLICIT names skipped the
+    MIN_ABS_SEC screen flagged_full applies, so a sub-threshold entry
+    passed by hand was judged on pure floor noise and could print
+    CONFIRMED (exit 1) for a non-regression. Sub-threshold-in-both-runs
+    now yields the advisory BELOW-THRESHOLD verdict; at-scale entries
+    keep the real judgment."""
+    bench = _load_bench()
+    tw = _load_tripwire()
+    terms = (0.5, 0.1)
+    # both under MIN_ABS_SEC (0.5): advisory whatever the ratio says
+    ratio, verdict = bench._retime_verdict(tw, 0.12, 0.4, terms, terms)
+    assert verdict == "BELOW-THRESHOLD" and ratio > tw.THRESHOLD
+    # fresh side crossed the floor: judged for real
+    _, verdict = bench._retime_verdict(tw, 0.4, 5.0, terms, terms)
+    assert verdict == "CONFIRMED"
+    ratio, verdict = bench._retime_verdict(tw, 2.0, 2.2, terms, terms)
+    assert verdict == "ACQUITTED"
+    # missing / errored sides stay ERROR
+    assert bench._retime_verdict(tw, None, 1.0, terms, terms)[1] == "ERROR"
+    assert bench._retime_verdict(tw, 1.0, -1.0, terms, terms)[1] == "ERROR"
+
+
 def test_tripwire_two_term_normalization():
     """The round-12 two-term model: w = max(t - fixed, 0) / rate, with
     shard-level terms when present and a fixed=0 degrade for pre-r12
@@ -137,6 +172,12 @@ def test_tripwire_floor_fallback_is_rate_scaled():
     # non-floor entries keep the work-coefficient ratio
     r = tw._ratio(1.6, 2.6, (0.5, 0.6), (0.5, 0.6))
     assert abs(r - 2.0) < 1e-9
+    # r13 advisor: BOTH sides floor-dominated -> no work signal; an
+    # entry at the old fixed floor on a machine whose per-query fixed
+    # floor doubled (same rate) must not trip — the old rate-only
+    # fallback would have scored this ~1.94x
+    r = tw._ratio(0.32, 0.62, (0.5, 0.3), (0.5, 0.6))
+    assert r == 1.0
 
 
 def test_tripwire_refuses_self_comparison():
@@ -243,3 +284,24 @@ def test_lsh_recall_check_true_pairs(tmp_path):
         f.unlink()
     write(list(m2), "part-0.parquet")
     assert rc.true_pairs(str(d), 0.6)[1] == 0
+    # r13 advisor: the full well_formed_vectors contract — ragged rows
+    # (previously: object-dtype crash in np.asarray), NULL rows, NULL
+    # components, and over-VEC_COMPONENT_CAP components are all shed
+    # BEFORE the denominator forms, never inflating true pairs
+    for f in (d / "embeddings.parquet").iterdir():
+        f.unlink()
+    ragged = [1.0] * 63                       # wrong length: shed
+    overcap = [5e3] + [0.0] * 63              # |x| > 1e3: shed
+    nullcomp = [None] + [1.0] * 63            # NULL component: shed
+    pq.write_table(
+        pa.table(
+            {
+                "embedding": pa.array(
+                    [e0, e1, ragged, None, overcap, nullcomp],
+                    pa.list_(pa.float64()),
+                )
+            }
+        ),
+        str(d / "embeddings.parquet" / "part-0.parquet"),
+    )
+    assert rc.true_pairs(str(d), 0.6) == (2, 1)

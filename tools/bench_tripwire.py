@@ -111,10 +111,17 @@ def _ratio(
     RATE-scaled raw-time ratio there (r12 advisor: a bare raw ratio
     would falsely trip any floor-level entry on a machine with a >2x
     slower per-query floor — the cross-machine axis this model exists
-    to remove)."""
+    to remove). And when BOTH sides are floor-dominated (r13 advisor),
+    the entry carries no work signal at all — the rate-scaled raw ratio
+    then measures the two machines' per-query FIXED floors, exactly the
+    axis the two-term model removes, so an entry at the old floor on a
+    machine whose fixed floor grew (same rate) would trip falsely.
+    Both-at-floor means nothing regressed: return 1.0."""
     old_w = _work_coeff(old_t, old_terms)
     new_w = _work_coeff(new_t, new_terms)
     if old_w < 0.05:
+        if new_w < 0.05:
+            return 1.0
         return (new_t / new_terms[0]) / max(old_t / old_terms[0], 1e-9)
     return new_w / old_w
 

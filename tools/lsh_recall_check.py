@@ -22,8 +22,14 @@ import glob
 import json
 import sys
 
+import os
+
 import numpy as np
 import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from polario_spark.operators.similarity import VEC_COMPONENT_CAP  # noqa: E402
 
 
 def true_pairs(sf_dir: str, tau: float, block: int = 4096) -> tuple[int, int]:
@@ -31,23 +37,37 @@ def true_pairs(sf_dir: str, tau: float, block: int = 4096) -> tuple[int, int]:
     paths = sorted(glob.glob(f"{sf_dir}/embeddings.parquet/*.parquet")) or [
         f"{sf_dir}/embeddings.parquet"
     ]
-    mats = []
+    # match the operator's malformed-input contract (well_formed_vectors):
+    # rows must be non-null, exactly `dim` long, all-finite, and every
+    # component within VEC_COMPONENT_CAP. Length screening happens BEFORE
+    # vstack — a single ragged list would otherwise build an object-dtype
+    # array and crash, and a wrong-length row the operator legitimately
+    # sheds would inflate the true-pair denominator, under-reporting
+    # recall (r13 advisor). dim is taken from the corpus mode length so
+    # the tool stays corpus-agnostic like the probe harness.
+    cap = float(VEC_COMPONENT_CAP)
+    rows: list[list[float]] = []
     for p in paths:
         t = pq.read_table(p, columns=["embedding"])
-        col = t.column("embedding").to_pylist()
-        mats.append(np.asarray(col, dtype=np.float64))
-    m = np.vstack(mats)
-    # match the operator's malformed-input contract: well-formed rows only
-    ok = np.isfinite(m).all(axis=1)
+        rows.extend(t.column("embedding").to_pylist())
+    lengths = [len(r) for r in rows if r is not None]
+    if not lengths:
+        return 0, 0
+    dim = max(set(lengths), key=lengths.count)
+    kept = [r for r in rows if r is not None and len(r) == dim
+            and not any(v is None for v in r)]
+    m = np.asarray(kept, dtype=np.float64)
+    ok = np.isfinite(m).all(axis=1) & (np.abs(m) <= cap).all(axis=1)
     m = m[ok]
     n = m.shape[0]
     norms = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-12)
     u = m / norms[:, None]
     total = 0
-    # the operator keeps pairs with round(cos, 4) >= tau (HALF_UP — see
-    # bucket_pairs); c rounds up iff c >= tau - 5e-5, which avoids
-    # replaying banker's-rounding differences between np.round and
-    # Spark's F.round at the boundary
+    # the operator keeps pairs with round(cos, 4) >= tau — the bucketed
+    # verify rounds with np.round (half-to-EVEN), not Spark F.round's
+    # HALF_UP (see bucket_pairs); c >= tau - 5e-5 admits everything
+    # either rounding mode would keep, sidestepping the boundary (where
+    # the two modes differ on a measure-zero set in float64 anyway)
     cut = tau - 5e-5
     for i in range(0, n, block):
         bi = u[i : i + block]
