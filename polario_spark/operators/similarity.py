@@ -1525,6 +1525,15 @@ SELECT id_a, id_b, sim FROM (
 #: center — a deterministic stand-in for trained k-means centers), probe
 #: count, and the query-set stride (co-prime with the centroid stride so
 #: queries are not the centroids themselves).
+#:
+#: IVF_NPROBE=2 is a PLAN-SHAPE gate default, not a recall claim: on
+#: UNCLUSTERED data recall is bounded by the scanned fraction ~nprobe/K
+#: (measured r13 vs the exact baseline on the near-uniform gate corpus:
+#: recall@5 0.248 at nprobe=2, 0.943 at nprobe=24 — full curve in
+#: SCALE.md "IVF recall dial"). Real clustered corpora concentrate
+#: neighbors in the top probed cells, which is where IVF earns its keep
+#: — measure recall on YOUR corpus geometry and size nprobe before
+#: deploying.
 IVF_NPROBE = 2
 IVF_QUERY_STRIDE = 97
 
@@ -2283,7 +2292,10 @@ def ivf_topk(
     Inverted-file ANN: a small set of coarse centroids partitions the
     corpus into cells (each vector assigned to its nearest centroid);
     a query scans only its ``IVF_NPROBE`` nearest cells instead of the
-    whole corpus, cutting work by ~|cells|/nprobe at some recall cost.
+    whole corpus, cutting work by ~|cells|/nprobe at some recall cost —
+    recall ~ nprobe/K on unclustered data (measured curve: 0.248 at the
+    default nprobe=2 -> 0.943 at nprobe=24 on the near-uniform gate
+    corpus; see the IVF_NPROBE note and SCALE.md before deploying).
     Default centroids are the deterministic adaptive-stride subset
     (``default_stride_centroids``, K ~ sqrt(n) — reproducible,
     oracle-friendly); pass ``centroids=kmeans_centroids(
@@ -2495,6 +2507,11 @@ def ivf_topk_quantized(
     ``quantized_index``); ``probes`` a materialized (qid, cell) table.
     Registry entries materialize both so the DuckDB oracle verifies
     against the same bytes (assign_cells/probe_cells DETERMINISM).
+
+    Recall rides the same nprobe dial as ``ivf_topk``: ~nprobe/K on
+    unclustered data (measured: 0.248 at the default nprobe=2, 0.943 at
+    nprobe=24 — IVF_NPROBE note / SCALE.md curve) — size it to your
+    corpus geometry before deploying.
     """
     corpus = ensure_parallelism(corpus)
     if assigned_q is None:

@@ -2449,7 +2449,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment materialized to a stable parquet index both engines verify
     against (_IVF_ASSIGN_PATH). Round 11: the probe table gets the same
     GEMM + materialization treatment (_IVF_PROBES_PATH), and the search
-    itself is a per-cell blocked GEMM (ivf_topk)."""
+    itself is a per-cell blocked GEMM (ivf_topk). Recall rides nprobe
+    (~nprobe/K on unclustered data; measured curve 0.248@2 -> 0.943@24,
+    see similarity.IVF_NPROBE / SCALE.md) — size it before deploying."""
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
@@ -2527,7 +2529,9 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel IS the quantized kernel and the sim is bitwise the
     integer-dot cosine the oracle computes. Assignment and probe tables
     materialized; the oracle reads the same bytes (no SQL replay of
-    quantization, GEMM argmax, or probe selection)."""
+    quantization, GEMM argmax, or probe selection). Recall rides nprobe
+    (~nprobe/K on unclustered data; measured curve 0.248@2 -> 0.943@24,
+    see similarity.IVF_NPROBE / SCALE.md) — size it before deploying."""
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
@@ -2592,7 +2596,9 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (determinism in-session, recall >= the stride path;
     tests/test_operators.py). Malformed vectors shed at the scan both
     sides (round-8 probe) — a NaN component would poison the Lloyd mean
-    of its whole cell."""
+    of its whole cell. Recall rides nprobe (~nprobe/K on unclustered
+    data; measured curve 0.248@2 -> 0.943@24, see similarity.IVF_NPROBE
+    / SCALE.md) — size it before deploying."""
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
@@ -5447,14 +5453,18 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the earlier hand-curated _DRIVER_GREEN back-list, which required
 #      manual rotation every round.
 _PRIORITY = [
-    # Round-13 code changes (kept small per the r7 ruling so the
+    # Round-14 code changes (kept small per the r7 ruling so the
     # stalest-green rotation keeps refreshing old rows — the whole
-    # r10-stale cohort of 22 must fit this round's 50-entry sample):
-    #   - the one entry whose code path changed this round: sized-dial
-    #     edge validation + log1p band equation (same dial values at
-    #     every real operating point), the runtime-vs-baked dial
-    #     mismatch warning, and the HOF signature path's long
-    #     weights/accumulator (engaged only above LSH_CODEGEN_MAX_BITS)
+    # r11-stale cohort of 20 plus these 5 fits this round's 50-entry
+    # sample): the corpus-keyed stable-path rework moved every
+    # materialize-then-read artifact these entries gate on
+    # (workdir.stable_work_path now folds sf_dir into the path; their
+    # oracles bake the gate-corpus twin), and the sized entry's
+    # signature funnel gained the hoisted r>62 refusal.
+    "semantic_dedup",
+    "ann_ivf_topk",
+    "ann_ivf_quantized_topk",
+    "ann_ivf_kmeans_topk",
     "dedup_embedding_cosine_lsh_sized",
 ]
 
