@@ -275,7 +275,7 @@ def _fresh_retime(names: list[str]) -> int:
     if ref_path is not None:
         prev_full, source = json.load(open(ref_path)), f"--ref {ref_path}"
     else:
-        prev_full, source = tw._load_previous_full()
+        prev_full, source, _commit = tw._load_previous_full()
     if prev_full is None:
         print(f"fresh-retime: no committed reference ({source})")
         return 1

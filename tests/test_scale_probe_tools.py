@@ -222,16 +222,59 @@ def test_tripwire_uncommitted_round_uses_committed_map(tmp_path):
         _json.dumps({"queries": {"a": 9.0}, "calib_sec": 0.6})
     )
     tw.REPO = str(repo)
-    prev, source = tw._load_previous_full()
+    prev, source, commit = tw._load_previous_full()
     assert prev == committed, source
     assert "uncommitted" in source and "committed map" in source
+    assert commit and commit[:9] in source
     # and when the newest round file IS committed, the anchor is that
     # round's commit (the pre-r13 behavior, unchanged)
     _sp.run(["git", "add", "BENCH_r13.json", "bench_full.json"], cwd=repo, check=True)
     _sp.run(["git", "commit", "-qm", "r13 artifacts"], cwd=repo, check=True)
-    prev, source = tw._load_previous_full()
+    prev, source, commit2 = tw._load_previous_full()
     assert prev["queries"] == {"a": 9.0}
     assert "BENCH_r13.json's commit" in source
+    # r14: the suspect verdict routes to the NEXT-OLDER committed map
+    assert tw._next_older_committed_map(commit2) == commit
+    assert tw._next_older_committed_map(commit) is None
+
+
+def test_reference_suspect_on_real_r12_r13_maps():
+    """r13 verdict item 5, pinned on the REAL committed maps: the
+    driver's load-skewed r12 run (1b99bc0 — one shard calib burst-
+    inflated to 0.788 while its entry times missed the burst) must be
+    called out as the suspect when the r13 driver map trips against it;
+    the CLEAN builder r12 map (eb20b7a) must NOT be suspect for the
+    same candidate — its two floor-adjacent trips are the entries'
+    problem (and were fresh-retime acquitted), not the reference's."""
+    import json as _json
+    import subprocess as _sp
+
+    tw = _load_tripwire()
+
+    def _map(rev):
+        blob = _sp.run(
+            ["git", "show", f"{rev}:bench_full.json"],
+            cwd=tw.REPO, capture_output=True, text=True,
+        ).stdout
+        return _json.loads(blob) if blob else None
+
+    skewed, clean, cand = _map("1b99bc0"), _map("eb20b7a"), _map("4c68b3f")
+    if not (skewed and clean and cand):  # shallow/filtered clone
+        import pytest
+
+        pytest.skip("historical bench maps not in git history")
+    tripped = tw.flagged_full(cand, skewed, set())
+    suspect, why = tw.reference_suspect(cand, skewed, tripped)
+    assert suspect, (why, tripped)
+    assert "load-skewed" in why
+    tripped_clean = tw.flagged_full(cand, clean, set())
+    assert tripped_clean, "clean pairing should still carry its 2 trips"
+    suspect2, _ = tw.reference_suspect(cand, clean, tripped_clean)
+    assert not suspect2
+    # ERROR-only trip lists carry no calib signal -> never suspect
+    assert tw.reference_suspect(
+        cand, skewed, [("x", None, -1.0, float("inf"), "ERROR")]
+    ) == (False, "")
 
 
 def test_lsh_recall_check_true_pairs(tmp_path):

@@ -41,7 +41,11 @@ fields (``shard_calibs`` + ``shard_of``), the entry's OWN shard calib
 is used instead of the run-wide mean. Entries under MIN_ABS_SEC raw in
 both runs are ignored — a 0.05 s -> 0.15 s jitter is not a regression
 signal. Exit code 1 when anything trips, so the pre-snapshot checklist
-can gate on it.
+can gate on it; 2 when the reference IS the candidate (self-comparison
+refusal); 3 when the REFERENCE is the suspect — a load-skewed committed
+run whose burst-inflated calib terms deflate its work coefficients and
+trip honest entries together (round 14, see ``reference_suspect``) —
+with the next-older committed map named for adjudication.
 
 Usage: python tools/bench_tripwire.py [new_bench_full.json]
                                       [--ref reference_bench_full.json]
@@ -57,6 +61,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 THRESHOLD = 2.0  # calib-normalized worsening factor that trips
 MIN_ABS_SEC = 0.5  # ignore entries faster than this in BOTH runs
+#: Reference-suspect screen (round 14, mechanizing SCALE.md r13's
+#: protocol note): a reference calib term sitting this far above the
+#: candidate's run-wide rate marks the shard as burst-inflated.
+SUSPECT_CALIB_FACTOR = 1.3
+#: ...and when more than this fraction of the trips normalize by such
+#: terms, the REFERENCE is the suspect, not the entries.
+SUSPECT_TRIP_FRACTION = 0.5
 
 
 def _calib_for(run: dict, name: str) -> tuple[float, float]:
@@ -180,6 +191,64 @@ def flagged_full(
     return tripped
 
 
+def reference_suspect(
+    new: dict, prev_full: dict, tripped: list
+) -> tuple[bool, str]:
+    """(suspect, why): is the REFERENCE a load-skewed run rather than the
+    tripped entries regressions?
+
+    SCALE.md r13's operative lesson, mechanized: the driver's load-skewed
+    r12 map carried one shard calib burst-inflated to 0.788 while that
+    shard's ENTRY times largely missed the burst, so every entry it
+    normalizes deflates ~1.4x and trips together — adjudicating against
+    it "confirmed" five honest entries. The committed-fixture signature
+    (tests pin it on the real r12/r13 maps): ALL six trips of the
+    r13-vs-skewed-r12 diff normalize by the one shard whose rate sits
+    1.40x above the candidate's run-wide rate, and the run-wide median
+    ratio is 0.70 (global deflation); against the CLEAN r12 map the two
+    (acquitted-class) trips normalize by a 1.25x shard — under the
+    factor. Hence: suspect when more than SUSPECT_TRIP_FRACTION of the
+    non-ERROR trips normalize by reference calib terms >
+    SUSPECT_CALIB_FACTOR x the candidate's run-wide rate. (The verdict's
+    ">50% of shared entries trip" phrasing never fires at full-map scale
+    — the real event was 6 trips out of ~105 eligible — so the fraction
+    is taken over the TRIPS, which is where the wall actually shows.)"""
+    cand_rate = float(new.get("calib_sec") or 0.0)
+    if not cand_rate:
+        return False, ""
+    real = [t for t in tripped if t[4] != "ERROR"]
+    if not real:
+        return False, ""
+    sus = [
+        name
+        for name, _, _, _, _ in real
+        if _calib_for(prev_full, name)[0] > SUSPECT_CALIB_FACTOR * cand_rate
+    ]
+    if len(sus) > SUSPECT_TRIP_FRACTION * len(real):
+        return True, (
+            f"{len(sus)}/{len(real)} trips normalize by reference calib "
+            f"terms >{SUSPECT_CALIB_FACTOR}x the candidate's run-wide rate "
+            f"({cand_rate}) — the reference looks load-skewed (burst-"
+            f"inflated shard calibs deflate its work coefficients; "
+            f"SCALE.md r13)"
+        )
+    return False, ""
+
+
+def _next_older_committed_map(full_commit: str) -> str | None:
+    """The commit holding the next-older committed bench_full.json —
+    the map the suspect verdict routes adjudication to."""
+    try:
+        out = subprocess.run(
+            ["git", "rev-list", "-n1", f"{full_commit}^", "--",
+             "bench_full.json"],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        return out or None
+    except Exception:
+        return None
+
+
 def _newest_bench_round() -> str | None:
     rounds = sorted(
         f for f in os.listdir(REPO)
@@ -188,11 +257,12 @@ def _newest_bench_round() -> str | None:
     return rounds[-1] if rounds else None
 
 
-def _load_previous_full() -> tuple[dict | None, str]:
-    """The complete previous-round map from git history, or (None, why)."""
+def _load_previous_full() -> tuple[dict | None, str, str | None]:
+    """The complete previous-round map from git history plus the commit
+    it was read from, or (None, why, None)."""
     newest = _newest_bench_round()
     if newest is None:
-        return None, "no BENCH_r*.json"
+        return None, "no BENCH_r*.json", None
     try:
         round_commit = subprocess.run(
             ["git", "log", "-n1", "--format=%H", "--", newest],
@@ -212,14 +282,18 @@ def _load_previous_full() -> tuple[dict | None, str]:
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.strip()
         if not full_commit:
-            return None, "bench_full.json never committed before the round"
+            return None, "bench_full.json never committed before the round", None
         blob = subprocess.run(
             ["git", "show", f"{full_commit}:bench_full.json"],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout
-        return json.loads(blob), f"git {full_commit[:9]}:bench_full.json ({why})"
+        return (
+            json.loads(blob),
+            f"git {full_commit[:9]}:bench_full.json ({why})",
+            full_commit,
+        )
     except Exception as exc:
-        return None, f"git lookup failed: {exc}"
+        return None, f"git lookup failed: {exc}", None
 
 
 def _load_previous_top10() -> tuple[dict[str, float], tuple[float, float], str]:
@@ -261,8 +335,9 @@ def main() -> int:
 
     if ref_path is not None:
         prev_full, full_source = json.load(open(ref_path)), f"--ref {ref_path}"
+        ref_commit = None
     else:
-        prev_full, full_source = _load_previous_full()
+        prev_full, full_source, ref_commit = _load_previous_full()
 
     sys.path.insert(0, REPO)
     from polario_spark.queries import _PRIORITY  # noqa: E402
@@ -289,6 +364,42 @@ def main() -> int:
             f"{prev_full.get('calib_sec')}"
             f"+{prev_full.get('calib_fixed_sec', 0.0)}"
         )
+        if ref_path is None and tripped:
+            # Round 14 (r13 verdict item 5): before printing a wall of
+            # TRIPs, ask whether the REFERENCE is the problem. An
+            # explicit --ref is already a manual adjudication choice and
+            # skips this.
+            suspect, why_sus = reference_suspect(new, prev_full, tripped)
+            if suspect:
+                print(
+                    f"tripwire: {len(new_q)} queries vs {source} "
+                    f"(prev calib {prev_calib_desc} -> new "
+                    f"{new.get('calib_sec')}"
+                    f"+{new.get('calib_fixed_sec', 0.0)})"
+                )
+                for name, old_t, new_t, ratio, why in tripped:
+                    if why == "ERROR":
+                        print(f"TRIP  {name}: errored in the new run — fix "
+                              f"it regardless of the reference")
+                print(f"tripwire: REFERENCE SUSPECT — {why_sus}")
+                older = (
+                    _next_older_committed_map(ref_commit)
+                    if ref_commit else None
+                )
+                if older:
+                    print(
+                        f"tripwire: adjudicate against the next-older "
+                        f"committed map instead: git show "
+                        f"{older[:9]}:bench_full.json > /tmp/ref.json && "
+                        f"python bench.py --fresh-retime --ref /tmp/ref.json"
+                    )
+                else:
+                    print(
+                        "tripwire: no older committed map found — "
+                        "adjudicate with bench.py --fresh-retime --ref "
+                        "<a clean map>"
+                    )
+                return 3
     else:
         prev_q, prev_calib, source = _load_previous_top10()
         if not prev_q:
