@@ -1,0 +1,236 @@
+"""Clustered-geometry probe for the similarity stack (round 14).
+
+Every scale probe through r13 ran on replica-clique or decorrelated-
+uniform corpora; real embedding corpora CLUSTER — which is both where
+IVF recall earns its keep (SCALE.md's own deployment argument: neighbor
+mass concentrates in the query's top cells) and where sized-LSH
+bucket-size skew appears (cluster-mates sign-agree on most hyperplanes,
+so the log2(n/B) expected-bucket rule is pushed off its uniform
+assumptions). This tool turns both arguments into measurements on the
+``gen-cluster`` corpora (tools/scale_probe.py: 128 sqrt-skewed Gaussian
+clusters, within-cluster cos ~0.5, heaviest cluster 11x the mean).
+
+Subcommands (results merge into $SCALE_PROBE_ARTIFACT like every probe):
+
+  python tools/clustered_probe.py ivf-recall <sf_dir> [nprobe ...]
+      recall@5 of the float IVF path vs an exact numpy ground truth
+      (mirrors brute_force_topk semantics: round(cos,4), self excluded,
+      nid-ascending tie-break, queries = vec_id %% 97 == 0), for both
+      stride and Lloyd-refined centroids, at each nprobe.
+
+  python tools/clustered_probe.py lsh-buckets <sf_dir> <tau> [label]
+      band-bucket size distribution under the SIZED dials
+      (lsh_sized_dials) — max / p99 / mean bucket, bucket count, and
+      the implied verify-pair volume sum(m*(m-1)/2) — the direct answer
+      to "does r = log2(n/B) hold bucket sizes when the data is lumpy".
+
+CAUTION: Spark jobs — never run concurrently with a bench/probe timing.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def _emit(mode: str, results: dict) -> None:
+    import scale_probe
+
+    scale_probe._emit_artifact(
+        {"mode": mode, "factors": [], "results": results}
+    )
+
+
+import numpy as np
+
+
+def _load_matrix(sf_dir: str):
+    """(ids, unit-normalized matrix) for the well-formed corpus — the
+    same screen the operators apply (len==64, finite, |x| <= cap)."""
+    import pyarrow.parquet as pq
+
+    from polario_spark.operators.similarity import VEC_COMPONENT_CAP
+
+    paths = sorted(glob.glob(f"{sf_dir}/embeddings.parquet/*.parquet")) or [
+        f"{sf_dir}/embeddings.parquet"
+    ]
+    ids, rows = [], []
+    for p in paths:
+        t = pq.read_table(p, columns=["vec_id", "embedding"])
+        for i, r in zip(
+            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+        ):
+            if r is not None and len(r) == 64 and not any(
+                v is None for v in r
+            ):
+                ids.append(i)
+                rows.append(r)
+    m = np.asarray(rows, dtype="float64")
+    ok = (
+        np.isfinite(m).all(axis=1)
+        & (np.abs(m) <= float(VEC_COMPONENT_CAP)).all(axis=1)
+    )
+    ids = np.asarray(ids)[ok]
+    m = m[ok]
+    u = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], u[order]
+
+
+def exact_topk(ids, u, k: int = 5, stride: int = 97):
+    """{qid: (set(top-k ids), kth_sim)} under brute_force_topk semantics:
+    sim = round(cos, 4), self excluded, ties broken nid-ascending."""
+    qmask = ids % stride == 0
+    qids = ids[qmask]
+    sims = np.round(u[qmask] @ u.T, 4)
+    out = {}
+    for row, qid in enumerate(qids):
+        s = sims[row].copy()
+        s[ids == qid] = -np.inf  # exclude self
+        # (-sim, nid) lexsort = sim desc, nid asc — the operator's order
+        idx = np.lexsort((ids, -s))[:k]
+        out[int(qid)] = (set(int(ids[j]) for j in idx), float(s[idx[-1]]))
+    return out
+
+
+def ivf_recall(sf_dir: str, nprobes: list[int]) -> dict:
+    from pyspark.sql import functions as F
+
+    from polario_spark import get_spark
+    from polario_spark.operators import similarity
+    from polario_spark.sources.tables import footer_rows, load_table
+
+    ids, u = _load_matrix(sf_dir)
+    truth = exact_topk(ids, u)
+    print(f"exact ground truth: {len(truth)} queries over {len(ids)} vectors")
+
+    spark = get_spark("clustered_probe_ivf")
+    emb = similarity.well_formed_vectors(
+        load_table(spark, sf_dir, "embeddings"), "embedding", 64
+    )
+    n = footer_rows(sf_dir, "embeddings") or emb.count()
+    kcent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=3)
+    kcent = kcent.cache()
+    kcent.count()
+    results = {}
+    for cent_name, cent in [("stride", None), ("kmeans", kcent)]:
+        n_cells = (
+            cent.count()
+            if cent is not None
+            else similarity.default_stride_centroids(
+                emb, "vec_id", "embedding"
+            ).count()
+        )
+        for nprobe in nprobes:
+            probes = similarity.probe_cells(
+                emb, "vec_id", "embedding", centroids=cent, nprobe=nprobe
+            )
+            approx = similarity.ivf_topk(
+                emb, "vec_id", "embedding", 5, centroids=cent, probes=probes
+            ).collect()
+            got: dict[int, list] = {}
+            for r in approx:
+                got.setdefault(r.qid, []).append((r.nid, r.sim))
+            hits = tie_hits = 0
+            total = 5 * len(truth)
+            for qid, (exact_ids, kth) in truth.items():
+                for nid, sim in got.get(qid, []):
+                    hits += nid in exact_ids
+                    tie_hits += sim >= kth  # at least as good as 5th-best
+            key = f"ivf_{cent_name}_nprobe{nprobe}"
+            results[key] = {
+                "recall_at_5": round(hits / total, 4),
+                "tie_recall_at_5": round(tie_hits / total, 4),
+                "nprobe": nprobe,
+                "n_cells": n_cells,
+                "scanned_fraction_floor": round(nprobe / n_cells, 4),
+                "n_queries": len(truth),
+                "n": int(n),
+                "corpus": os.path.basename(sf_dir.rstrip("/")),
+            }
+            print(key, results[key])
+    spark.stop()
+    return results
+
+
+def lsh_buckets(sf_dir: str, tau: float, label: str | None) -> dict:
+    from pyspark.sql import functions as F
+
+    from polario_spark import get_spark
+    from polario_spark.operators import similarity
+    from polario_spark.sources.tables import footer_rows, load_table
+
+    spark = get_spark("clustered_probe_lsh")
+    emb = similarity.well_formed_vectors(
+        load_table(spark, sf_dir, "embeddings"), "embedding", 64
+    )
+    n = footer_rows(sf_dir, "embeddings") or emb.count()
+    r, n_bands = similarity.lsh_sized_dials(n, tau)
+    base = emb.select(
+        F.col("vec_id").alias("__id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("__v"),
+    )
+    # the HOF signature form — bitwise identical to the codegen form
+    # (equivalence test-pinned), and valid at any dial product
+    banded = similarity._lsh_banded_hof(base, "__v", 64, r, n_bands)
+    sizes = banded.groupBy(
+        F.col("__bs.band").alias("band"), F.col("__bs.sig").alias("sig")
+    ).agg(F.count(F.lit(1)).alias("m"))
+    agg = sizes.agg(
+        F.max("m").alias("max_bucket"),
+        F.expr("percentile_approx(m, 0.99)").alias("p99_bucket"),
+        F.avg("m").alias("mean_bucket"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr("m * (m - 1) / 2")).alias("verify_pairs"),
+    ).collect()[0]
+    corpus = os.path.basename(sf_dir.rstrip("/"))
+    key = label or f"lsh_buckets_tau{str(tau).replace('.', '')}_{corpus}"
+    out = {
+        key: {
+            "n": int(n),
+            "tau": tau,
+            "r": r,
+            "n_bands": n_bands,
+            "target_bucket": similarity.LSH_SIZED_BUCKET,
+            "max_bucket": int(agg["max_bucket"]),
+            "p99_bucket": int(agg["p99_bucket"]),
+            "mean_bucket": round(float(agg["mean_bucket"]), 3),
+            "n_buckets": int(agg["n_buckets"]),
+            "verify_pairs": int(agg["verify_pairs"]),
+            "verify_pairs_per_vector_band": round(
+                float(agg["verify_pairs"]) / (int(n) * n_bands), 3
+            ),
+            "corpus": corpus,
+        }
+    }
+    print(key, out[key])
+    spark.stop()
+    return out
+
+
+def main() -> int:
+    cmd = sys.argv[1]
+    if cmd == "ivf-recall":
+        sf_dir = sys.argv[2]
+        nprobes = [int(a) for a in sys.argv[3:]] or [1, 2, 4, 8, 16]
+        results = ivf_recall(sf_dir, nprobes)
+        _emit("cluster-ivf-recall", results)
+        return 0
+    if cmd == "lsh-buckets":
+        sf_dir, tau = sys.argv[2], float(sys.argv[3])
+        label = sys.argv[4] if len(sys.argv) > 4 else None
+        results = lsh_buckets(sf_dir, tau, label)
+        _emit("cluster-lsh-buckets", results)
+        return 0
+    print(__doc__)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -352,6 +352,102 @@ def generate_decorr(factor: int) -> None:
     spark.stop()
 
 
+#: Clustered-twin geometry (round 14): a FIXED topic set absorbing more
+#: crawl — cluster count stays 128 while the corpus grows, so cluster
+#: mass grows linearly with factor (the adversarial-lumpy case for both
+#: IVF recall concentration and LSH bucket skew). sqrt-skewed weights:
+#: cluster c draws P ~ c^(-1/2) via the u^2 inverse-CDF map, putting
+#: ~8.8% of the corpus in the heaviest cluster (11x the mean) — Zipf-
+#: lite, like real topic distributions.
+CLUSTER_COUNT = 128
+
+
+def _gauss_sql(a: str, b: str, seed: int) -> str:
+    """Deterministic standard normal via Box-Muller over xxhash64
+    uniforms — pure codegen, no RNG state, identical in every process
+    (Date/random are unavailable to this harness by design)."""
+    u1 = f"((pmod(xxhash64({a}, {b}, {seed}), 1000000) + 0.5) / 1000000.0D)"
+    u2 = f"((pmod(xxhash64({a}, {b}, {seed + 1}), 1000000) + 0.5) / 1000000.0D)"
+    return f"(sqrt(-2.0D * ln({u1})) * cos(2.0D * acos(-1.0D) * {u2}))"
+
+
+def generate_cluster(factor: int) -> None:
+    """Clustered-embeddings twin of x{factor} (directory xc{factor}).
+
+    Every probe corpus so far is replica-clique (organic) or
+    decorrelated-uniform (gen-decorr); real embedding corpora CLUSTER,
+    which is where IVF recall earns its keep (neighbor mass concentrates
+    in the query's top cells) and where LSH bucket-size skew appears
+    (cluster-mates sign-agree on most hyperplanes). This twin symlinks
+    every table except embeddings into x{factor} and rebuilds embeddings
+    as a deterministic mixture of Gaussians:
+
+    - CLUSTER_COUNT=128 centers, components ~N(0,1) from
+      xxhash64(cluster, i); member = center + N(0,1) noise from
+      xxhash64(vec_id, i). Unit-variance noise on unit-variance centers
+      puts the WITHIN-cluster pairwise cosine at ~0.5 (mean; sd ~0.09)
+      and member-to-center at ~0.707, so tau 0.6/0.75 cut a thin/thick
+      tail of real within-cluster pairs while cross-cluster cosines sit
+      at the random-direction ~N(0, 1/64) floor (P(cos>=0.45) ~ 8e-5).
+    - Cluster sizes are sqrt-SKEWED (floor(u^2 * 128)): the heaviest
+      cluster holds ~8.8% of the corpus, 11x the mean — the lumpy mass
+      distribution the round-14 probe exists to stress.
+    - vec_id is sequential 0..n-1 (the % 97 query stride samples every
+      cluster); ``label`` carries the true cluster id as ground truth.
+
+    Row count matches x{factor} (base embeddings x factor), so walls and
+    alphas sit on the same n-axis as the organic/decorr slots — but land
+    in their own artifact slot (cluster-*): geometry differs, numbers
+    are not comparable across twins."""
+    src = f"{OUT}/x{factor}"
+    dest = f"{OUT}/xc{factor}"
+    if not os.path.exists(f"{src}/_DONE"):
+        raise SystemExit(f"generate x{factor} before gen-cluster x{factor}")
+    if os.path.exists(f"{dest}/_DONE"):
+        print(f"xc{factor}: already generated, skipping")
+        return
+    os.makedirs(dest, exist_ok=True)
+    for name in DIMS + [n for n in KEYED if n != "embeddings"]:
+        link = f"{dest}/{name}.parquet"
+        if not os.path.lexists(link):
+            os.symlink(f"{src}/{name}.parquet", link)
+
+    from pyspark.sql import functions as F
+
+    from polario_spark import get_spark
+    from polario_spark.sources.tables import load_table
+
+    spark = get_spark(f"scale_probe_gen_xc{factor}")
+    base_rows = load_table(spark, BASE, "embeddings").count()
+    n = base_rows * factor
+    dim = 64
+    u_cl = "((pmod(xxhash64(vec_id, 7), 1000000) + 0.5) / 1000000.0D)"
+    out = (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"))
+        .withColumn(
+            "__cl",
+            F.expr(
+                f"cast(floor({u_cl} * {u_cl} * {CLUSTER_COUNT}) as int)"
+            ),
+        )
+        .withColumn(
+            "embedding",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), i -> cast("
+                f"{_gauss_sql('__cl', 'i', 13)} + "
+                f"{_gauss_sql('vec_id', 'i', 29)} as float))"
+            ),
+        )
+        .select("vec_id", "embedding", F.col("__cl").alias("label"))
+        .repartition(_target_files(n))
+    )
+    out.write.mode("overwrite").parquet(f"{dest}/embeddings.parquet")
+    print(f"xc{factor}/embeddings: {n} rows, {CLUSTER_COUNT} skewed clusters")
+    open(f"{dest}/_DONE", "w").write("ok\n")
+    spark.stop()
+
+
 def run_factor(
     factor: int, queries: list[str], mode: str = "run"
 ) -> dict[str, list[float]]:
@@ -642,7 +738,7 @@ def report(all_times: dict[int, dict[str, list[float]]], queries: list[str]) -> 
     # explicit override on top of the derived name.
     prefix = os.environ.get("SCALE_PROBE_DIR_PREFIX", "x")
     if prefix != "x":
-        twin = "decorr" if prefix == "xd" else prefix
+        twin = {"xd": "decorr", "xc": "cluster"}.get(prefix, prefix)
         mode = f"{twin}-{mode}"
     mode = os.environ.get("SCALE_PROBE_SLOT", mode)
     _emit_artifact({"mode": mode, "factors": factors, "results": results})
@@ -779,6 +875,11 @@ def main() -> int:
         for f in factors:
             if f > 1:
                 generate_decorr(f)
+        return 0
+    if mode == "gen-cluster":
+        for f in factors:
+            if f > 1:
+                generate_cluster(f)
         return 0
     if mode == "stream":
         squeries = [
