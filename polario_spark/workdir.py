@@ -104,6 +104,22 @@ def stable_work_path(kind: str, corpus: str) -> str:
     return os.path.join(_STABLE_ROOT, tag, kind)
 
 
+def rebind_stable_paths(sql: str, from_corpus: str, to_corpus: str) -> str:
+    """Point a baked oracle's stable-path literals at another corpus's
+    artifacts.
+
+    Registry oracles bake ``stable_work_path(kind, GATE_CORPUS)`` into
+    their SQL at import time; a harness that runs an entry AND its
+    oracle on a different corpus (the adversary suites drive tmp-dir
+    corpora) must rebind those literals to where the entry's runtime
+    write actually landed, or the oracle reads the gate corpus's stale
+    bytes — or nothing at all. Pure textual swap of the corpus-tag
+    directory component; kinds and the stable root are untouched."""
+    frm = os.path.dirname(stable_work_path("k", from_corpus))
+    to = os.path.dirname(stable_work_path("k", to_corpus))
+    return sql.replace(frm + os.sep, to + os.sep)
+
+
 _stable_locks: dict[str, int] = {}
 
 

@@ -36,6 +36,8 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from polario_spark.queries import _GATE_SF_DIR
+from polario_spark.workdir import rebind_stable_paths
 from polario_spark.sources.tables import TABLES
 
 CLEAN_SF = "/root/testdata/sf0.001"
@@ -151,7 +153,11 @@ def _normalize(rows, columns):
 @pytest.mark.parametrize("name", AFFECTED)
 def test_keyed_entries_survive_extreme_ids(spark, adv_dir, adv_duck, name):
     fn = entry_mod.queries()[name]
-    oracle = entry_mod.oracle_sql()[name]
+    # round 14: stable artifacts are corpus-keyed; rebind the baked
+    # gate-corpus path literals to where THIS corpus's run writes
+    oracle = rebind_stable_paths(
+        entry_mod.oracle_sql()[name], _GATE_SF_DIR, adv_dir
+    )
     sdf = fn(spark, adv_dir)
     rel = adv_duck.sql(oracle)
     assert sorted(sdf.columns) == sorted(rel.columns)

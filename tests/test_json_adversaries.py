@@ -34,6 +34,8 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from polario_spark.queries import _GATE_SF_DIR
+from polario_spark.workdir import rebind_stable_paths
 from polario_spark.sources.tables import TABLES
 
 CLEAN_SF = "/root/testdata/sf0.001"
@@ -112,7 +114,11 @@ def _normalize(rows, columns):
 @pytest.mark.parametrize("name", AFFECTED)
 def test_json_entries_survive_adversarial_payloads(spark, adv_dir, adv_duck, name):
     fn = entry_mod.queries()[name]
-    oracle = entry_mod.oracle_sql()[name]
+    # round 14: stable artifacts are corpus-keyed; rebind the baked
+    # gate-corpus path literals to where THIS corpus's run writes
+    oracle = rebind_stable_paths(
+        entry_mod.oracle_sql()[name], _GATE_SF_DIR, adv_dir
+    )
     sdf = fn(spark, adv_dir)
     rel = adv_duck.sql(oracle)
     assert sorted(sdf.columns) == sorted(rel.columns)
@@ -128,7 +134,9 @@ def test_json_entries_clean_corpus_unchanged(spark, adv_duck, name):
     the oracle gate at sf0.01 pins this too, but pin it here so a failed
     poison run can't be confused with a clean-data regression."""
     fn = entry_mod.queries()[name]
-    oracle = entry_mod.oracle_sql()[name]
+    oracle = rebind_stable_paths(
+        entry_mod.oracle_sql()[name], _GATE_SF_DIR, CLEAN_SF
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(

@@ -10,6 +10,8 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
+from polario_spark.queries import _GATE_SF_DIR
+from polario_spark.workdir import rebind_stable_paths
 from polario_spark.sources.tables import TABLES
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -87,7 +89,11 @@ def _normalize(rows, columns):
 @pytest.mark.parametrize("name", SUBSET)
 def test_query_matches_oracle(spark, duck, name):
     fn = entry_mod.queries()[name]
-    oracle = entry_mod.oracle_sql()[name]
+    # round 14: stable artifacts are corpus-keyed; rebind the baked
+    # gate-corpus path literals to where THIS corpus's run writes
+    oracle = rebind_stable_paths(
+        entry_mod.oracle_sql()[name], _GATE_SF_DIR, SF_DIR
+    )
     sdf = fn(spark, SF_DIR)
     rel = duck.sql(oracle)
     assert sorted(sdf.columns) == sorted(rel.columns)

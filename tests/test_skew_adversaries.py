@@ -30,6 +30,8 @@ import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
+from polario_spark.queries import _GATE_SF_DIR
+from polario_spark.workdir import rebind_stable_paths
 from polario_spark.operators import dedup, similarity
 from polario_spark.sources.tables import TABLES
 
@@ -241,7 +243,11 @@ def _normalize(rows, columns):
 @pytest.mark.parametrize("name", AFFECTED)
 def test_dedup_entries_survive_boilerplate_cluster(spark, skew_dir, skew_duck, name):
     fn = entry_mod.queries()[name]
-    oracle = entry_mod.oracle_sql()[name]
+    # round 14: stable artifacts are corpus-keyed; rebind the baked
+    # gate-corpus path literals to where THIS corpus's run writes
+    oracle = rebind_stable_paths(
+        entry_mod.oracle_sql()[name], _GATE_SF_DIR, skew_dir
+    )
     sdf = fn(spark, skew_dir)
     rel = skew_duck.sql(oracle)
     assert sorted(sdf.columns) == sorted(rel.columns)

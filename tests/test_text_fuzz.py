@@ -128,7 +128,9 @@ def test_affected_entries_on_empty_and_nbsp_docs(spark, tmp_path, name):
     import os
 
     import __spark_entry__ as entry_mod
+    from polario_spark.queries import _GATE_SF_DIR
     from polario_spark.sources.tables import TABLES
+    from polario_spark.workdir import rebind_stable_paths
 
     clean = "/root/testdata/sf0.001"
     d = tmp_path / "nbsp_empty"
@@ -156,7 +158,11 @@ COPY (
         )
 
     fn = entry_mod.queries()[name]
-    oracle = entry_mod.oracle_sql()[name]
+    # round 14: stable artifacts are corpus-keyed; rebind the baked
+    # gate-corpus path literals to where THIS corpus's run writes
+    oracle = rebind_stable_paths(
+        entry_mod.oracle_sql()[name], _GATE_SF_DIR, str(d)
+    )
     sdf = fn(spark, str(d))
     rel = con.sql(oracle)
     assert sorted(sdf.columns) == sorted(rel.columns)
