@@ -348,3 +348,64 @@ def test_lsh_recall_check_true_pairs(tmp_path):
         str(d / "embeddings.parquet" / "part-0.parquet"),
     )
     assert rc.true_pairs(str(d), 0.6) == (2, 1)
+
+
+def test_clustered_probe_exact_topk_mirrors_brute_force_semantics(tmp_path):
+    """The r14 clustered-recall evidence rests on clustered_probe's numpy
+    ground truth claiming brute_force_topk's exact semantics: round(cos,4),
+    self excluded, nid-ascending tie-break, queries = id % 97 == 0,
+    well-formed screen before the denominator. Pin all of it on a corpus
+    built to exercise each clause."""
+    import importlib.util
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "clustered_probe",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools"
+        / "clustered_probe.py",
+    )
+    cp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cp)  # type: ignore[union-attr]
+
+    d = tmp_path / "sf"
+    (d / "embeddings.parquet").mkdir(parents=True)
+    e = lambda *v: list(v) + [0.0] * (64 - len(v))
+    rows = [
+        (0, e(1.0)),            # query (0 % 97 == 0)
+        (1, e(1.0)),            # cos 1.0 with the query
+        (2, e(0.6, 0.8)),       # cos 0.6
+        (3, e(0.8, 0.6)),       # cos 0.8
+        (4, e(0.6, -0.8)),      # cos 0.6 — TIES with nid 2; 2 must rank first
+        (5, e(-1.0)),           # cos -1.0 (still a neighbor; k=5 needs 5)
+        (6, e(0.0, 1.0)),       # cos 0.0
+        (7, [float("nan")] * 64),   # malformed: shed entirely
+        (8, e(1.0)[:63]),           # ragged: shed (not 64 long)
+        (97, e(0.9, 0.435890)),     # second query (97 % 97 == 0)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet" / "part-0.parquet"),
+    )
+    ids, u = cp._load_matrix(str(d))
+    assert list(ids) == [0, 1, 2, 3, 4, 5, 6, 97]  # 7 and 8 shed, sorted
+    truth = cp.exact_topk(ids, u, k=5)
+    assert set(truth) == {0, 97}
+    top0, kth0 = truth[0]
+    # sim desc: 1(1.0), 97(0.9), 3(0.8), then the 0.6 TIE between 2 and 4
+    # -> nid-ascending admits BOTH (k=5), and the kth (5th-best) sim is 0.6
+    assert top0 == {1, 97, 3, 2, 4}
+    assert kth0 == 0.6
+    # self is never its own neighbor
+    assert 0 not in top0
+    assert 97 not in truth[97][0]
