@@ -95,7 +95,11 @@ def stable_work_path(kind: str, corpus: str) -> str:
     """
     import hashlib
 
-    norm = os.path.normpath(os.path.abspath(corpus))
+    # realpath, not just abspath: a symlinked spelling of the gate corpus
+    # (e.g. /data/sf0.01 -> /root/testdata/sf0.01) must key the SAME dir
+    # as the baked oracle, or the entry writes to an alias-keyed path the
+    # oracle never reads (r14 review)
+    norm = os.path.normpath(os.path.realpath(corpus))
     tag = (
         os.path.basename(norm)
         + "-"
@@ -171,13 +175,32 @@ def prepare_stable_dir(path: str) -> str:
             pass
     if path not in _cleanup_registered:
         _cleanup_registered.add(path)
-        atexit.register(shutil.rmtree, path, True)
+        # atexit is LIFO, so register in reverse execution order:
+        # rmtree(path) -> unlink(path.lock) -> rmdir(parent tag dir).
+        # The rmdir is best-effort and only ever removes an EMPTY tag
+        # dir, so it can never yank a concurrent process's artifacts
+        # (their kind dirs keep it non-empty); without it, every
+        # tmp-corpus pytest run would leave one orphaned tag dir under
+        # /tmp forever (r14 review). Unlinking our lock file matches the
+        # pre-r14 lifecycle (the old root-level rmtree deleted lock
+        # files too), and carries the same documented best-effort edge:
+        # with THREE processes on one (corpus, kind), a writer starting
+        # after the first holder exits misses the warning.
+        atexit.register(_rmdir_quiet, os.path.dirname(path))
         atexit.register(_unlink_quiet, path + ".lock")
+        atexit.register(shutil.rmtree, path, True)
     return path
 
 
 def _unlink_quiet(path: str) -> None:
     try:
         os.unlink(path)
+    except OSError:
+        pass
+
+
+def _rmdir_quiet(path: str) -> None:
+    try:
+        os.rmdir(path)  # refuses non-empty dirs: concurrent kinds survive
     except OSError:
         pass

@@ -275,6 +275,22 @@ def test_reference_suspect_on_real_r12_r13_maps():
     assert tw.reference_suspect(
         cand, skewed, [("x", None, -1.0, float("inf"), "ERROR")]
     ) == (False, "")
+    # r14 review: a reference from a uniformly slower machine (every
+    # shard rate lifted IN LOCKSTEP with its run-wide rate, here 2x the
+    # candidate's) satisfies the vs-candidate factor for every entry but
+    # never the internal-inconsistency one — genuine regressions there
+    # must stay TRIPs, not be misrouted to reference adjudication
+    slow_ref = dict(skewed)
+    slow_ref["calib_sec"] = cand["calib_sec"] * 2.0
+    slow_ref["shard_calibs"] = [cand["calib_sec"] * 2.0] * len(
+        skewed.get("shard_calibs") or [1]
+    )
+    fake_trips = [("q", 1.0, 5.0, 3.0, "vs exact (full map)")]
+    assert tw.reference_suspect(cand, slow_ref, fake_trips) == (False, "")
+    # and an unsharded reference can never be suspect (entry rate ==
+    # run-wide rate fails the internal factor by construction)
+    unsharded = {"queries": skewed["queries"], "calib_sec": 0.9}
+    assert tw.reference_suspect(cand, unsharded, fake_trips) == (False, "")
 
 
 def test_lsh_recall_check_true_pairs(tmp_path):

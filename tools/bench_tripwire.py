@@ -63,8 +63,17 @@ THRESHOLD = 2.0  # calib-normalized worsening factor that trips
 MIN_ABS_SEC = 0.5  # ignore entries faster than this in BOTH runs
 #: Reference-suspect screen (round 14, mechanizing SCALE.md r13's
 #: protocol note): a reference calib term sitting this far above the
-#: candidate's run-wide rate marks the shard as burst-inflated.
+#: candidate's run-wide rate marks the shard as burst-inflated...
 SUSPECT_CALIB_FACTOR = 1.3
+#: ...provided it ALSO sits this far above the reference's OWN run-wide
+#: rate — the internal-inconsistency conjunct that separates a burst
+#: hitting one shard's calibration from a plain cross-machine speed
+#: difference (a uniformly slower reference machine lifts every shard
+#: AND the run-wide rate together, so no shard exceeds its own run's
+#: norm; r14 review). Real-fixture margins: the skewed r12 shard is
+#: 0.788/0.602 = 1.31x its own run, the clean map's worst is
+#: 0.702/0.566 = 1.24x.
+SUSPECT_INTERNAL_FACTOR = 1.25
 #: ...and when more than this fraction of the trips normalize by such
 #: terms, the REFERENCE is the suspect, not the entries.
 SUSPECT_TRIP_FRACTION = 0.5
@@ -212,9 +221,22 @@ def reference_suspect(
     SUSPECT_CALIB_FACTOR x the candidate's run-wide rate. (The verdict's
     ">50% of shared entries trip" phrasing never fires at full-map scale
     — the real event was 6 trips out of ~105 eligible — so the fraction
-    is taken over the TRIPS, which is where the wall actually shows.)"""
+    is taken over the TRIPS, which is where the wall actually shows.)
+
+    Both rate conditions must hold per trip (r14 review): the shard's
+    rate above the CANDIDATE's (the verdict rule's wording) AND above
+    the reference's OWN run-wide rate (the internal-inconsistency
+    signature of a burst hitting one shard's calibration probe). A
+    candidate benched on a merely-faster machine satisfies the first
+    for every shard but never the second, so genuine regressions there
+    still print as TRIPs instead of being misrouted to adjudication.
+    Corollary: an UNSHARDED reference (entry rate == run-wide rate) can
+    never be called suspect — a uniformly loaded run inflates calib and
+    entry times together, which the normalization already absorbs; the
+    per-shard burst is the one skew it cannot."""
     cand_rate = float(new.get("calib_sec") or 0.0)
-    if not cand_rate:
+    ref_rate = float(prev_full.get("calib_sec") or 0.0)
+    if not cand_rate or not ref_rate:
         return False, ""
     real = [t for t in tripped if t[4] != "ERROR"]
     if not real:
@@ -223,14 +245,16 @@ def reference_suspect(
         name
         for name, _, _, _, _ in real
         if _calib_for(prev_full, name)[0] > SUSPECT_CALIB_FACTOR * cand_rate
+        and _calib_for(prev_full, name)[0] > SUSPECT_INTERNAL_FACTOR * ref_rate
     ]
     if len(sus) > SUSPECT_TRIP_FRACTION * len(real):
         return True, (
             f"{len(sus)}/{len(real)} trips normalize by reference calib "
             f"terms >{SUSPECT_CALIB_FACTOR}x the candidate's run-wide rate "
-            f"({cand_rate}) — the reference looks load-skewed (burst-"
-            f"inflated shard calibs deflate its work coefficients; "
-            f"SCALE.md r13)"
+            f"({cand_rate}) and >{SUSPECT_INTERNAL_FACTOR}x the reference's "
+            f"own run-wide rate ({ref_rate}) — the reference looks "
+            f"load-skewed (burst-inflated shard calibs deflate its work "
+            f"coefficients; SCALE.md r13)"
         )
     return False, ""
 

@@ -26,7 +26,9 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from polario_spark import get_spark  # noqa: E402
+from polario_spark.queries import _GATE_SF_DIR  # noqa: E402
 from polario_spark.sources.tables import TABLES  # noqa: E402
+from polario_spark.workdir import rebind_stable_paths  # noqa: E402
 
 
 def _canon_type(t: pa.DataType) -> str:
@@ -101,7 +103,12 @@ def main() -> int:
             print(f"rows-only  {name}: {len(srows)} rows")
             continue
         try:
-            rel = con.sql(oracles[name])
+            # round 14: stable artifacts are corpus-keyed — rebind the
+            # baked gate-corpus path literals to where THIS sf_dir's run
+            # writes (no-op at the gate corpus and for path-free oracles)
+            rel = con.sql(
+                rebind_stable_paths(oracles[name], _GATE_SF_DIR, sf_dir)
+            )
             dtbl = rel.arrow()
             dcols = list(dtbl.schema.names)
             drows = [

@@ -49,13 +49,14 @@ def _emit(mode: str, results: dict) -> None:
 
 import numpy as np
 
+from vector_screen import screen_vectors  # noqa: E402  (tools dir on path)
+
 
 def _load_matrix(sf_dir: str):
     """(ids, unit-normalized matrix) for the well-formed corpus — the
-    same screen the operators apply (len==64, finite, |x| <= cap)."""
+    operators' screen via the shared screen_vectors twin, at the
+    entries' fixed dim=64 contract."""
     import pyarrow.parquet as pq
-
-    from polario_spark.operators.similarity import VEC_COMPONENT_CAP
 
     paths = sorted(glob.glob(f"{sf_dir}/embeddings.parquet/*.parquet")) or [
         f"{sf_dir}/embeddings.parquet"
@@ -63,24 +64,12 @@ def _load_matrix(sf_dir: str):
     ids, rows = [], []
     for p in paths:
         t = pq.read_table(p, columns=["vec_id", "embedding"])
-        for i, r in zip(
-            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
-        ):
-            if r is not None and len(r) == 64 and not any(
-                v is None for v in r
-            ):
-                ids.append(i)
-                rows.append(r)
-    m = np.asarray(rows, dtype="float64")
-    ok = (
-        np.isfinite(m).all(axis=1)
-        & (np.abs(m) <= float(VEC_COMPONENT_CAP)).all(axis=1)
-    )
-    ids = np.asarray(ids)[ok]
-    m = m[ok]
+        ids.extend(t.column("vec_id").to_pylist())
+        rows.extend(t.column("embedding").to_pylist())
+    kept_ids, m, _ = screen_vectors(rows, ids=ids, dim=64)
     u = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(ids, kind="stable")
-    return ids[order], u[order]
+    order = np.argsort(kept_ids, kind="stable")
+    return kept_ids[order], u[order]
 
 
 def exact_topk(ids, u, k: int = 5, stride: int = 97):

@@ -27,9 +27,9 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from polario_spark.operators.similarity import VEC_COMPONENT_CAP  # noqa: E402
+from vector_screen import screen_vectors  # noqa: E402
 
 
 def true_pairs(sf_dir: str, tau: float, block: int = 4096) -> tuple[int, int]:
@@ -37,28 +37,15 @@ def true_pairs(sf_dir: str, tau: float, block: int = 4096) -> tuple[int, int]:
     paths = sorted(glob.glob(f"{sf_dir}/embeddings.parquet/*.parquet")) or [
         f"{sf_dir}/embeddings.parquet"
     ]
-    # match the operator's malformed-input contract (well_formed_vectors):
-    # rows must be non-null, exactly `dim` long, all-finite, and every
-    # component within VEC_COMPONENT_CAP. Length screening happens BEFORE
-    # vstack — a single ragged list would otherwise build an object-dtype
-    # array and crash, and a wrong-length row the operator legitimately
-    # sheds would inflate the true-pair denominator, under-reporting
-    # recall (r13 advisor). dim is taken from the corpus mode length so
-    # the tool stays corpus-agnostic like the probe harness.
-    cap = float(VEC_COMPONENT_CAP)
-    rows: list[list[float]] = []
+    # match the operator's malformed-input contract (well_formed_vectors)
+    # via the shared screen_vectors twin — one implementation for every
+    # ground-truth tool (r13 advisor; r14 review). dim comes from the
+    # corpus mode length so the tool stays corpus-agnostic.
+    rows: list = []
     for p in paths:
         t = pq.read_table(p, columns=["embedding"])
         rows.extend(t.column("embedding").to_pylist())
-    lengths = [len(r) for r in rows if r is not None]
-    if not lengths:
-        return 0, 0
-    dim = max(set(lengths), key=lengths.count)
-    kept = [r for r in rows if r is not None and len(r) == dim
-            and not any(v is None for v in r)]
-    m = np.asarray(kept, dtype=np.float64)
-    ok = np.isfinite(m).all(axis=1) & (np.abs(m) <= cap).all(axis=1)
-    m = m[ok]
+    _, m, _ = screen_vectors(rows)
     n = m.shape[0]
     norms = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-12)
     u = m / norms[:, None]
