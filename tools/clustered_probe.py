@@ -72,19 +72,31 @@ def _load_matrix(sf_dir: str):
     return kept_ids[order], u[order]
 
 
-def exact_topk(ids, u, k: int = 5, stride: int = 97):
+def exact_topk(ids, u, k: int = 5, stride: int = 97, block: int = 256):
     """{qid: (set(top-k ids), kth_sim)} under brute_force_topk semantics:
-    sim = round(cos, 4), self excluded, ties broken nid-ascending."""
+    sim = round(cos, 4), self excluded, ties broken nid-ascending.
+
+    Query-BLOCKED GEMM (r14 review of this tool's own scale story): the
+    one-shot ``queries x corpus`` sims matrix is 30 GB at the xc300
+    point (6.2k x 600k float64) — the tool would have died of exactly
+    the materialize-the-pair-space sin it exists to measure. Peak is
+    now one ``block x corpus`` stripe (~1.2 GB at xc300)."""
     qmask = ids % stride == 0
     qids = ids[qmask]
-    sims = np.round(u[qmask] @ u.T, 4)
+    qu = u[qmask]
     out = {}
-    for row, qid in enumerate(qids):
-        s = sims[row].copy()
-        s[ids == qid] = -np.inf  # exclude self
-        # (-sim, nid) lexsort = sim desc, nid asc — the operator's order
-        idx = np.lexsort((ids, -s))[:k]
-        out[int(qid)] = (set(int(ids[j]) for j in idx), float(s[idx[-1]]))
+    for b in range(0, len(qids), block):
+        sims = np.round(qu[b : b + block] @ u.T, 4)
+        for row in range(sims.shape[0]):
+            qid = qids[b + row]
+            s = sims[row]
+            s[ids == qid] = -np.inf  # exclude self
+            # (-sim, nid) lexsort = sim desc, nid asc — the operator's order
+            idx = np.lexsort((ids, -s))[:k]
+            out[int(qid)] = (
+                set(int(ids[j]) for j in idx),
+                float(s[idx[-1]]),
+            )
     return out
 
 
