@@ -119,8 +119,24 @@ def ivf_recall(sf_dir: str, nprobes: list[int]) -> dict:
     kcent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=3)
     kcent = kcent.cache()
     kcent.count()
+    # the int8 path, built exactly as ivf_topk_quantized's in-flight
+    # default does (probe queries are the DEQUANTIZED index vectors), so
+    # the curve includes quantization loss end-to-end vs the float truth
+    q_assigned = similarity.quantized_index(
+        similarity.assign_cells(emb, "vec_id", "embedding").select(
+            "nid", "__v", "cell"
+        )
+    ).cache()
+    q_assigned.count()
+    dq_queries = q_assigned.select(
+        "nid", F.expr(similarity.dequant_expr("__qv")).alias("__v")
+    )
     results = {}
-    for cent_name, cent in [("stride", None), ("kmeans", kcent)]:
+    for cent_name, cent in [
+        ("stride", None),
+        ("kmeans", kcent),
+        ("quantized", None),
+    ]:
         n_cells = (
             cent.count()
             if cent is not None
@@ -129,12 +145,23 @@ def ivf_recall(sf_dir: str, nprobes: list[int]) -> dict:
             ).count()
         )
         for nprobe in nprobes:
-            probes = similarity.probe_cells(
-                emb, "vec_id", "embedding", centroids=cent, nprobe=nprobe
-            )
-            approx = similarity.ivf_topk(
-                emb, "vec_id", "embedding", 5, centroids=cent, probes=probes
-            ).collect()
+            if cent_name == "quantized":
+                probes = similarity.probe_cells(
+                    emb, "vec_id", "embedding", nprobe=nprobe,
+                    queries_from=dq_queries,
+                )
+                approx = similarity.ivf_topk_quantized(
+                    emb, "vec_id", "embedding", 5,
+                    assigned_q=q_assigned, probes=probes,
+                ).collect()
+            else:
+                probes = similarity.probe_cells(
+                    emb, "vec_id", "embedding", centroids=cent, nprobe=nprobe
+                )
+                approx = similarity.ivf_topk(
+                    emb, "vec_id", "embedding", 5, centroids=cent,
+                    probes=probes,
+                ).collect()
             got: dict[int, list] = {}
             for r in approx:
                 got.setdefault(r.qid, []).append((r.nid, r.sim))
