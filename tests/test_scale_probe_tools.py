@@ -425,3 +425,79 @@ def test_clustered_probe_exact_topk_mirrors_brute_force_semantics(tmp_path):
     # self is never its own neighbor
     assert 0 not in top0
     assert 97 not in truth[97][0]
+
+
+def test_gen_cluster_geometry_is_deterministic_and_on_spec(
+    spark, tmp_path, monkeypatch
+):
+    """The committed r14 clustered-geometry measurements (IVF recall
+    curves, LSH bucket tables) are only re-checkable if gen-cluster
+    keeps producing the SAME corpora: pin determinism (two generations
+    collect identical rows — hash-seeded Box-Muller, no RNG state) and
+    the geometry spec (sqrt-skewed cluster masses with the heaviest
+    well above the mean; within-cluster cosine ~0.5; cross-cluster at
+    the random-direction floor) on a small factor over sf0.001."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    probe = _load()
+    src = tmp_path / "x2"
+    src.mkdir()
+    (src / "_DONE").write_text("ok\n")
+    for t in probe.DIMS + [n for n in probe.KEYED if n != "embeddings"]:
+        (src / f"{t}.parquet").mkdir()  # symlink targets; never read here
+
+    def gen_rows():
+        # subprocess: generate_cluster runs get_spark()+stop(), which
+        # would kill the shared test session's context if run in-process
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+            SCALE_PROBE_OUT=str(tmp_path),
+        )
+        subprocess.run(
+            [
+                sys.executable,
+                str(
+                    pathlib.Path(__file__).resolve().parents[1]
+                    / "tools"
+                    / "scale_probe.py"
+                ),
+                "gen-cluster",
+                "2",
+            ],
+            env=env,
+            check=True,
+            capture_output=True,
+        )
+        df = spark.read.parquet(str(tmp_path / "xc2" / "embeddings.parquet"))
+        rows = sorted(
+            (r.vec_id, r.label, tuple(r.embedding)) for r in df.collect()
+        )
+        shutil.rmtree(tmp_path / "xc2")
+        return rows
+
+    rows1, rows2 = gen_rows(), gen_rows()
+    assert rows1 == rows2  # bitwise deterministic across generations
+    n = len(rows1)
+    assert n == 1000  # sf0.001 embeddings (500) x factor 2
+    labels = np.asarray([r[1] for r in rows1])
+    m = np.asarray([r[2] for r in rows1], dtype=np.float64)
+    assert labels.min() >= 0 and labels.max() < probe.CLUSTER_COUNT
+    # sqrt-skew: the heaviest cluster must carry several times the mean
+    counts = np.bincount(labels, minlength=probe.CLUSTER_COUNT)
+    assert counts.max() >= 4 * counts[counts > 0].mean()
+    u = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    big = np.argmax(counts)
+    members = u[labels == big]
+    w = members @ members.T
+    iu = np.triu_indices(len(members), 1)
+    assert 0.35 < w[iu].mean() < 0.65  # within-cluster cos ~0.5
+    # cross-cluster pairs sit at the random-direction floor
+    a = u[labels == labels[labels != big][0]][:40]
+    x = (members[:40] @ a.T).ravel()
+    assert abs(float(x.mean())) < 0.15 and float(np.abs(x).max()) < 0.6
