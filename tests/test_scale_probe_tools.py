@@ -415,7 +415,11 @@ def test_clustered_probe_exact_topk_mirrors_brute_force_semantics(tmp_path):
     )
     ids, u = cp._load_matrix(str(d))
     assert list(ids) == [0, 1, 2, 3, 4, 5, 6, 97]  # 7 and 8 shed, sorted
-    truth = cp.exact_topk(ids, u, k=5)
+    # block=1 forces one query per GEMM stripe, exercising the
+    # multi-block boundary indexing (qids[b + row]) the default
+    # block=256 never would with 2 queries (r14 review)
+    truth = cp.exact_topk(ids, u, k=5, block=1)
+    assert truth == cp.exact_topk(ids, u, k=5)  # blocking-invariant
     assert set(truth) == {0, 97}
     top0, kth0 = truth[0]
     # sim desc: 1(1.0), 97(0.9), 3(0.8), then the 0.6 TIE between 2 and 4
@@ -427,9 +431,7 @@ def test_clustered_probe_exact_topk_mirrors_brute_force_semantics(tmp_path):
     assert 97 not in truth[97][0]
 
 
-def test_gen_cluster_geometry_is_deterministic_and_on_spec(
-    spark, tmp_path, monkeypatch
-):
+def test_gen_cluster_geometry_is_deterministic_and_on_spec(spark, tmp_path):
     """The committed r14 clustered-geometry measurements (IVF recall
     curves, LSH bucket tables) are only re-checkable if gen-cluster
     keeps producing the SAME corpora: pin determinism (two generations
@@ -501,3 +503,36 @@ def test_gen_cluster_geometry_is_deterministic_and_on_spec(
     a = u[labels == labels[labels != big][0]][:40]
     x = (members[:40] @ a.T).ravel()
     assert abs(float(x.mean())) < 0.15 and float(np.abs(x).max()) < 0.6
+
+
+def test_emit_artifact_calib_series_merge(tmp_path, monkeypatch):
+    """r14 review: a partial probe run extending a slot to a new factor
+    must not erase the calib series behind the earlier factors'
+    committed numbers (the x300 cluster-count run dropped 30/100).
+    Same-slot merges now union factors and CONCATENATE same-factor
+    series; curve entries keep their deep-merge."""
+    import json
+    import os
+
+    probe = _load()
+    art = tmp_path / "art.json"
+    monkeypatch.setenv("SCALE_PROBE_ARTIFACT", str(art))
+    probe._emit_artifact({
+        "mode": "m", "factors": [30, 100],
+        "results": {
+            "__calib__": {"30": [0.6, 0.2], "100": [0.61]},
+            "q": {"mins": {"30": 1.0, "100": 3.0}},
+        },
+    })
+    probe._emit_artifact({
+        "mode": "m", "factors": [100, 300],
+        "results": {
+            "__calib__": {"100": [0.62], "300": [0.5]},
+            "q": {"mins": {"100": 2.9, "300": 9.0}},
+        },
+    })
+    merged = json.load(open(art))["runs"]["m"]["results"]
+    assert merged["__calib__"] == {
+        "30": [0.6, 0.2], "100": [0.61, 0.62], "300": [0.5],
+    }
+    assert merged["q"]["mins"] == {"30": 1.0, "100": 2.9, "300": 9.0}

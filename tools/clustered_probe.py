@@ -12,7 +12,7 @@ clusters, within-cluster cos ~0.5, heaviest cluster 11x the mean).
 
 Subcommands (results merge into $SCALE_PROBE_ARTIFACT like every probe):
 
-  python tools/clustered_probe.py ivf-recall <sf_dir> [nprobe ...]
+  python tools/clustered_probe.py ivf-recall <sf_dir> [--only v1,v2] [nprobe ...]
       recall@5 of the float IVF path vs an exact numpy ground truth
       (mirrors brute_force_topk semantics: round(cos,4), self excluded,
       nid-ascending tie-break, queries = vec_id %% 97 == 0), for both
@@ -100,7 +100,9 @@ def exact_topk(ids, u, k: int = 5, stride: int = 97, block: int = 256):
     return out
 
 
-def ivf_recall(sf_dir: str, nprobes: list[int]) -> dict:
+def ivf_recall(
+    sf_dir: str, nprobes: list[int], only: "set[str] | None" = None
+) -> dict:
     from pyspark.sql import functions as F
 
     from polario_spark import get_spark
@@ -137,6 +139,10 @@ def ivf_recall(sf_dir: str, nprobes: list[int]) -> dict:
         ("kmeans", kcent),
         ("quantized", None),
     ]:
+        if only and cent_name not in only:
+            # --only: extending one variant's curve must not force (and
+            # re-emit over) the others' committed rows (r14 review)
+            continue
         n_cells = (
             cent.count()
             if cent is not None
@@ -171,17 +177,30 @@ def ivf_recall(sf_dir: str, nprobes: list[int]) -> dict:
                 for nid, sim in got.get(qid, []):
                     hits += nid in exact_ids
                     tie_hits += sim >= kth  # at least as good as 5th-best
-            key = f"ivf_{cent_name}_nprobe{nprobe}"
+            corpus = os.path.basename(sf_dir.rstrip("/"))
+            # key carries the corpus (like lsh_buckets' keys): the
+            # artifact merge plain-overwrites same-named rows, and an
+            # unsuffixed key let a later xc30 run clobber the committed
+            # xc100/xc300 curves (r14 review)
+            key = f"ivf_{cent_name}_nprobe{nprobe}_{corpus}"
             results[key] = {
                 "recall_at_5": round(hits / total, 4),
-                "tie_recall_at_5": round(tie_hits / total, 4),
                 "nprobe": nprobe,
                 "n_cells": n_cells,
                 "scanned_fraction_floor": round(nprobe / n_cells, 4),
                 "n_queries": len(truth),
                 "n": int(n),
-                "corpus": os.path.basename(sf_dir.rstrip("/")),
+                "corpus": corpus,
             }
+            if cent_name != "quantized":
+                # tie-tolerance compares approx sims against the FLOAT
+                # ground truth's 5th-best on the round(cos,4) scale; the
+                # quantized path's integer-dot sims live on a coarser
+                # scale, so "sim >= kth" there measures quantization sim
+                # bias, not tie-tolerant recall (committed r14 artifact
+                # briefly carried tie 0.61 < recall 0.68 — impossible
+                # under the metric's meaning). Omit it for that variant.
+                results[key]["tie_recall_at_5"] = round(tie_hits / total, 4)
             print(key, results[key])
     spark.stop()
     return results
@@ -245,9 +264,15 @@ def lsh_buckets(sf_dir: str, tau: float, label: str | None) -> dict:
 def main() -> int:
     cmd = sys.argv[1]
     if cmd == "ivf-recall":
-        sf_dir = sys.argv[2]
-        nprobes = [int(a) for a in sys.argv[3:]] or [1, 2, 4, 8, 16]
-        results = ivf_recall(sf_dir, nprobes)
+        args = sys.argv[2:]
+        only = None
+        if "--only" in args:
+            i = args.index("--only")
+            only = set(args[i + 1].split(","))
+            args = args[:i] + args[i + 2 :]
+        sf_dir = args[0]
+        nprobes = [int(a) for a in args[1:]] or [1, 2, 4, 8, 16]
+        results = ivf_recall(sf_dir, nprobes, only=only)
         _emit("cluster-ivf-recall", results)
         return 0
     if cmd == "lsh-buckets":

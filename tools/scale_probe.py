@@ -765,6 +765,23 @@ def _emit_artifact(payload: dict) -> None:
     slot["factors"] = sorted(set(slot.get("factors", [])) | set(payload["factors"]))
     for name, entry in payload["results"].items():
         old = slot["results"].get(name)
+        if name == "__calib__" and isinstance(old, dict):
+            # the calib series is the loaded-machine tripwire for EVERY
+            # factor ever probed in this slot — a later partial run
+            # (e.g. an x300-only extension) must not erase the evidence
+            # behind the earlier factors' committed numbers (r14 review:
+            # the x300 cluster-count run dropped the 30/100 series).
+            # Same-factor re-probes CONCATENATE: more bracketing samples
+            # strengthen the tripwire, and the chronology is preserved.
+            entry = {
+                **old,
+                **{
+                    f: (old.get(f) or []) + v
+                    for f, v in entry.items()
+                },
+            }
+            slot["results"][name] = entry
+            continue
         if (
             isinstance(old, dict)
             and isinstance(entry, dict)
