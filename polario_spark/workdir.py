@@ -118,9 +118,26 @@ def rebind_stable_paths(sql: str, from_corpus: str, to_corpus: str) -> str:
     corpora) must rebind those literals to where the entry's runtime
     write actually landed, or the oracle reads the gate corpus's stale
     bytes — or nothing at all. Pure textual swap of the corpus-tag
-    directory component; kinds and the stable root are untouched."""
+    directory component; kinds and the stable root are untouched.
+
+    A silent no-op here is the exact bug class corpus keying fixed
+    (r14 ADVICE): if the SQL references the stable root but not the
+    from-corpus tag (tag-scheme drift, a differently-spelled gate dir),
+    the textual replace would leave the oracle reading another corpus's
+    stale artifacts. That case now raises instead of no-opping; SQL
+    with no stable-path literals at all passes through untouched."""
     frm = os.path.dirname(stable_work_path("k", from_corpus))
     to = os.path.dirname(stable_work_path("k", to_corpus))
+    if from_corpus != to_corpus and _STABLE_ROOT in sql \
+            and (frm + os.sep) not in sql:
+        raise ValueError(
+            f"rebind_stable_paths: SQL references the stable root "
+            f"({_STABLE_ROOT}) but not the expected from-corpus prefix "
+            f"({frm + os.sep}) — a textual rebind would silently leave "
+            f"the oracle reading another corpus's artifacts. The baked "
+            f"corpus tag and from_corpus ({from_corpus!r}) disagree; "
+            f"pass the corpus the oracle was actually baked against."
+        )
     return sql.replace(frm + os.sep, to + os.sep)
 
 

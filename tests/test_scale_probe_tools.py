@@ -291,6 +291,20 @@ def test_reference_suspect_on_real_r12_r13_maps():
     # run-wide rate fails the internal factor by construction)
     unsharded = {"queries": skewed["queries"], "calib_sec": 0.9}
     assert tw.reference_suspect(cand, unsharded, fake_trips) == (False, "")
+    # r14 ADVICE: a LONE trip — even one normalizing by a burst-class
+    # shard — must never reclassify the run: a burst deflates a shard's
+    # worth of entries (the real r13 event was 6 trips), while a single
+    # trip is as likely a genuine regression living on the hottest
+    # shard. 1 > 0.5*1 would have flipped it pre-fix.
+    assert tw.SUSPECT_MIN_TRIPS == 2
+    lone = [t for t in tripped if t[4] != "ERROR"][:1]
+    assert lone
+    assert tw.reference_suspect(cand, skewed, lone) == (False, "")
+    # two suspect-class trips from the same skewed pairing still flip
+    pair = [t for t in tripped if t[4] != "ERROR"][:2]
+    if len(pair) == 2:
+        sus_pair, _ = tw.reference_suspect(cand, skewed, pair)
+        assert sus_pair
 
 
 def test_lsh_recall_check_true_pairs(tmp_path):
@@ -536,3 +550,25 @@ def test_emit_artifact_calib_series_merge(tmp_path, monkeypatch):
         "30": [0.6, 0.2], "100": [0.61, 0.62], "300": [0.5],
     }
     assert merged["q"]["mins"] == {"30": 1.0, "100": 2.9, "300": 9.0}
+
+
+def test_vector_screen_modal_dim_tie_breaks_deterministically():
+    """r14 ADVICE: on a pathological 50/50 corpus the modal-dim default
+    must not depend on set iteration order; ties break to the smallest
+    tied length, identically on every Python build."""
+    vs_spec = importlib.util.spec_from_file_location(
+        "vector_screen",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools"
+        / "vector_screen.py",
+    )
+    vs = importlib.util.module_from_spec(vs_spec)
+    vs_spec.loader.exec_module(vs)  # type: ignore[union-attr]
+
+    rows = [[1.0] * 3] * 5 + [[1.0] * 7] * 5  # exact 50/50 tie
+    _, m, dim = vs.screen_vectors(rows)
+    assert dim == 3
+    assert m.shape == (5, 3)
+    # clear mode still wins regardless of magnitude ordering
+    _, _, dim2 = vs.screen_vectors(rows + [[1.0] * 7])
+    assert dim2 == 7

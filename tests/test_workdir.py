@@ -89,6 +89,39 @@ def test_stable_path_keyed_by_corpus():
         assert const == stable_work_path(kind, Qm._GATE_SF_DIR)
 
 
+def test_rebind_stable_paths_raises_on_tag_drift():
+    """r14 ADVICE: a rebind whose from-corpus tag is absent from SQL
+    that nonetheless references the stable root must raise, not no-op —
+    the no-op leaves the oracle silently reading another corpus's
+    artifacts (the exact bug class corpus keying fixed). SQL with no
+    stable-path literals at all still passes through untouched, and a
+    matching tag still rebinds."""
+    import os
+
+    import pytest
+
+    from polario_spark.workdir import (
+        _STABLE_ROOT,
+        rebind_stable_paths,
+        stable_work_path,
+    )
+
+    frm_dir = os.path.dirname(stable_work_path("k", "/tmp/corpus_a"))
+    to_dir = os.path.dirname(stable_work_path("k", "/tmp/corpus_b"))
+    sql = f"SELECT * FROM parquet.`{frm_dir}/semdedup_assign`"
+    # matching tag rebinds
+    assert to_dir in rebind_stable_paths(sql, "/tmp/corpus_a", "/tmp/corpus_b")
+    # tag drift: SQL holds the stable root under a THIRD corpus's tag
+    drifted = f"SELECT * FROM parquet.`{_STABLE_ROOT}/othertag-deadbeef/x`"
+    with pytest.raises(ValueError, match="from-corpus prefix"):
+        rebind_stable_paths(drifted, "/tmp/corpus_a", "/tmp/corpus_b")
+    # no stable literals -> untouched
+    plain = "SELECT 1 AS one"
+    assert rebind_stable_paths(plain, "/tmp/corpus_a", "/tmp/corpus_b") == plain
+    # same corpus both sides -> no-op even with stable literals
+    assert rebind_stable_paths(drifted, "/tmp/c", "/tmp/c") == drifted
+
+
 _RACE_CHILD = """
 import os, sys
 sys.path.insert(0, '/root/repo')

@@ -77,6 +77,14 @@ SUSPECT_INTERNAL_FACTOR = 1.25
 #: ...and when more than this fraction of the trips normalize by such
 #: terms, the REFERENCE is the suspect, not the entries.
 SUSPECT_TRIP_FRACTION = 0.5
+#: A burst that skews a reference map deflates a SHARD's worth of
+#: entries, so the real event is always plural (r13's was 6 trips). A
+#: single suspect trip is as likely a genuine lone regression whose
+#: entry merely lives on the hottest shard — with one trip, 1 > 0.5
+#: would flip the whole run to SUSPECT and route it away from the TRIP
+#: protocol without ever naming the entry (r14 ADVICE). Require at
+#: least this many suspect trips before reclassifying the run.
+SUSPECT_MIN_TRIPS = 2
 
 
 def _calib_for(run: dict, name: str) -> tuple[float, float]:
@@ -247,7 +255,10 @@ def reference_suspect(
         if _calib_for(prev_full, name)[0] > SUSPECT_CALIB_FACTOR * cand_rate
         and _calib_for(prev_full, name)[0] > SUSPECT_INTERNAL_FACTOR * ref_rate
     ]
-    if len(sus) > SUSPECT_TRIP_FRACTION * len(real):
+    if (
+        len(sus) >= SUSPECT_MIN_TRIPS
+        and len(sus) > SUSPECT_TRIP_FRACTION * len(real)
+    ):
         return True, (
             f"{len(sus)}/{len(real)} trips normalize by reference calib "
             f"terms >{SUSPECT_CALIB_FACTOR}x the candidate's run-wide rate "
@@ -401,10 +412,20 @@ def main() -> int:
                     f"{new.get('calib_sec')}"
                     f"+{new.get('calib_fixed_sec', 0.0)})"
                 )
+                # Print the FULL trip list, not just errors: adjudication
+                # must start from the same evidence the verdict suppressed,
+                # or a genuine regression hiding among the suspect trips is
+                # never named (r14 ADVICE).
                 for name, old_t, new_t, ratio, why in tripped:
                     if why == "ERROR":
                         print(f"TRIP  {name}: errored in the new run — fix "
                               f"it regardless of the reference")
+                    else:
+                        print(
+                            f"TRIP  {name}: {old_t:.3f}s -> {new_t:.3f}s "
+                            f"({ratio:.1f}x calib-normalized, {why}) — "
+                            f"suspect-screen evidence, re-adjudicate below"
+                        )
                 print(f"tripwire: REFERENCE SUSPECT — {why_sus}")
                 older = (
                     _next_older_committed_map(ref_commit)

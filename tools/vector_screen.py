@@ -37,7 +37,11 @@ def screen_vectors(rows, ids=None, dim=None):
         return (np.asarray([]) if ids is not None else None,
                 np.zeros((0, d)), d)
     if dim is None:
-        dim = max(set(lengths), key=lengths.count)
+        # modal length; a 50/50 tie breaks to the SMALLEST length (max
+        # keeps the first of equal-count candidates in sorted order) —
+        # deterministic across Python builds, unlike iterating a set
+        # (r14 ADVICE)
+        dim = max(sorted(set(lengths)), key=lengths.count)
     keep = [
         i
         for i, r in enumerate(rows)
