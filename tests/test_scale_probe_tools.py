@@ -572,3 +572,90 @@ def test_vector_screen_modal_dim_tie_breaks_deterministically():
     # clear mode still wins regardless of magnitude ordering
     _, _, dim2 = vs.screen_vectors(rows + [[1.0] * 7])
     assert dim2 == 7
+
+
+def _load_clustered_probe():
+    spec = importlib.util.spec_from_file_location(
+        "clustered_probe",
+        pathlib.Path(__file__).resolve().parents[1]
+        / "tools"
+        / "clustered_probe.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # type: ignore[union-attr]
+    return mod
+
+
+def test_quantize_like_operator_matches_spark_quantizer(spark):
+    """r14 verdict item 4: the numpy quantizer behind the int8 exact
+    ground truth must reproduce _quantize_exprs byte-for-byte — HALF_UP
+    (away from zero) on exact .5 boundaries where np.round's half-even
+    would drift, and per-row max-abs scaling. Pinned against the REAL
+    Spark expression over vectors engineered to hit .5 boundaries."""
+    import numpy as np
+
+    cp = _load_clustered_probe()
+    # rows whose x*127/max|x| lands exactly on .5: with max|x|=127,
+    # x=2.5 -> q=round(2.5)=3 HALF_UP (np.round would give 2);
+    # x=-2.5 -> -3 (np.round: -2); plus a generic irrational-ish row
+    rows = [
+        [127.0, 2.5, -2.5, 3.5, -3.5] + [0.0] * 59,
+        [1.0, 0.25, -0.75, 0.5] + [0.1] * 60,
+        [-64.0, 63.5, 1.0, -0.5] + [0.01] * 60,
+    ]
+    u = np.asarray(rows, dtype=np.float64)
+    got = cp.quantize_like_operator(u)
+    assert got[0, 1] == 3.0 and got[0, 2] == -3.0
+    assert got[0, 3] == 4.0 and got[0, 4] == -4.0
+
+    from pyspark.sql import functions as F
+
+    from polario_spark.operators.similarity import _quantize_exprs
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(rows)],
+        "i long, v array<double>",
+    )
+    scale, quant = _quantize_exprs("v", "spark", width="bigint")
+    out = (
+        df.withColumns({"__qscale": F.expr(scale)})
+        .withColumns({"__qv": F.expr(quant)})
+        .orderBy("i")
+        .collect()
+    )
+    for i, r in enumerate(out):
+        assert list(got[i].astype(int)) == list(r["__qv"]), (i, r["__qv"])
+    # scale invariance: quantizing 1000x the row gives identical codes
+    assert (cp.quantize_like_operator(u * 1000.0) == got).all()
+
+
+def test_exact_topk_quantized_scale_and_semantics():
+    """The int8 exact truth ranks by the INTEGER-dot cosine: a pair that
+    the float truth separates but quantization collapses must tie (and
+    break nid-ascending) in the quantized truth — the scale difference
+    that made the float kth unusable for int8 tie-recall."""
+    import numpy as np
+
+    cp = _load_clustered_probe()
+    # qid 0 (stride hit: 0 % 97 == 0); neighbors 1 and 2 nearly parallel
+    # to it with a float gap far below quantization resolution
+    base = np.zeros(64)
+    base[0] = 1.0
+    v1 = base.copy()
+    v1[1] = 1e-6
+    v2 = base.copy()
+    v2[1] = 2e-6
+    far = np.zeros(64)
+    far[1] = 1.0
+    ids = np.asarray([0, 1, 2, 3], dtype=np.int64)
+    u = np.stack([base, v1, v2, far])
+    u = u / np.linalg.norm(u, axis=1, keepdims=True)
+    tq = cp.exact_topk_quantized(ids, u, k=2)
+    top_ids, kth = tq[0]
+    # 1e-6 components quantize to 0: vectors 1,2 tie with cosine 1.0 to
+    # the query; nid-ascending keeps {1, 2} and kth is exactly 1.0
+    assert top_ids == {1, 2}
+    assert kth == 1.0
+    # float truth at the same k separates them without a tie at 1.0
+    tf = cp.exact_topk(ids, u, k=2)
+    assert tf[0][0] == {1, 2} and tf[0][1] < 1.0

@@ -559,6 +559,82 @@ def _stream_child() -> None:
     spark.stop()
 
 
+def _completed_stage_ids(spark) -> list[int]:
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    if not ui:
+        return []
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return [s["stageId"] for s in json.loads(r.read().decode())]
+
+
+def _stage_task_skew(spark, after_stage: int, top: int = 3) -> list[dict]:
+    """Max/median TASK duration for the top-``top`` completed stages (by
+    total executorRunTime) whose stageId is past ``after_stage`` — the
+    straggler evidence wall-clock alphas cannot give. A hot LSH bucket or
+    fat IVF cell that really produced a fat TASK shows up here as
+    skew = max/med >> 1 even when the stage wall looks fine (local[32]
+    hides one 31x task behind 31 idle cores; a 1000-executor cluster
+    does not). Requires the probe child's UI (SCALE_PROBE_TASK_SKEW=1);
+    reads the same REST endpoints the Spark UI's stage page renders."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    if not ui:
+        return []
+
+    def _get(path: str):
+        url = f"{ui}/api/v1/applications/{app}{path}"
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return json.loads(r.read().decode())
+
+    try:
+        stages = [
+            s
+            for s in _get("/stages?status=complete")
+            if s["stageId"] > after_stage
+        ]
+    except Exception as exc:  # REST hiccup: skew is evidence, not gating
+        print(f"task-skew fetch failed: {exc}", file=sys.stderr)
+        return []
+    stages.sort(key=lambda s: s.get("executorRunTime", 0), reverse=True)
+    out = []
+    for s in stages[:top]:
+        med = mx = None
+        try:
+            ts = _get(
+                f"/stages/{s['stageId']}/{s.get('attemptId', 0)}"
+                f"/taskSummary?quantiles=0.5,1.0"
+            )
+            med, mx = ts["executorRunTime"]
+        except Exception as exc:
+            print(
+                f"task-skew summary failed stage {s['stageId']}: {exc}",
+                file=sys.stderr,
+            )
+        out.append(
+            {
+                "stage": s["stageId"],
+                "name": (s.get("name") or "").split("\n")[0][:100],
+                "tasks": s.get("numCompleteTasks"),
+                "stage_run_time_ms": s.get("executorRunTime"),
+                "task_ms_med": med,
+                "task_ms_max": mx,
+                "skew": round(mx / med, 2) if med and mx else None,
+                # on-disk shuffle geometry: what this stage wrote for the
+                # next exchange / read from the previous one — the
+                # harness-disk sizing evidence for the next decade up
+                "shuffle_write_bytes": s.get("shuffleWriteBytes"),
+                "shuffle_read_bytes": s.get("shuffleReadBytes"),
+            }
+        )
+    return out
+
+
 def _child() -> None:
     factor_s, out_path, qcsv = os.environ["SCALE_PROBE_CHILD"].split("|")
     factor = int(factor_s)
@@ -570,7 +646,19 @@ def _child() -> None:
     from polario_spark import get_spark
     from polario_spark.plans import release_cached_residue
 
-    spark = get_spark(f"scale_probe_x{factor}")
+    # SCALE_PROBE_TASK_SKEW=1 turns the UI on for this child so the
+    # REST stage API exists; off by default (listener + UI store cost)
+    want_skew = bool(os.environ.get("SCALE_PROBE_TASK_SKEW"))
+    extra = {"spark.ui.enabled": "true"} if want_skew else {}
+    # SCALE_PROBE_SPARK_CONF="k=v,k=v": runtime confs for a specific
+    # measurement (e.g. spark.io.compression.codec=zstd halves the
+    # sized-LSH band stream's on-disk shuffle next to lz4 — the xc300
+    # harness-disk enabler). Alphas must only be compared between runs
+    # sharing these confs; the artifact's __calib__ brackets either way.
+    for kv in filter(None, os.environ.get("SCALE_PROBE_SPARK_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        extra[k.strip()] = v.strip()
+    spark = get_spark(f"scale_probe_x{factor}", extra_conf=extra or None)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     try:
         spark.range(64).mapInPandas(lambda it: it, schema="id long").collect()
@@ -601,11 +689,24 @@ def _child() -> None:
     # (the default) for continuity with earlier rounds' artifacts;
     # alphas must only ever be compared within one sink mode.
     sink = os.environ.get("SCALE_PROBE_SINK", "collect")
+    # SCALE_PROBE_REPS=1 for hour-scale single measurements (the xc300
+    # LSH wall): min-of-2 exists to shed cold-plan noise, which is <1%
+    # of an hour-long run, and the bracketing __calib__ samples remain
+    # the loaded-machine tripwire either way
+    reps = max(1, int(os.environ.get("SCALE_PROBE_REPS", "2")))
     queries = {**queries, **_probe_extra_queries()}
     times: dict = {"__calib__": [calib()], "__rows__": {}, "__sink__": sink}
+    if want_skew:
+        times["__task_skew__"] = {}
     for name in names:
         runs: list[float] = []
-        for _ in range(2):
+        for rep in range(reps):
+            skew_mark = None
+            if want_skew and rep == 0:
+                try:
+                    skew_mark = max(_completed_stage_ids(spark), default=-1)
+                except Exception:
+                    skew_mark = None
             start = time.perf_counter()
             try:
                 # rows_out rides the artifact: an entry whose output
@@ -621,6 +722,10 @@ def _child() -> None:
                 print(f"ERROR x{factor} {name}: {exc}", file=sys.stderr)
                 runs.append(-1.0)
                 break
+            if skew_mark is not None:
+                times["__task_skew__"][name] = _stage_task_skew(
+                    spark, skew_mark
+                )
             release_cached_residue(spark)
         times[name] = runs
         times["__calib__"].append(calib())
@@ -704,10 +809,16 @@ def report(all_times: dict[int, dict[str, list[float]]], queries: list[str]) -> 
             for f in factors
             if all_times.get(f, {}).get("__rows__", {}).get(name) is not None
         }
+        task_skew = {
+            str(f): all_times.get(f, {}).get("__task_skew__", {}).get(name)
+            for f in factors
+            if all_times.get(f, {}).get("__task_skew__", {}).get(name)
+        }
         results[name] = {
             "mins": {str(k): v for k, v in mins.items()},
             "alpha_last": alpha,
             **({"rows_out": rows_out} if rows_out else {}),
+            **({"task_skew": task_skew} if task_skew else {}),
         }
         results[name].update(derive_cost_shape(results[name]))
         if results[name].get("cost_shape"):
@@ -796,7 +907,12 @@ def _emit_artifact(payload: dict) -> None:
             # last step
             mins = {**old["mins"], **entry["mins"]}
             rows = {**old.get("rows_out", {}), **entry.get("rows_out", {})}
-            entry = {"mins": mins, **({"rows_out": rows} if rows else {})}
+            skew = {**old.get("task_skew", {}), **entry.get("task_skew", {})}
+            entry = {
+                "mins": mins,
+                **({"rows_out": rows} if rows else {}),
+                **({"task_skew": skew} if skew else {}),
+            }
             fs = sorted((int(k) for k, v in mins.items() if v), key=int)
             if len(fs) >= 2:
                 f1, f2 = fs[-2], fs[-1]
