@@ -638,13 +638,19 @@ def test_exact_topk_quantized_scale_and_semantics():
 
     cp = _load_clustered_probe()
     # qid 0 (stride hit: 0 % 97 == 0); neighbors 1 and 2 nearly parallel
-    # to it with a float gap far below quantization resolution
+    # to it. The perturbation must (a) survive the float truth's
+    # round(cos, 4) — cos(e0, e0 + c*sum(e1..e32)) ~ 1 - 16c^2, so the
+    # 32-dim spread puts the gap at the 4th decimal — while (b) every
+    # component quantizes to 0 (|c| * 127 < 0.5), so both neighbors'
+    # int8 codes equal the query's and the integer-dot cosine ties at
+    # exactly 1.0. (A single-component perturbation cannot do both:
+    # code 0 forces c < 0.004, which rounds the float cosine to 1.0.)
     base = np.zeros(64)
     base[0] = 1.0
     v1 = base.copy()
-    v1[1] = 1e-6
+    v1[1:33] = 0.003
     v2 = base.copy()
-    v2[1] = 2e-6
+    v2[1:33] = 0.0035
     far = np.zeros(64)
     far[1] = 1.0
     ids = np.asarray([0, 1, 2, 3], dtype=np.int64)
@@ -652,8 +658,8 @@ def test_exact_topk_quantized_scale_and_semantics():
     u = u / np.linalg.norm(u, axis=1, keepdims=True)
     tq = cp.exact_topk_quantized(ids, u, k=2)
     top_ids, kth = tq[0]
-    # 1e-6 components quantize to 0: vectors 1,2 tie with cosine 1.0 to
-    # the query; nid-ascending keeps {1, 2} and kth is exactly 1.0
+    # sub-resolution components quantize to 0: vectors 1,2 tie with
+    # cosine 1.0 to the query; nid-ascending keeps {1, 2}, kth exactly 1.0
     assert top_ids == {1, 2}
     assert kth == 1.0
     # float truth at the same k separates them without a tie at 1.0
