@@ -1360,104 +1360,218 @@ def cosine_pairs_bucketed(
         F.col(id_col).alias("__id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("__v"),
     )
-    if bits_per_band * n_bands <= LSH_CODEGEN_MAX_BITS:
-        # small dial products: one codegen projection of r*L CASE
-        # expressions — the fastest form, and what the DuckDB oracle's
-        # generated SQL mirrors expression-for-expression
-        sig_structs = ", ".join(
-            f"named_struct('band', {band}, 'sig', {sig})"
-            for band, sig in enumerate(
-                _lsh_band_sigs("__v", dim, "spark", bits_per_band, n_bands)
+    # Round 15 (opt): signature assembly is ONE vectorized numpy kernel
+    # for every dial size. The former codegen form emitted r*L scalar
+    # CASEs in one projection — at sized dials (r*L in the hundreds) the
+    # generated method exceeds the JIT's huge-method limit and executes
+    # as interpreted bytecode (measured: the sig stage's executor CPU
+    # swung 1.8-28 s at sf0.1 with multi-second GC, for what is ~0.6M
+    # comparisons), and the literal-array HOF fallback for even larger
+    # dials is interpreted per plane by construction. A sign test is an
+    # EXACT comparison (no arithmetic) and a band signature an exact
+    # small-integer sum, so numpy produces bit-identical (band, sig)
+    # values to both expression forms (and to the DuckDB oracle built
+    # from _lsh_band_sigs) — guide §4.2: hand whole batches to
+    # vectorized native code. _lsh_index_pairs stays the shared refusal
+    # funnel (r > 62 overflows a 64-bit signature). The kernel yields in
+    # bounded slices: output amplification is L rows per input row, so
+    # one 10k-row Arrow input batch would otherwise emit one L*10k-row
+    # batch (payload duplicated per band) in a single allocation.
+    idx_pairs = _lsh_index_pairs(
+        dim, bits_per_band * n_bands, LSH_SEED, bits_per_band
+    )
+    _a_idx = [a for a, _ in idx_pairs]
+    _b_idx = [b for _, b in idx_pairs]
+    _r, _L = bits_per_band, n_bands
+
+    def band_sigs_stream(batches):
+        import numpy as np
+        import pandas as pd
+
+        A = np.asarray(_a_idx, np.int64)
+        B = np.asarray(_b_idx, np.int64)
+        W = (np.int64(1) << np.arange(_r, dtype=np.int64))
+        OUT_SLICE = 1 << 15
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            mat = np.stack(pdf["__v"].to_numpy())
+            bits = mat[:, A] > mat[:, B]
+            sigs = (bits.reshape(n, _L, _r) * W[None, None, :]).sum(
+                axis=2, dtype=np.int64
             )
-        )
-        banded = base.withColumn(
-            "__bs", F.explode(F.expr(f"array({sig_structs})"))
-        )
-    else:
-        # sized dials (L in the hundreds — lsh_sized_dials): r*L scalar
-        # CASEs in ONE projection OOM the Janino whole-stage-codegen
-        # compiler itself (measured at the x30 probe point, r=12/L=415 =
-        # 4980 CASEs: java.lang.OutOfMemoryError inside
-        # UnitCompiler.buildLocalVariableMap — a COMPILER blowup, not a
-        # data-memory one). Same math, data-driven: the hyperplane index
-        # pairs become three array LITERALS (one Catalyst literal each,
-        # however many planes) and the signature assembly runs through
-        # interpreted higher-order functions — ~2*r*L ops per vector,
-        # linear and small next to the bucket-verify GEMM. ``__bits`` is
-        # BOUND as a column first so it computes once per row (the
-        # HOF-inlining trap: referenced inline it would re-evaluate per
-        # band). Bit j weights 2^j exactly as _lsh_band_sigs emits, so
-        # both forms produce identical (band, sig) values — equivalence
-        # is test-pinned.
-        banded = _lsh_banded_hof(base, "__v", dim, bits_per_band, n_bands)
-    sigs = banded.select(
-        "__id", "__v",
-        F.col("__bs.band").alias("band"),
-        F.col("__bs.sig").alias("sig"),
+            ids = np.repeat(pdf["__id"].to_numpy(), _L)
+            vecs = np.repeat(pdf["__v"].to_numpy(), _L)
+            band = np.tile(np.arange(_L, dtype=np.int32), n)
+            sig = sigs.reshape(-1)
+            for o in range(0, n * _L, OUT_SLICE):
+                yield pd.DataFrame(
+                    {
+                        "__id": ids[o : o + OUT_SLICE],
+                        "__v": vecs[o : o + OUT_SLICE],
+                        "band": band[o : o + OUT_SLICE],
+                        "sig": sig[o : o + OUT_SLICE],
+                    }
+                )
+
+    sigs = base.mapInPandas(
+        band_sigs_stream,
+        schema="__id long, __v array<double>, band int, sig long",
     )
     if n_rows is not None:
         stream_bytes = n_rows * n_bands * (dim * 8 + 48)
         parts = max(32, -(-stream_bytes // (128 << 20)))
         sigs = sigs.repartition(int(parts), "band", "sig")
+    else:
+        sigs = sigs.repartition("band", "sig")
+    # Round 15 (opt): the verify stage is GROUP-RUN mapInPandas over
+    # (band, sig)-sorted partitions, replacing groupBy().applyInPandas.
+    # Bucket membership and the per-bucket math are identical — the hash
+    # repartition above co-locates each bucket, the sort makes it one
+    # contiguous run, and the kernel walks run boundaries — but the
+    # Python boundary now crosses once per ~10k-row Arrow batch instead
+    # of once per BUCKET. Sized dials make buckets small by design
+    # (expected ~LSH_SIZED_BUCKET rows, thousands of buckets even at
+    # gate scale: n=2000 -> L=47 bands x 2^7 sigs), so per-group
+    # crossings dominated the stage: measured 6.4 s -> see
+    # OPTIMIZATION_r15.md (guide §4.1: batch the boundary, §4.5 state
+    # amortized per task). applyInPandas plans the same per-partition
+    # sort internally, so the explicit sort adds no new work.
+    sigs = sigs.sortWithinPartitions("band", "sig")
 
-    def bucket_pairs(pdf):
+    def bucket_pairs_stream(batches):
         import numpy as np
         import pandas as pd
 
-        empty = pd.DataFrame(
-            {
-                "id_a": np.array([], np.int64),
-                "id_b": np.array([], np.int64),
-                "sim": np.array([], np.float64),
-            }
-        )
-        if len(pdf) < 2:
-            return empty
-        # Sort by id so the tile loop below can walk the upper triangle
-        # of tile pairs only (i0 <= j0) and still see every id_a < id_b
-        # pair exactly once.
-        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
-        ids = pdf["__id"].to_numpy()[order]
-        mat = np.stack(pdf["__v"].to_numpy()[order])
-        # Zero-norm clamp: an all-zero embedding gets sim = 0/(1e-12)^2 = 0
-        # (< any positive threshold, so it never pairs) instead of NaN.
-        # The DuckDB oracle's list_cosine_similarity yields NaN there and
-        # `sim >= threshold` is false in SQL — identical exclusion, but
-        # this side is now deterministic and warning-free.
-        norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
-        # Cap the verify GEMM per degenerate bucket: sub-tile at
-        # COSINE_TILE so peak memory is one T x T block + the bucket's
-        # vectors, never the bucket-squared matrix. Scoring is the
-        # shared screened kernel ((a . b) / (|a||b|), rounded at 4 —
-        # see _screened_tile_sims for the float32-screen rationale and
-        # the ulp class the round absorbs).
-        out = []
-        n = len(ids)
-        mat32 = mat.astype(np.float32)
-        for i0 in range(0, n, COSINE_TILE):
-            i1 = min(i0 + COSINE_TILE, n)
-            for j0 in range(i0, n, COSINE_TILE):
-                j1 = min(j0 + COSINE_TILE, n)
-                ia, ib, sim = _screened_tile_sims(
-                    mat[i0:i1], norms[i0:i1], mat[j0:j1], norms[j0:j1],
-                    threshold, mat32[i0:i1], mat32[j0:j1],
-                )
-                keep = ids[i0:i1][ia] < ids[j0:j1][ib]
-                if keep.any():
-                    out.append(
-                        pd.DataFrame(
-                            {
-                                "id_a": ids[i0:i1][ia][keep],
-                                "id_b": ids[j0:j1][ib][keep],
-                                "sim": sim[keep],
-                            }
-                        )
+        def big_bucket(ids_raw, mat_raw, out_a, out_b, out_s):
+            # Degenerate bucket (> COSINE_TILE rows): sub-tile at
+            # COSINE_TILE so peak memory is one T x T block + the
+            # bucket's vectors, never the bucket-squared matrix. Scoring
+            # is the shared screened kernel ((a . b) / (|a||b|), rounded
+            # at 4 — see _screened_tile_sims for the float32-screen
+            # rationale and the ulp class the round absorbs). Sort by id
+            # so the tile loop walks the upper triangle of tile pairs
+            # only (i0 <= j0) and still sees every id_a < id_b pair
+            # exactly once.
+            order = np.argsort(ids_raw, kind="stable")
+            ids = ids_raw[order]
+            mat = mat_raw[order]
+            norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+            n = len(ids)
+            mat32 = mat.astype(np.float32)
+            for i0 in range(0, n, COSINE_TILE):
+                i1 = min(i0 + COSINE_TILE, n)
+                for j0 in range(i0, n, COSINE_TILE):
+                    j1 = min(j0 + COSINE_TILE, n)
+                    ia, ib, sim = _screened_tile_sims(
+                        mat[i0:i1], norms[i0:i1], mat[j0:j1], norms[j0:j1],
+                        threshold, mat32[i0:i1], mat32[j0:j1],
                     )
-        return pd.concat(out, ignore_index=True) if out else empty
+                    keep = ids[i0:i1][ia] < ids[j0:j1][ib]
+                    if keep.any():
+                        out_a.append(ids[i0:i1][ia][keep])
+                        out_b.append(ids[j0:j1][ib][keep])
+                        out_s.append(sim[keep])
+
+        def flush(pdf):
+            # Vectorized across buckets: sized dials pin the bucket BODY
+            # at ~LSH_SIZED_BUCKET rows, so a partition holds thousands
+            # of tiny runs — a per-bucket Python loop (the former
+            # applyInPandas shape, and its first mapInPandas port) spends
+            # its time in per-group call overhead, not FLOPs. Runs are
+            # grouped BY LENGTH and each length class scored as ONE
+            # batched GEMM (m x L x L), chunked so the sims tensor stays
+            # ~32 MB; only over-COSINE_TILE runs take the per-bucket
+            # tiled path. Pair SET and rounded sims are unchanged: dgemm
+            # vs elementwise summation differ by the ~1-ulp class
+            # round(·, 4) absorbs (see _screened_tile_sims DETERMINISM),
+            # and a pair of equal ids (duplicate-id corpus) is dropped by
+            # the lo < hi mask exactly as the sorted upper-triangle walk
+            # dropped it.
+            b = pdf["band"].to_numpy()
+            s = pdf["sig"].to_numpy()
+            ids = pdf["__id"].to_numpy()
+            mat = np.stack(pdf["__v"].to_numpy())
+            norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+            change = np.flatnonzero((b[1:] != b[:-1]) | (s[1:] != s[:-1])) + 1
+            starts = np.concatenate(([0], change))
+            lengths = np.diff(np.concatenate((starts, [len(pdf)])))
+            out_a: list = []
+            out_b: list = []
+            out_s: list = []
+            small = (lengths >= 2) & (lengths <= COSINE_TILE)
+            for ln in np.unique(lengths[small]):
+                offs = starts[small][lengths[small] == ln]
+                iu, ju = np.triu_indices(ln, 1)
+                # chunk so the m x ln x ln sims tensor stays bounded
+                step = max(1, (1 << 22) // int(ln * ln))
+                for c0 in range(0, len(offs), step):
+                    o = offs[c0 : c0 + step]
+                    rows = o[:, None] + np.arange(ln)[None, :]
+                    g = mat[rows]
+                    gn = norms[rows]
+                    sims = np.round(
+                        np.matmul(g, g.transpose(0, 2, 1))
+                        / (gn[:, :, None] * gn[:, None, :]),
+                        4,
+                    )
+                    simp = sims[:, iu, ju].ravel()
+                    ka = ids[rows[:, iu]].ravel()
+                    kb = ids[rows[:, ju]].ravel()
+                    lo = np.minimum(ka, kb)
+                    hi = np.maximum(ka, kb)
+                    keep = (simp >= threshold) & (lo < hi)
+                    if keep.any():
+                        out_a.append(lo[keep])
+                        out_b.append(hi[keep])
+                        out_s.append(simp[keep])
+            for st, ln in zip(
+                starts[lengths > COSINE_TILE], lengths[lengths > COSINE_TILE]
+            ):
+                big_bucket(
+                    ids[st : st + ln], mat[st : st + ln], out_a, out_b, out_s
+                )
+            if not out_a:
+                return None
+            return pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+        # A bucket may span Arrow batch boundaries: carry the trailing
+        # (possibly incomplete) run into the next batch. Peak held rows =
+        # largest bucket + one batch — the same bound applyInPandas paid
+        # for its largest group.
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            n = len(pdf)
+            if n == 0:
+                continue
+            b = pdf["band"].to_numpy()
+            s = pdf["sig"].to_numpy()
+            diff = np.flatnonzero((b != b[-1]) | (s != s[-1]))
+            cut = int(diff[-1]) + 1 if diff.size else 0
+            carry = pdf.iloc[cut:]
+            if cut:
+                res = flush(pdf.iloc[:cut])
+                if res is not None:
+                    yield res
+        if carry is not None and len(carry):
+            res = flush(carry)
+            if res is not None:
+                yield res
 
     return (
-        sigs.groupBy("band", "sig")
-        .applyInPandas(bucket_pairs, schema="id_a long, id_b long, sim double")
+        sigs.mapInPandas(
+            bucket_pairs_stream, schema="id_a long, id_b long, sim double"
+        )
         .groupBy("id_a", "id_b")
         .agg(F.min("sim").alias("sim"))
     )
