@@ -1804,6 +1804,15 @@ def kmeans_centroids(
         "nid",
         F.expr("transform(__v, x -> cast(x as double))").alias("__v"),
     )
+    # Round 15 (opt): materialize the canonical frame ONCE — every Lloyd
+    # round's plan otherwise re-executes scan -> repartition -> the
+    # dup-collapse agg, i.e. the loop's only corpus-volume exchange runs
+    # `iters` times instead of once (guide §2.4 remove shuffles; the
+    # MLlib KMeans contract likewise requires its input cached). Lazy
+    # localCheckpoint: materializes under the first round's action,
+    # rounds 2+ read the stored partitions; release_cached_residue
+    # sweeps the blocks between bench runs.
+    vecs = vecs.localCheckpoint(eager=False)
     init_stride = adaptive_centroid_stride(corpus.count())
     cent_np = _collect_centroid_matrix(
         vecs.filter(F.col("nid") % init_stride == 0).select(
@@ -2432,8 +2441,12 @@ def ivf_topk(
     corpus = ensure_parallelism(corpus)
     # resolve the default centroid set ONCE so the adaptive-stride
     # count() job runs once and the probe cells / assignment cells come
-    # from the same frame (same subplan -> AQE ReusedExchange)
-    if centroids is None:
+    # from the same frame (same subplan -> AQE ReusedExchange). Round 15:
+    # resolution is SKIPPED when both the assignment and the probe table
+    # arrive materialized — the search below never touches centroids
+    # then, and the eager default ran a wasted count() job per entry
+    # (measured ~0.1 s at sf0.1, one per IVF registry entry).
+    if centroids is None and (assigned is None or probes is None):
         centroids = default_stride_centroids(corpus, id_col, vec_col)
     # GEMM assignment shared with semdedup_dropped — see assign_cells for
     # the broadcast/blocked-argmax scale rationale; the probe step reuses

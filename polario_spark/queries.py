@@ -2455,11 +2455,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
+    # Round 15 (opt): ONE stride-centroid frame shared by the assignment
+    # and the probe materialization — each used to resolve its own
+    # default inside assign_cells/probe_cells, paying a duplicate
+    # adaptive-stride count() job (and building a second, byte-identical
+    # centroid subplan). Same rows by construction: the shared frame IS
+    # default_stride_centroids over the same corpus.
+    cent = similarity.default_stride_centroids(emb, "vec_id", "embedding")
     assigned = _materialized_assignment(
-        emb, stable_work_path("ivf_stride_assign", sf_dir)
+        emb, stable_work_path("ivf_stride_assign", sf_dir), centroids=cent
     )
     probes = _materialized_probes(
-        emb, assigned, stable_work_path("ivf_stride_probes", sf_dir)
+        emb, assigned, stable_work_path("ivf_stride_probes", sf_dir),
+        centroids=cent,
     )
     return similarity.ivf_topk(
         emb, "vec_id", "embedding", 5, assigned=assigned, probes=probes
@@ -2537,10 +2545,14 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_assign_path = stable_work_path("ivf_quant_assign", sf_dir)
     q_probes_path = stable_work_path("ivf_quant_probes", sf_dir)
+    # shared stride-centroid frame — same duplicate-count rationale as
+    # ann_ivf_topk (round 15 opt); rows identical to each consumer's own
+    # default resolution
+    cent = similarity.default_stride_centroids(emb, "vec_id", "embedding")
     qidx = similarity.quantized_index(
-        similarity.assign_cells(emb, "vec_id", "embedding").select(
-            "nid", "__v", "cell"
-        )
+        similarity.assign_cells(
+            emb, "vec_id", "embedding", centroids=cent
+        ).select("nid", "__v", "cell")
     )
     qidx.write.mode("overwrite").parquet(prepare_stable_dir(q_assign_path))
     assigned_q = spark.read.parquet(q_assign_path)
@@ -2548,6 +2560,7 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         "vec_id",
         "embedding",
+        centroids=cent,
         queries_from=assigned_q.select(
             "nid", F.expr(similarity.dequant_expr("__qv")).alias("__v")
         ),
@@ -2604,7 +2617,18 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent_path = stable_work_path("kmeans_centroids", sf_dir)
     cent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=3)
-    cent.write.mode("overwrite").parquet(prepare_stable_dir(cent_path))
+    # repartition(1): the centroid table is driver-sized by construction
+    # (K ~ sqrt(n) rows; the Lloyd loop literally held it as one numpy
+    # matrix on the driver), so parallelize()'s default slicing would
+    # write one near-empty file per core — pure commit overhead at any
+    # scale (guide §6 small-files; round 15 opt). repartition, NOT
+    # coalesce: coalesce(1) funnels all of createDataFrame's pickled
+    # slices through ONE task's sequential Python-worker round-trips
+    # (measured 4+ s for 45 rows); the repartition shuffle keeps the
+    # Python side parallel and the single write task pure-JVM (0.4 s).
+    cent.repartition(1).write.mode("overwrite").parquet(
+        prepare_stable_dir(cent_path)
+    )
     cent = spark.read.parquet(cent_path)
     assigned = _materialized_assignment(
         emb, stable_work_path("ivf_kmeans_assign", sf_dir), centroids=cent
@@ -4897,11 +4921,24 @@ def compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if compaction ever stops compacting. See HiveDataset.compact for the
     per-partition scoping that bounds the rewrite at scale."""
     from polario_spark import unwrap
+    from polario_spark.plans.parallelism import ensure_parallelism
 
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_totalprice",
-        F.col("o_orderstatus").cast("string").alias("status"),
+    # Round 15 (opt): the append-history write below fans one input row
+    # stream into ~300 tiny fragments; from the bench corpus's
+    # single-row-group scan that was ONE task creating every file
+    # serially (measured 3.0-5.1 s of the entry's 4.0 s — guide §2.5
+    # input skew: an unsplittable input serializes everything above it).
+    # ensure_parallelism round-robins the degenerate scan up to core
+    # width so fragment creation is parallel; on any real multi-file
+    # input it is the identity. Fragment contract unchanged: every file
+    # still holds <= max_rows_per_fragment rows and compact() must still
+    # strictly reduce the count.
+    orders = ensure_parallelism(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderstatus").cast("string").alias("status"),
+        )
     )
     tmp = work_dir(spark, "compact_roundtrip")
     ds = HiveDataset(
