@@ -2803,8 +2803,17 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink+source: write orders to headered CSV, read back schema-less
     (all strings, the reference CLI's concat_csv semantics), cast, and
     aggregate — proving the CSV path preserves values exactly."""
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("string")
+    from polario_spark.plans.parallelism import ensure_parallelism
+
+    # Round 15 (opt): the bench corpus is one single-row-group file, so
+    # the CSV write ran as ONE task producing ONE file — which the
+    # multiLine (RFC 4180) read-back then parsed single-threaded too
+    # (multiLine CSV files are unsplittable). Parallelizing the write
+    # input fixes both sides; identity on real multi-file inputs.
+    orders = ensure_parallelism(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("string")
+        )
     )
     tmp = work_dir(spark, "csv_roundtrip")
     # RFC 4180 options on both sides (doubled-quote escape, multiLine
@@ -2840,8 +2849,15 @@ ORDER BY event_type
 def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink+source round-trip over events (ts serialized as
     epoch micros so the round-trip is lossless)."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    from polario_spark.plans.parallelism import ensure_parallelism
+
+    # parallel write input (round 15 opt) — see csv_roundtrip: the JSON
+    # sink otherwise writes one file from one task, and the schema-
+    # inferring read-back scans that one file single-threaded twice
+    ev = ensure_parallelism(
+        _t(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+        )
     )
     tmp = work_dir(spark, "json_roundtrip")
     ev.write.mode("overwrite").json(f"{tmp}/events")
@@ -4260,8 +4276,13 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate pushdown, and maxRecordsPerFile controls as Parquet), read
     it back and aggregate. Proves format interchange preserves values
     exactly; the write is a narrow projection so only 4 columns hit disk."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice"
+    from polario_spark.plans.parallelism import ensure_parallelism
+
+    # parallel write input (round 15 opt) — see csv_roundtrip
+    li = ensure_parallelism(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice"
+        )
     )
     tmp = work_dir(spark, "orc_roundtrip")
     li.write.mode("overwrite").orc(f"{tmp}/lineitem")
@@ -5443,12 +5464,15 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst treats every source uniformly (pushdown/pruning per format
     capability), so heterogeneous lakes don't force a conversion pass;
     the join strategy (broadcast dims, fact stationary) is format-blind."""
+    from polario_spark.plans.parallelism import ensure_parallelism
+
     tmp = work_dir(spark, "federated_three_formats")
-    _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").write.mode(
-        "overwrite"
-    ).json(f"{tmp}/customer")
-    _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
+    # parallel write inputs (round 15 opt) — see csv_roundtrip
+    ensure_parallelism(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ).write.mode("overwrite").json(f"{tmp}/customer")
+    ensure_parallelism(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     ).write.mode("overwrite").option("header", "true").csv(f"{tmp}/orders")
     cust = spark.read.json(f"{tmp}/customer")
     orders = spark.read.option("header", "true").csv(f"{tmp}/orders").select(

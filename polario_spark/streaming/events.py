@@ -40,6 +40,43 @@ def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+@contextmanager
+def _drain_conf(spark: SparkSession, n: int = STATE_PARTITIONS):
+    """Conf scope for the registry entries' finite drain-to-completion
+    queries: state partition sizing (see ``_state_partitions``) plus
+    ``noDataMicroBatches.enabled=false`` (round 15 opt).
+
+    After the data batch of a finite drain, Spark runs one more ZERO-ROW
+    micro-batch purely to advance the watermark (evict state, emit
+    watermark-gated appends). For every drain in this module that batch
+    cannot change the SINK: complete-mode aggregates re-emit the same
+    table, the sessionizer's evictions emit no deltas (state.remove()
+    only), streaming dropDuplicates admits rows in their arrival batch,
+    and the stream-stream inner join emits matches as they arrive —
+    state cleanup is the only effect, and the query stops right after.
+    The batch still costs a full pass over every state partition
+    (measured ~1.0 s of stateful_sessions' 2.7 s warm drain: 8
+    applyInPandasWithState partitions crossing the Python boundary with
+    zero rows). A LONG-RUNNING production stream should keep no-data
+    batches on — they are what makes watermark-gated results timely
+    between bursts; this scope is only for run-to-completion drains
+    whose sink provably cannot depend on it.
+    """
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_ndmb
+        )
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -106,7 +143,7 @@ def hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"hourly_{uuid.uuid4().hex[:8]}"
-    with _state_partitions(spark):
+    with _drain_conf(spark):
         query = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -138,7 +175,7 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     name = f"sliding_{uuid.uuid4().hex[:8]}"
-    with _state_partitions(spark):
+    with _drain_conf(spark):
         query = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -284,7 +321,7 @@ def drain_sessions(spark: SparkSession, out: DataFrame) -> DataFrame:
     the per-trigger deltas into each user's final
     (n_sessions, total_events) row."""
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    with _state_partitions(spark):
+    with _drain_conf(spark):
         query = (
             out.writeStream.outputMode("update")
             .format("memory")
@@ -347,7 +384,7 @@ def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    with _state_partitions(spark):
+    with _drain_conf(spark):
         query = (
             stream.writeStream.outputMode("append")
             .format("memory")
@@ -411,7 +448,7 @@ def static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"enrich_{uuid.uuid4().hex[:8]}"
-    with _state_partitions(spark):
+    with _drain_conf(spark):
         query = (
             enriched.writeStream.outputMode("complete")
             .format("memory")
@@ -511,7 +548,7 @@ def foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = work_dir(spark, "foreachbatch_totals") + "/partials"
     stream = _event_stream(spark, sf_dir)
-    with _state_partitions(spark):
+    with _drain_conf(spark):
         query = stream.writeStream.foreachBatch(ledger_sink(out)).start()
         try:
             query.processAllAvailable()
@@ -555,7 +592,7 @@ def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
     )
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    with _state_partitions(spark):
+    with _drain_conf(spark):
         query = (
             joined.writeStream.outputMode("append")
             .format("memory")
