@@ -367,9 +367,20 @@ def ngram_jaccard_pairs(
     # 3.6 s warm at sf0.1: materializing the deduped postings blocks
     # AQE's exchange reuse across the three consuming branches, which
     # already dedups the identical REPARTITION_BY_COL subtrees.)
-    rare = rare.repartition(*block_cols, "__g").dropDuplicates(
-        [id_col, *block_cols, "__g"]
-    )
+    # Round 15 (opt): the partition COUNT is pinned to the configured
+    # shuffle width. Without it AQE coalesces this exchange by its INPUT
+    # bytes (a few MB of postings at bench scale -> 5 partitions), but
+    # the self-join CONSUMING the exchange fans out ~Sum(min(df,cap)^2)
+    # rows — ~100x the input — so the most expensive stage of the
+    # pipeline ran on a handful of tasks. Input-byte statistics cannot
+    # see a join's output amplification; the conf value is the
+    # cluster-sized dial (scale-parameterized, AQE still splits skewed
+    # partitions within it). Interleaved A/B at sf0.1: 2.47 -> 1.72 s.
+    rare = rare.repartition(
+        int(rare.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        *block_cols,
+        "__g",
+    ).dropDuplicates([id_col, *block_cols, "__g"])
     # set sizes are re-counted AFTER the df cut so |A|, |B|, and |A ∩ B|
     # all live in the same (capped) vocabulary — Jaccard stays exact.
     # Again an aggregate (one row per doc) joined back, not a window over

@@ -44,6 +44,7 @@ from polario_spark.operators.multimodal import (
     frame_sample,
     with_binary_payload,
 )
+from polario_spark.plans.parallelism import ensure_parallelism
 from polario_spark.sources.tables import footer_rows, load_table
 from polario_spark.streaming import events as streaming_events
 from polario_spark.streaming.events import hourly_counts
@@ -476,7 +477,12 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are safe here because BOTH engines' path extractors take the FIRST
     occurrence. Rows with a non-integer k still count in ``n`` — only
     the typed aggregates exclude them."""
-    ev = _t(spark, sf_dir, "events")
+    # ensure_parallelism (round 15 opt): JSON path extraction is per-row
+    # CPU; a single-row-group input otherwise runs it on one task.
+    # Measured interleaved A/B at sf0.1: 0.58 -> 0.39 s. Identity on any
+    # multi-file input. Same guard on the other CPU-per-row scan entries
+    # this round (variant extract, text metrics, tokenize/UDTF paths).
+    ev = ensure_parallelism(_t(spark, sf_dir, "events"))
     s = F.get_json_object("props", "$.k")
     ev = ev.withColumn(
         "k", F.when(s.rlike(_JSON_INT_RE), s.cast("bigint"))
@@ -713,7 +719,11 @@ ORDER BY lang
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality profile from per-doc lexical metrics."""
-    docs = text_analysis.doc_metrics(_t(spark, sf_dir, "documents"), "text")
+    # parallel CPU-heavy scan (round 15 opt, A/B 0.39 -> 0.29 s) — see
+    # events_json_stats
+    docs = text_analysis.doc_metrics(
+        ensure_parallelism(_t(spark, sf_dir, "documents")), "text"
+    )
     return (
         docs.groupBy("lang")
         .agg(
@@ -741,7 +751,9 @@ ORDER BY 1, 2
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-heuristic language ID vs the labeled lang column (confusion
     counts). Deterministic marker-word scoring, built-ins only."""
-    docs = _t(spark, sf_dir, "documents")
+    # parallel CPU-heavy scan (round 15 opt, A/B 0.59 -> 0.39 s) — see
+    # events_json_stats
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     pred = F.expr(text_analysis.predicted_lang_expr("text", "spark"))
     return (
         docs.select(F.col("lang").alias("labeled"), pred.alias("predicted"))
@@ -801,7 +813,9 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     One corpus pass, no explode, no shuffle; the helper arrays are bound
     projection columns (see text_analysis.repetition_frame for why
     inlining them is quadratic in document length)."""
-    docs = _t(spark, sf_dir, "documents")
+    # parallel CPU-heavy scan (round 15 opt, A/B 1.37 -> 0.75 s) — see
+    # events_json_stats
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     sig = list(text_analysis._repetition_signal_exprs("spark"))  # noqa: SLF001
     return (
         text_analysis.repetition_frame(docs, "text")
@@ -1260,7 +1274,9 @@ def exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     covering shingles)."""
     # token array BOUND before the shingle lambda (HOF-inlining trap —
     # see decontamination_overlap_8gram / window_hashes)
-    docs = _t(spark, sf_dir, "documents").withColumns(
+    # parallel CPU-heavy scan (round 15 opt, A/B 1.15 -> 0.90 s) — see
+    # events_json_stats
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")).withColumns(
         {"__toks": F.expr(TXT.tokens("text", "spark"))}
     )
     grams = _exsub_grams(docs)
@@ -3612,7 +3628,9 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (map-side combinable) -> per-group top-k window riding the same
     (lang) shuffle. The shape of vocabulary/frequency tables over a
     training corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    # parallel CPU-heavy scan (round 15 opt, A/B 0.67 -> 0.57 s) — see
+    # events_json_stats
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     grams = docs.select(
         "lang",
         F.explode(
@@ -3765,7 +3783,9 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     Malformed JSON and non-object documents drop out identically
     (from_json -> NULL map, which explode skips, in Spark;
     json_valid/json_type guards in the oracle)."""
-    ev = _t(spark, sf_dir, "events")
+    # parallel CPU-heavy scan (round 15 opt, A/B 0.45 -> 0.35 s) — see
+    # events_json_stats
+    ev = ensure_parallelism(_t(spark, sf_dir, "events"))
     m = F.from_json("props", "map<string,string>")
     kv = ev.select(F.explode(m).alias("key", "sval"))
     val = F.when(
@@ -4088,7 +4108,9 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bound projection columns (the top-freq flag would otherwise
     re-tokenize per distinct token — see filter_flag_exprs); the only
     shuffle is |sources| partial-sum rows."""
-    docs = _t(spark, sf_dir, "documents")
+    # parallel CPU-heavy scan (round 15 opt, A/B 0.57 -> 0.49 s) — see
+    # events_json_stats
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     flags = text_analysis.filter_flag_exprs(
         "text", "spark", toks_col="__toks", dtoks_col="__dtoks"
     )
@@ -4231,7 +4253,12 @@ def udtf_repeated_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield doc_id, tok, cnt
 
     spark.udtf.register("repeated_tokens", RepeatedTokens)
-    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    # parallel CPU-heavy scan (round 15 opt, A/B 1.00 -> 0.55 s): the
+    # UDTF crosses the Python boundary per partition; a 1-task input
+    # serializes every eval call — see events_json_stats
+    ensure_parallelism(
+        _t(spark, sf_dir, "documents")
+    ).createOrReplaceTempView("__udtf_docs")
     return spark.sql(
         """
         SELECT token, count(*) AS n_docs, sum(n) AS total_occurrences
@@ -4903,7 +4930,9 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-duplicate document whose $.k is itself a clean integer would
     diverge — accepted, since such a document is corrupt by the variant
     spec and the operator's job is to not die on it."""
-    ev = _t(spark, sf_dir, "events").select(
+    # parallel CPU-heavy scan (round 15 opt, A/B 0.62 -> 0.52 s) — see
+    # events_json_stats
+    ev = ensure_parallelism(_t(spark, sf_dir, "events")).select(
         "event_type",
         # try_parse_json, not parse_json: one malformed props row in a
         # 100 TB log stream must become a NULL variant (excluded from
