@@ -395,7 +395,20 @@ def connected_components(
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), F.col("label"))
         )
-        combined = labels.union(propagated)
+        # Round 15 (opt): each old-label row carries itself in ``__old``
+        # (propagated/jumped rows carry NULL, which min() ignores), so
+        # the aggregate below lands BOTH min(label) and the node's prior
+        # label in one pass, and convergence becomes a filter-count on
+        # the checkpointed result — the separate old-vs-new join (a
+        # second shuffle per round) is gone. With the checkpoint LAZY,
+        # that count is also what materializes the round's blocks: ONE
+        # job per round instead of checkpoint-materialize + join + count.
+        # Labels are monotone non-increasing (the old label is always in
+        # the union), so label < __old captures exactly "changed".
+        null_old = F.lit(None).cast(labels.schema["label"].dataType)
+        combined = labels.select(
+            "node", "label", F.col("label").alias("__old")
+        ).union(propagated.withColumn("__old", null_old))
         # pointer jumping: every label is itself a node of the graph, so
         # its current label is one lookup away; min(label, label-of-label)
         # halves chain depth per round, turning diameter-bound convergence
@@ -408,22 +421,18 @@ def connected_components(
                 .select(
                     F.col("l1.node").alias("node"),
                     F.col("l2.label").alias("label"),
+                    null_old.alias("__old"),
                 )
             )
             combined = combined.union(jumped)
         new_labels = (
             combined
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .filter(F.col("o.label") != F.col("n.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") < F.col("__old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break

@@ -321,7 +321,14 @@ def drain_sessions(spark: SparkSession, out: DataFrame) -> DataFrame:
     the per-trigger deltas into each user's final
     (n_sessions, total_events) row."""
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    with _drain_conf(spark):
+    # Round 15 (opt): the sessionizer drain is Python-CPU-bound — one
+    # applyInPandasWithState boundary crossing per state partition per
+    # batch — so its width rides the session's core count instead of the
+    # fixture-scale state default (8 partitions left 3/4 of a 32-core
+    # machine idle; measured 2.16 -> 1.59 s at sf0.1). max() keeps the
+    # state-volume dial authoritative when it is sized UP for production.
+    n_sess = max(STATE_PARTITIONS, spark.sparkContext.defaultParallelism)
+    with _drain_conf(spark, n=n_sess):
         query = (
             out.writeStream.outputMode("update")
             .format("memory")
@@ -592,7 +599,13 @@ def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
     )
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    with _drain_conf(spark):
+    # Round 15 (opt): a stream-stream join carries TWO state stores per
+    # partition (one per side), so at a given state volume its per-batch
+    # commit overhead is double every other drain's — halving the
+    # partition count keeps stores-per-drain roughly level with the
+    # single-store drains (measured 1.92 -> 1.39 s at sf0.1; the
+    # STATE_PARTITIONS dial still sizes production state volume).
+    with _drain_conf(spark, n=max(STATE_PARTITIONS // 2, 1)):
         query = (
             joined.writeStream.outputMode("append")
             .format("memory")
