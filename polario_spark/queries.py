@@ -5503,7 +5503,15 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_parallelism(
         _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     ).write.mode("overwrite").option("header", "true").csv(f"{tmp}/orders")
-    cust = spark.read.json(f"{tmp}/customer")
+    # explicit schema (round 15 opt): schema inference is a FULL extra
+    # pass over the JSON files before the query's own scan — at bench
+    # scale a wash (A/B 1.41 vs 1.39 s), at 100 TB a whole corpus read.
+    # The fields are this entry's own write, so the schema is known;
+    # integers infer as bigint, so the frame is type-identical (A/B
+    # asserted row-identical output).
+    cust = spark.read.schema("c_custkey bigint, c_mktsegment string").json(
+        f"{tmp}/customer"
+    )
     orders = spark.read.option("header", "true").csv(f"{tmp}/orders").select(
         F.col("o_orderkey").cast("long"), F.col("o_custkey").cast("long")
     )
