@@ -719,11 +719,14 @@ ORDER BY lang
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality profile from per-doc lexical metrics."""
-    # parallel CPU-heavy scan (round 15 opt, A/B 0.39 -> 0.29 s) — see
-    # events_json_stats
-    docs = text_analysis.doc_metrics(
-        ensure_parallelism(_t(spark, sf_dir, "documents")), "text"
-    )
+    # NO ensure_parallelism here (round 15 opt tried it, A/B 0.39 ->
+    # 0.29 s, then REVERTED): this entry averages FLOAT ratios under
+    # round(.., 4), and repartitioning changes avg()'s partial-sum order
+    # — on the dup-id adversary corpus the mean moved one ulp across a
+    # 4th-decimal rounding boundary and diverged from the oracle
+    # (test_dupid_adversaries[text_quality]). Exact-integer aggregates
+    # (counts/int sums) are order-insensitive and keep the guard.
+    docs = text_analysis.doc_metrics(_t(spark, sf_dir, "documents"), "text")
     return (
         docs.groupBy("lang")
         .agg(
