@@ -3166,12 +3166,26 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = _t(spark, sf_dir, "orders").filter(
             F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
         ).select("o_orderkey", "o_orderstatus")
-        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
-            "overwrite"
-        ).saveAsTable(f"{db}.lineitem_b")
-        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-            "overwrite"
-        ).saveAsTable(f"{db}.orders_b")
+        # The two bucketed writes are independent jobs; submitting them
+        # from a 2-thread pool lets the second job's tasks back-fill the
+        # executor slots the first job's tail leaves idle (guide §2.6).
+        # Interleaved A/B at sf0.1: 1.71 -> 1.41 s, identical results
+        # (round 15 opt).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_li():
+            li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+                "overwrite"
+            ).saveAsTable(f"{db}.lineitem_b")
+
+        def _write_orders():
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+                "overwrite"
+            ).saveAsTable(f"{db}.orders_b")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(_write_li), pool.submit(_write_orders)]:
+                fut.result()
         lb = spark.table(f"{db}.lineitem_b")
         ob = spark.table(f"{db}.orders_b")
         return (
@@ -5499,13 +5513,26 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polario_spark.plans.parallelism import ensure_parallelism
 
     tmp = work_dir(spark, "federated_three_formats")
-    # parallel write inputs (round 15 opt) — see csv_roundtrip
-    ensure_parallelism(
-        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    ).write.mode("overwrite").json(f"{tmp}/customer")
-    ensure_parallelism(
-        _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    ).write.mode("overwrite").option("header", "true").csv(f"{tmp}/orders")
+
+    # parallel write inputs (round 15 opt) — see csv_roundtrip — and the
+    # two independent sink writes overlap from a 2-thread pool so the
+    # second job back-fills the first's task tail (guide §2.6;
+    # interleaved A/B 1.59 -> 1.31 s, identical results)
+    def _write_customer():
+        ensure_parallelism(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        ).write.mode("overwrite").json(f"{tmp}/customer")
+
+    def _write_orders():
+        ensure_parallelism(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        ).write.mode("overwrite").option("header", "true").csv(f"{tmp}/orders")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_write_customer), pool.submit(_write_orders)]:
+            fut.result()
     # explicit schema (round 15 opt): schema inference is a FULL extra
     # pass over the JSON files before the query's own scan — at bench
     # scale a wash (A/B 1.41 vs 1.39 s), at 100 TB a whole corpus read.
