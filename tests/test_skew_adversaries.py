@@ -314,3 +314,39 @@ def test_ngram_prefix_filter_equivalence(spark, organic_docs):
     )
     assert full == pref
     assert full, "adversarial mix must produce pairs for the test to bite"
+
+
+def test_ngram_pin_dial_modes_identical(spark, organic_docs, monkeypatch):
+    """The round-16 ``spark.polario.ngramPinPartitions`` dial changes only
+    the exchange width, never the pairs — and a platform whose
+    ``spark.sql.shuffle.partitions`` reads back non-numeric (e.g. "auto"
+    on Databricks, r15 ADVICE) must fall back to defaultParallelism
+    instead of raising from ``int()``."""
+    base = _norm(
+        similarity.ngram_jaccard_pairs(organic_docs, "doc_id", "text").collect()
+    )
+    assert base, "organic corpus must produce pairs for the test to bite"
+    try:
+        for mode in ("off", "16"):
+            spark.conf.set("spark.polario.ngramPinPartitions", mode)
+            assert base == _norm(
+                similarity.ngram_jaccard_pairs(
+                    organic_docs, "doc_id", "text"
+                ).collect()
+            ), mode
+    finally:
+        spark.conf.unset("spark.polario.ngramPinPartitions")
+
+    # Spark 4 refuses a runtime SET of a non-numeric shuffle.partitions,
+    # so emulate the managed-platform read-back at the Python conf layer
+    real_get = type(spark.conf).get
+
+    def fake_get(self, key, *args, **kwargs):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return real_get(self, key, *args, **kwargs)
+
+    monkeypatch.setattr(type(spark.conf), "get", fake_get)
+    assert base == _norm(
+        similarity.ngram_jaccard_pairs(organic_docs, "doc_id", "text").collect()
+    )
