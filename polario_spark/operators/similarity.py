@@ -1980,6 +1980,7 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: Optional[DataFrame] = None,
+    cent_np=None,
 ) -> DataFrame:
     """Nearest-centroid cell assignment shared by IVF search (``ivf_topk``)
     and semantic dedup (``semdedup_dropped``): returns one row per distinct
@@ -2035,9 +2036,14 @@ def assign_cells(
         centroids = default_stride_centroids(corpus, id_col, vec_col)
     vecs = canonical_vectors(corpus, id_col, vec_col)
     cid_type = centroids.schema["cid"].dataType
-    assigned = _gemm_assign_frame(
-        vecs, _collect_centroid_matrix(centroids), cid_type
-    )
+    # ``cent_np`` (round 16): a pre-collected (ids, matrix, norms) triplet
+    # from _collect_centroid_matrix — entries that feed BOTH the
+    # assignment and the probe step collect the centroid frame once and
+    # pass it down, instead of paying two identical collect jobs per
+    # entry (guide §1.2 "don't compute things you throw away").
+    if cent_np is None:
+        cent_np = _collect_centroid_matrix(centroids)
+    assigned = _gemm_assign_frame(vecs, cent_np, cid_type)
     return assigned.withColumn(
         "__nv", F.expr(VEC.norm_clamped("__v", "spark"))
     ).select("nid", "__v", "__nv", "cell")
@@ -2050,6 +2056,7 @@ def probe_cells(
     centroids: Optional[DataFrame] = None,
     nprobe: int = None,  # type: ignore[assignment]
     queries_from: Optional[DataFrame] = None,
+    cent_np=None,
 ) -> DataFrame:
     """(qid, cell) probe set: each query's ``nprobe`` nearest centroids
     under (cosine DESC, cid ASC) — the IVF probe-selection step as a
@@ -2094,9 +2101,10 @@ def probe_cells(
         F.col("nid").alias("qid"), F.col("__v").alias("__q")
     )
     cid_type = cent.schema["cid"].dataType
-    return _gemm_topp_frame(
-        queries, _collect_centroid_matrix(cent), cid_type, nprobe
-    )
+    # shared pre-collected matrix, same contract as assign_cells (r16)
+    if cent_np is None:
+        cent_np = _collect_centroid_matrix(cent)
+    return _gemm_topp_frame(queries, cent_np, cid_type, nprobe)
 
 
 def _gemm_topp_frame(

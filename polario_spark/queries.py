@@ -2339,7 +2339,10 @@ _IVF_KM_PROBES_PATH = stable_work_path("ivf_kmeans_probes", _GATE_SF_DIR)
 
 
 def _materialized_assignment(
-    emb: DataFrame, path: str, centroids: "DataFrame | None" = None
+    emb: DataFrame,
+    path: str,
+    centroids: "DataFrame | None" = None,
+    cent_np=None,
 ) -> DataFrame:
     """GEMM-assign cells, persist the (nid, __v, cell) inverted file to
     ``path``, and rebuild the search-side frame from the persisted bytes
@@ -2354,7 +2357,7 @@ def _materialized_assignment(
     the in-flight frame would produce."""
     spark = emb.sparkSession
     cells = similarity.assign_cells(
-        emb, "vec_id", "embedding", centroids=centroids
+        emb, "vec_id", "embedding", centroids=centroids, cent_np=cent_np
     ).select("nid", "__v", "cell")
     cells.write.mode("overwrite").parquet(prepare_stable_dir(path))
     return (
@@ -2366,23 +2369,42 @@ def _materialized_assignment(
 
 def _materialized_probes(
     emb: DataFrame,
-    assigned: DataFrame,
+    assigned: "DataFrame | None",
     path: str,
     centroids: "DataFrame | None" = None,
+    cent_np=None,
 ) -> DataFrame:
     """GEMM-select each query's nprobe nearest cells, persist the
     (qid, cell) probe table to ``path``, and hand back the persisted
     frame — the probe-selection twin of :func:`_materialized_assignment`
     (round 11: probe selection was the last interpreted n^1.5 term in
     the IVF family; the GEMM changes float summation order, so both
-    engines must read the same probe bytes — probe_cells DETERMINISM)."""
+    engines must read the same probe bytes — probe_cells DETERMINISM).
+
+    ``assigned=None`` (round 16): source the query vectors from the
+    canonical corpus frame instead of the materialized assignment. The
+    bytes are identical BY CONSTRUCTION — the index's ``__v`` IS the
+    canonical ``max(__v)`` aggregate (an exact, order-independent
+    lexicographic max, no float arithmetic) and parquet round-trips
+    float64 bit-exactly — so the probe GEMM consumes the same query
+    vectors either way (row-identity asserted in the r16 A/B and the
+    oracle gate). What it buys: the probe job no longer waits on the
+    assignment write+read, so the two materializations run as
+    INDEPENDENT jobs from a 2-thread pool (guide §2.6), the probe job's
+    corpus re-scan back-filling the assignment write's task tail. At
+    scale the probe-side query filter (nid % stride) pushes through the
+    canonical groupBy to the scan, so the extra exchange carries only
+    the ~1% query subset."""
     spark = emb.sparkSession
     probes = similarity.probe_cells(
         emb,
         "vec_id",
         "embedding",
         centroids=centroids,
-        queries_from=assigned.select("nid", "__v"),
+        queries_from=(
+            assigned.select("nid", "__v") if assigned is not None else None
+        ),
+        cent_np=cent_np,
     )
     probes.write.mode("overwrite").parquet(prepare_stable_dir(path))
     return spark.read.parquet(path)
@@ -2480,14 +2502,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adaptive-stride count() job (and building a second, byte-identical
     # centroid subplan). Same rows by construction: the shared frame IS
     # default_stride_centroids over the same corpus.
+    # Round 16 (opt): the centroid matrix is driver-collected ONCE and
+    # passed to both consumers (was one collect job each), and the two
+    # index writes — assignment and probes — run as independent jobs
+    # from a 2-thread pool (§2.6): the probe job sources its query
+    # vectors from the canonical corpus frame, which is bit-identical
+    # to the materialized assignment's __v (see _materialized_probes).
     cent = similarity.default_stride_centroids(emb, "vec_id", "embedding")
-    assigned = _materialized_assignment(
-        emb, stable_work_path("ivf_stride_assign", sf_dir), centroids=cent
-    )
-    probes = _materialized_probes(
-        emb, assigned, stable_work_path("ivf_stride_probes", sf_dir),
-        centroids=cent,
-    )
+    cent_np = similarity._collect_centroid_matrix(cent)
+    assign_path = stable_work_path("ivf_stride_assign", sf_dir)
+    probes_path = stable_work_path("ivf_stride_probes", sf_dir)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_assigned = pool.submit(
+            _materialized_assignment, emb, assign_path,
+            centroids=cent, cent_np=cent_np,
+        )
+        f_probes = pool.submit(
+            _materialized_probes, emb, None, probes_path,
+            centroids=cent, cent_np=cent_np,
+        )
+        assigned, probes = f_assigned.result(), f_probes.result()
     return similarity.ivf_topk(
         emb, "vec_id", "embedding", 5, assigned=assigned, probes=probes
     ).orderBy("qid", "rank")
@@ -2568,9 +2604,16 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ann_ivf_topk (round 15 opt); rows identical to each consumer's own
     # default resolution
     cent = similarity.default_stride_centroids(emb, "vec_id", "embedding")
+    # Round 16 (opt): one driver collect of the centroid matrix shared
+    # by assignment + probe selection (was one collect job each). The
+    # probe step here stays SERIAL behind the index write — its query
+    # vectors are the DEQUANTIZED INDEX values, a real data dependency
+    # (recomputing them in-flight would re-run the assignment GEMM, the
+    # n*K term, per branch — scale-negative).
+    cent_np = similarity._collect_centroid_matrix(cent)
     qidx = similarity.quantized_index(
         similarity.assign_cells(
-            emb, "vec_id", "embedding", centroids=cent
+            emb, "vec_id", "embedding", centroids=cent, cent_np=cent_np
         ).select("nid", "__v", "cell")
     )
     qidx.write.mode("overwrite").parquet(prepare_stable_dir(q_assign_path))
@@ -2583,6 +2626,7 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_from=assigned_q.select(
             "nid", F.expr(similarity.dequant_expr("__qv")).alias("__v")
         ),
+        cent_np=cent_np,
     )
     probes.write.mode("overwrite").parquet(prepare_stable_dir(q_probes_path))
     probes = spark.read.parquet(q_probes_path)
@@ -2649,15 +2693,26 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         prepare_stable_dir(cent_path)
     )
     cent = spark.read.parquet(cent_path)
-    assigned = _materialized_assignment(
-        emb, stable_work_path("ivf_kmeans_assign", sf_dir), centroids=cent
-    )
-    probes = _materialized_probes(
-        emb,
-        assigned,
-        stable_work_path("ivf_kmeans_probes", sf_dir),
-        centroids=cent,
-    )
+    # Round 16 (opt): one driver collect of the (tiny, 1-file) refined
+    # centroid table shared by assignment + probes, and the two index
+    # writes overlap from a 2-thread pool — same restructure as
+    # ann_ivf_topk (see _materialized_probes for the bit-identity
+    # argument for corpus-fed probe queries).
+    cent_np = similarity._collect_centroid_matrix(cent)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_assigned = pool.submit(
+            _materialized_assignment, emb,
+            stable_work_path("ivf_kmeans_assign", sf_dir),
+            centroids=cent, cent_np=cent_np,
+        )
+        f_probes = pool.submit(
+            _materialized_probes, emb, None,
+            stable_work_path("ivf_kmeans_probes", sf_dir),
+            centroids=cent, cent_np=cent_np,
+        )
+        assigned, probes = f_assigned.result(), f_probes.result()
     return similarity.ivf_topk(
         emb, "vec_id", "embedding", 5, centroids=cent, assigned=assigned,
         probes=probes,
