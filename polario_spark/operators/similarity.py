@@ -1904,6 +1904,81 @@ def kmeans_centroids(
     )
 
 
+def collect_stride_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_hint: Optional[int] = None,
+):
+    """The default-stride centroid matrix in ONE job (round 16): the
+    adaptive-stride ``count()`` and the centroid ``collect()`` were two
+    dependency-serial jobs per entry; this fuses them into a single
+    aggregate that returns (raw row count, canonical centroid candidates
+    at a guessed stride) together.
+
+    ``n_hint`` is an UPPER BOUND on the corpus row count (parquet footer
+    rows — the corpus frames here are footer rows minus shed malformed
+    vectors). Because ``adaptive_centroid_stride`` is monotone, the
+    guessed stride from the hint is >= the true stride; when they are
+    EQUAL (the common case — no/few malformed rows) the collected
+    candidates at ``nid % guess == 0`` are exactly the centroid set and
+    the fused job suffices. When the shed rows push the true count into
+    a lower power-of-4 bracket (guess > stride: the candidate set would
+    be a SUBSET of what's needed), or with no hint at all, fall back to
+    the original two-job path. Either way the resulting (ids, matrix,
+    norms) triplet is identical to
+    ``_collect_centroid_matrix(default_stride_centroids(corpus))``:
+    candidates come from the same canonical ``max(__v)`` aggregate, the
+    stride from the same exact raw count, and the driver holds ~sqrt(n)
+    candidate rows — the same volume the plain collect already pays.
+    """
+    import numpy as np
+
+    if n_hint is not None and n_hint > 0:
+        guess = adaptive_centroid_stride(n_hint)
+        row = (
+            corpus.select(
+                F.col(id_col).alias("nid"), F.col(vec_col).alias("__v")
+            )
+            .groupBy("nid")
+            .agg(F.max("__v").alias("__v"), F.count(F.lit(1)).alias("__c"))
+            .groupBy()
+            .agg(
+                F.sum("__c").alias("n"),
+                F.collect_list(
+                    F.when(F.col("nid") % guess == 0, F.struct("nid", "__v"))
+                ).alias("cand"),
+            )
+            .collect()[0]
+        )
+        n = row["n"] or 0
+        stride = adaptive_centroid_stride(n)
+        if stride >= guess:
+            pairs = sorted(
+                (r["nid"], r["__v"])
+                for r in (row["cand"] or [])
+                if r["nid"] % stride == 0
+            )
+            ids = np.array([p[0] for p in pairs], np.int64)
+            if not pairs:
+                return ids, np.empty((0, 0)), np.empty(0)
+            try:
+                mat = np.stack(
+                    [np.asarray(p[1], np.float64) for p in pairs]
+                )
+            except ValueError as exc:
+                raise ValueError(
+                    "centroid vectors must share one dimension — shed "
+                    "malformed rows with well_formed_vectors(dim=...) "
+                    "before clustering"
+                ) from exc
+            norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+            return ids, mat, norms
+    return _collect_centroid_matrix(
+        default_stride_centroids(corpus, id_col, vec_col)
+    )
+
+
 def _prepared_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -2032,15 +2107,22 @@ def assign_cells(
     argmax is garbage; every registry caller passes dim through.
     """
     corpus = ensure_parallelism(corpus)
-    if centroids is None:
+    # ``cent_np`` (round 16): a pre-collected (ids, matrix, norms) triplet
+    # (collect_stride_centroids / _collect_centroid_matrix) — entries
+    # that feed BOTH the assignment and the probe step collect once and
+    # pass it down, instead of paying two identical collect jobs per
+    # entry (guide §1.2 "don't compute things you throw away"). With a
+    # pre-collected default-stride matrix no centroid FRAME is needed at
+    # all (cell ids are corpus ids — long).
+    if centroids is None and cent_np is None:
         centroids = default_stride_centroids(corpus, id_col, vec_col)
     vecs = canonical_vectors(corpus, id_col, vec_col)
-    cid_type = centroids.schema["cid"].dataType
-    # ``cent_np`` (round 16): a pre-collected (ids, matrix, norms) triplet
-    # from _collect_centroid_matrix — entries that feed BOTH the
-    # assignment and the probe step collect the centroid frame once and
-    # pass it down, instead of paying two identical collect jobs per
-    # entry (guide §1.2 "don't compute things you throw away").
+    from pyspark.sql.types import LongType
+
+    cid_type = (
+        centroids.schema["cid"].dataType if centroids is not None
+        else LongType()
+    )
     if cent_np is None:
         cent_np = _collect_centroid_matrix(centroids)
     assigned = _gemm_assign_frame(vecs, cent_np, cid_type)
@@ -2086,12 +2168,8 @@ def probe_cells(
     corpus = ensure_parallelism(corpus)
     if nprobe is None:
         nprobe = IVF_NPROBE
-    if centroids is None:
+    if centroids is None and cent_np is None:
         centroids = default_stride_centroids(corpus, id_col, vec_col)
-    # the raw (cid, __cent) frame, not _prepared_centroids: the matrix is
-    # driver-collected, so the broadcast hint and __nc column would be
-    # dead weight (and the unconsumed hint logs a warning)
-    cent = centroids
     qsrc = (
         queries_from
         if queries_from is not None
@@ -2100,10 +2178,20 @@ def probe_cells(
     queries = qsrc.filter(F.col("nid") % IVF_QUERY_STRIDE == 0).select(
         F.col("nid").alias("qid"), F.col("__v").alias("__q")
     )
-    cid_type = cent.schema["cid"].dataType
+    from pyspark.sql.types import LongType
+
+    # cid type from the frame when given; a pre-collected default-stride
+    # matrix carries corpus ids — long (same contract as assign_cells).
+    # (The raw (cid, __cent) frame is used, not _prepared_centroids: the
+    # matrix is driver-collected, so the broadcast hint and __nc column
+    # would be dead weight and the unconsumed hint logs a warning.)
+    cid_type = (
+        centroids.schema["cid"].dataType if centroids is not None
+        else LongType()
+    )
     # shared pre-collected matrix, same contract as assign_cells (r16)
     if cent_np is None:
-        cent_np = _collect_centroid_matrix(cent)
+        cent_np = _collect_centroid_matrix(centroids)
     return _gemm_topp_frame(queries, cent_np, cid_type, nprobe)
 
 

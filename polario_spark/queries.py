@@ -2460,8 +2460,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
+    # Round 16 (opt): fused stride-count + centroid collect (one job
+    # instead of two — see collect_stride_centroids); the assignment was
+    # resolving its own default inside assign_cells.
+    cent_np = similarity.collect_stride_centroids(
+        emb, "vec_id", "embedding", n_hint=_footer_rows(sf_dir, "embeddings")
+    )
     assigned = _materialized_assignment(
-        emb, stable_work_path("semdedup_assign", sf_dir)
+        emb, stable_work_path("semdedup_assign", sf_dir), cent_np=cent_np
     )
     return similarity.semdedup_dropped(emb, assigned=assigned).orderBy(
         "vec_id"
@@ -2496,32 +2502,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.well_formed_vectors(
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
-    # Round 15 (opt): ONE stride-centroid frame shared by the assignment
-    # and the probe materialization — each used to resolve its own
-    # default inside assign_cells/probe_cells, paying a duplicate
-    # adaptive-stride count() job (and building a second, byte-identical
-    # centroid subplan). Same rows by construction: the shared frame IS
-    # default_stride_centroids over the same corpus.
-    # Round 16 (opt): the centroid matrix is driver-collected ONCE and
-    # passed to both consumers (was one collect job each), and the two
-    # index writes — assignment and probes — run as independent jobs
-    # from a 2-thread pool (§2.6): the probe job sources its query
-    # vectors from the canonical corpus frame, which is bit-identical
-    # to the materialized assignment's __v (see _materialized_probes).
-    cent = similarity.default_stride_centroids(emb, "vec_id", "embedding")
-    cent_np = similarity._collect_centroid_matrix(cent)
+    # Round 16 (opt, extends the r15 shared-centroid-frame fix): the
+    # stride count() + centroid collect() pair fuses
+    # into ONE job (collect_stride_centroids, footer-rows hint), the
+    # matrix is driver-collected ONCE and passed to both consumers (was
+    # one collect job each), and the two index writes — assignment and
+    # probes — run as independent jobs from a 2-thread pool (§2.6): the
+    # probe job sources its query vectors from the canonical corpus
+    # frame, which is bit-identical to the materialized assignment's
+    # __v (see _materialized_probes).
+    cent_np = similarity.collect_stride_centroids(
+        emb, "vec_id", "embedding", n_hint=_footer_rows(sf_dir, "embeddings")
+    )
     assign_path = stable_work_path("ivf_stride_assign", sf_dir)
     probes_path = stable_work_path("ivf_stride_probes", sf_dir)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_assigned = pool.submit(
-            _materialized_assignment, emb, assign_path,
-            centroids=cent, cent_np=cent_np,
+            _materialized_assignment, emb, assign_path, cent_np=cent_np
         )
         f_probes = pool.submit(
-            _materialized_probes, emb, None, probes_path,
-            centroids=cent, cent_np=cent_np,
+            _materialized_probes, emb, None, probes_path, cent_np=cent_np
         )
         assigned, probes = f_assigned.result(), f_probes.result()
     return similarity.ivf_topk(
@@ -2600,20 +2602,19 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_assign_path = stable_work_path("ivf_quant_assign", sf_dir)
     q_probes_path = stable_work_path("ivf_quant_probes", sf_dir)
-    # shared stride-centroid frame — same duplicate-count rationale as
-    # ann_ivf_topk (round 15 opt); rows identical to each consumer's own
-    # default resolution
-    cent = similarity.default_stride_centroids(emb, "vec_id", "embedding")
-    # Round 16 (opt): one driver collect of the centroid matrix shared
-    # by assignment + probe selection (was one collect job each). The
-    # probe step here stays SERIAL behind the index write — its query
-    # vectors are the DEQUANTIZED INDEX values, a real data dependency
-    # (recomputing them in-flight would re-run the assignment GEMM, the
-    # n*K term, per branch — scale-negative).
-    cent_np = similarity._collect_centroid_matrix(cent)
+    # Round 16 (opt): the stride count() + centroid collect() fuse into
+    # ONE job shared by assignment + probe selection (was a count plus
+    # one collect job per consumer). The probe step here stays SERIAL
+    # behind the index write — its query vectors are the DEQUANTIZED
+    # INDEX values, a real data dependency (recomputing them in-flight
+    # would re-run the assignment GEMM, the n*K term, per branch —
+    # scale-negative).
+    cent_np = similarity.collect_stride_centroids(
+        emb, "vec_id", "embedding", n_hint=_footer_rows(sf_dir, "embeddings")
+    )
     qidx = similarity.quantized_index(
         similarity.assign_cells(
-            emb, "vec_id", "embedding", centroids=cent, cent_np=cent_np
+            emb, "vec_id", "embedding", cent_np=cent_np
         ).select("nid", "__v", "cell")
     )
     qidx.write.mode("overwrite").parquet(prepare_stable_dir(q_assign_path))
@@ -2622,7 +2623,6 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         "vec_id",
         "embedding",
-        centroids=cent,
         queries_from=assigned_q.select(
             "nid", F.expr(similarity.dequant_expr("__qv")).alias("__v")
         ),

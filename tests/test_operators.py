@@ -1153,3 +1153,58 @@ def test_lsh_hof_banding_matches_codegen_form(spark):
     }
     assert len(codegen) == 500 * n_bands
     assert hof == codegen
+
+
+def test_collect_stride_centroids_fused_matches_two_job_path(spark):
+    """The r16 fused count+collect job must return the EXACT triplet the
+    two-job path (default_stride_centroids + _collect_centroid_matrix)
+    returns — on a clean corpus (hint == true count), on duplicate ids
+    (canonical max collapse), and when shed rows push the true count
+    into a LOWER power-of-4 bracket than the hint (guess > stride: the
+    fused job's candidates would be a subset, so it must fall back)."""
+    import numpy as np
+
+    def triplet(corpus, n_hint):
+        return similarity.collect_stride_centroids(
+            corpus, "vec_id", "embedding", n_hint=n_hint
+        )
+
+    def reference(corpus):
+        return similarity._collect_centroid_matrix(
+            similarity.default_stride_centroids(corpus, "vec_id", "embedding")
+        )
+
+    def assert_same(got, exp):
+        assert np.array_equal(got[0], exp[0])
+        assert np.array_equal(got[1], exp[1])
+        assert np.array_equal(got[2], exp[2])
+
+    # clean corpus, 300 rows -> stride 32; hint == count
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 4), j -> cast(id * j % 7 as float))"
+        ).alias("embedding"),
+    )
+    assert_same(triplet(emb, 300), reference(emb))
+
+    # duplicate ids collapse to the lexicographically greatest vector
+    dup = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [2.0, 0.0]), (64, [3.0, 1.0]), (64, [0.5, 9.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assert_same(triplet(dup, 4), reference(dup))
+
+    # boundary-crossing hint: 300-row hint (stride 32) over a 12-row
+    # corpus (stride 4) -> guess > stride, fused path must fall back and
+    # still return the stride-4 set
+    small = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(cast(id as float), 1.0f)").alias("embedding"),
+    )
+    got = triplet(small, 300)
+    assert list(got[0]) == [0, 4, 8]
+    assert_same(got, reference(small))
+
+    # no hint: plain two-job path
+    assert_same(triplet(emb, None), reference(emb))
