@@ -40,8 +40,53 @@ def _state_partitions(spark: SparkSession, n: int = STATE_PARTITIONS):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _assert_no_data_batch_safe(
+    sink: DataFrame, output_mode: str, allow_watermark_gated_append: bool
+) -> None:
+    """Refuse sink shapes whose FINAL emission depends on the no-data
+    micro-batch ``_drain_conf`` disables (round 16, hardening the r15
+    optimization): an APPEND-mode streaming aggregation only emits a
+    window once the watermark passes it — with no-data batches off, a
+    finite drain stops before that batch and silently LOSES the last
+    windows. The same holds for append-mode (flat)MapGroupsWithState
+    timeouts. Every current drain is provably safe (complete-mode
+    re-emission / update-mode deltas / arrival-batch dedup admission /
+    inner-join emission on arrival); this guard makes the argument
+    structural instead of a docstring promise. A future drain that
+    NEEDS watermark-gated append must opt in explicitly — and keep
+    no-data batches ON."""
+    if allow_watermark_gated_append or output_mode != "append":
+        return
+    plan = sink._jdf.queryExecution().analyzed().toString()
+    risky = [
+        tok
+        for tok in (
+            "Aggregate",
+            "FlatMapGroupsWithState",
+            "FlatMapGroupsInPandasWithState",
+            "TransformWithState",
+        )
+        if tok in plan
+    ]
+    if risky:
+        raise ValueError(
+            "_drain_conf disables no-data micro-batches, but this "
+            f"append-mode sink contains {risky}: its watermark-gated "
+            "final emission would be silently dropped by a finite "
+            "drain. Use complete/update mode, or pass "
+            "allow_watermark_gated_append=True AND keep no-data "
+            "micro-batches enabled for this drain."
+        )
+
+
 @contextmanager
-def _drain_conf(spark: SparkSession, n: int = STATE_PARTITIONS):
+def _drain_conf(
+    spark: SparkSession,
+    n: int = STATE_PARTITIONS,
+    sink: "DataFrame | None" = None,
+    output_mode: "str | None" = None,
+    allow_watermark_gated_append: bool = False,
+):
     """Conf scope for the registry entries' finite drain-to-completion
     queries: state partition sizing (see ``_state_partitions``) plus
     ``noDataMicroBatches.enabled=false`` (round 15 opt).
@@ -61,7 +106,16 @@ def _drain_conf(spark: SparkSession, n: int = STATE_PARTITIONS):
     batches on — they are what makes watermark-gated results timely
     between bursts; this scope is only for run-to-completion drains
     whose sink provably cannot depend on it.
+
+    Round 16: that safety argument is now ENFORCED, not just documented
+    — pass the sink frame and its output mode and the scope refuses
+    append-mode aggregation / stateful-timeout shapes (see
+    ``_assert_no_data_batch_safe``).
     """
+    if sink is not None and output_mode is not None:
+        _assert_no_data_batch_safe(
+            sink, output_mode, allow_watermark_gated_append
+        )
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     old_ndmb = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true"
@@ -143,7 +197,7 @@ def hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"hourly_{uuid.uuid4().hex[:8]}"
-    with _drain_conf(spark):
+    with _drain_conf(spark, sink=agg, output_mode="complete"):
         query = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -175,7 +229,7 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     name = f"sliding_{uuid.uuid4().hex[:8]}"
-    with _drain_conf(spark):
+    with _drain_conf(spark, sink=agg, output_mode="complete"):
         query = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -328,7 +382,7 @@ def drain_sessions(spark: SparkSession, out: DataFrame) -> DataFrame:
     # machine idle; measured 2.16 -> 1.59 s at sf0.1). max() keeps the
     # state-volume dial authoritative when it is sized UP for production.
     n_sess = max(STATE_PARTITIONS, spark.sparkContext.defaultParallelism)
-    with _drain_conf(spark, n=n_sess):
+    with _drain_conf(spark, n=n_sess, sink=out, output_mode="update"):
         query = (
             out.writeStream.outputMode("update")
             .format("memory")
@@ -391,7 +445,7 @@ def dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    with _drain_conf(spark):
+    with _drain_conf(spark, sink=stream, output_mode="append"):
         query = (
             stream.writeStream.outputMode("append")
             .format("memory")
@@ -455,7 +509,7 @@ def static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"enrich_{uuid.uuid4().hex[:8]}"
-    with _drain_conf(spark):
+    with _drain_conf(spark, sink=enriched, output_mode="complete"):
         query = (
             enriched.writeStream.outputMode("complete")
             .format("memory")
@@ -555,7 +609,9 @@ def foreachbatch_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = work_dir(spark, "foreachbatch_totals") + "/partials"
     stream = _event_stream(spark, sf_dir)
-    with _drain_conf(spark):
+    # foreachBatch ships whole micro-batches to the sink function; the
+    # plan has no aggregation, so append semantics are arrival-batch
+    with _drain_conf(spark, sink=stream, output_mode="append"):
         query = stream.writeStream.foreachBatch(ledger_sink(out)).start()
         try:
             query.processAllAvailable()
@@ -605,7 +661,10 @@ def click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition count keeps stores-per-drain roughly level with the
     # single-store drains (measured 1.92 -> 1.39 s at sf0.1; the
     # STATE_PARTITIONS dial still sizes production state volume).
-    with _drain_conf(spark, n=max(STATE_PARTITIONS // 2, 1)):
+    with _drain_conf(
+        spark, n=max(STATE_PARTITIONS // 2, 1), sink=joined,
+        output_mode="append",
+    ):
         query = (
             joined.writeStream.outputMode("append")
             .format("memory")

@@ -234,3 +234,43 @@ def test_foreachbatch_ledger_layout_is_partitioned_by_batch_id(spark):
         os.path.join(dirs[-1], "partials")
     )
     assert dict(back.dtypes)["batch_id"] == "bigint"
+
+
+def test_drain_conf_refuses_watermark_gated_append_aggregation(spark, tmp_path):
+    """The r16 guard: a watermark-gated APPEND-mode aggregation under
+    ``_drain_conf`` would silently lose its final windows (no-data
+    micro-batches are disabled in that scope), so entering the scope
+    with such a sink must raise — and the explicit opt-in must pass."""
+    import pytest as _pytest
+
+    from polario_spark.streaming import events as EV
+
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([datetime(2024, 1, 1, 10, 0)] * 3),
+                "event_type": pa.array(["click"] * 3),
+                "value": pa.array([1.0, 2.0, 3.0]),
+            }
+        ),
+        str(tmp_path / "ev.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .parquet(str(tmp_path))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    with _pytest.raises(ValueError, match="watermark-gated"):
+        with EV._drain_conf(spark, sink=stream, output_mode="append"):
+            pass
+    # complete mode over the same plan is fine
+    with EV._drain_conf(spark, sink=stream, output_mode="complete"):
+        pass
+    # explicit opt-in bypasses the refusal
+    with EV._drain_conf(
+        spark, sink=stream, output_mode="append",
+        allow_watermark_gated_append=True,
+    ):
+        pass
