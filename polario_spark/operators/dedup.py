@@ -431,6 +431,15 @@ def connected_components(
             .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
             .localCheckpoint(eager=False)
         )
+        # INVARIANT (r15 ADVICE): a NULL __old (node absent from the
+        # previous label frame) counts as UNCHANGED here, which is only
+        # sound because no such node exists — every propagated/jumped
+        # dst is also a src of the symmetric edge union, and labels
+        # seeds from exactly those nodes, so every aggregated node
+        # carries its own prior label in __old. A future edge
+        # construction that breaks the symmetric-union property could
+        # otherwise exit convergence early with newly-appeared,
+        # never-counted nodes.
         changed = new_labels.filter(F.col("label") < F.col("__old")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:

@@ -2884,6 +2884,20 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiLine (RFC 4180) read-back then parsed single-threaded too
     # (multiLine CSV files are unsplittable). Parallelizing the write
     # input fixes both sides; identity on real multi-file inputs.
+    # Float-rounding boundary note (r15 ADVICE, the text_quality hazard
+    # class): the declared result rounds a float sum(double) at 2
+    # decimals, and partial-sum order is partition-dependent — but the
+    # ORACLE already sums the same doubles in DuckDB's own (different)
+    # order, so boundary sensitivity is inherent to the declared
+    # round(sum(double)) semantics, not introduced by this guard; the
+    # two engines agree iff the group sum is >1 ulp from a .xx5
+    # boundary, which the dup-id/skew adversary corpora exercise for
+    # these entries. Unlike text_quality (a MEAN of per-doc ratios at 4
+    # decimals, ulp-sized gaps), these are cent-valued sums rounded at
+    # the 2nd decimal — the rounding argument lands ~10 orders of
+    # magnitude from the ulp. spark.polario.ensureParallelism=off
+    # restores single-partition sums if a pathological corpus ever
+    # trips one.
     orders = ensure_parallelism(
         _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("string")
