@@ -156,6 +156,25 @@ STREAM_QUERIES = [
 ]
 
 
+#: Entries for the ``cores`` mode (r16): the clean-map heavy hitters plus
+#: two dependency-serial controls (ann_ivf_topk's contract-bearing
+#: write->read chain, compact_roundtrip's lifecycle) whose honest ratio
+#: is ~1 at this corpus size.
+CORE_SCALING_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_rolling_windows",
+    "dedup_clusters",
+    "dedup_embedding_cosine_lsh",
+    "semantic_dedup",
+    "tfidf_top_terms",
+    "exact_substring_dup",
+    "repetition_signals",
+    "ann_ivf_topk",
+    "compact_roundtrip",
+]
+
+
 def _target_files(n_rows: int) -> int:
     """Part files per table: ~250k rows each, floor 4 so scans fan out."""
     return max(4, n_rows // 250_000)
@@ -1013,6 +1032,70 @@ def main() -> int:
         for f in factors:
             if f > 1:
                 generate_cluster(f)
+        return 0
+    if mode == "cores":
+        # Core-width scaling (r16, VERDICT item 5): the sf0.1 bench cannot
+        # show parallel speedup — its 2-5 s entries are job-overhead and
+        # serial-chain bound, so every 8c/32c ratio sits at ~1. This mode
+        # runs the heavy operators on ONE multi-file probe corpus
+        # (gen <factor> first) at two executor widths and reports the
+        # low/high wall ratio per entry: data-parallel operators separate
+        # from 1, dependency-serial chains honestly stay there. Usage:
+        #   python tools/scale_probe.py cores 10
+        # Env: SCALE_PROBE_WIDTHS (default "8,32"), SCALE_PROBE_ONLY.
+        factor = factors[0] if len(sys.argv) > 2 else 10
+        widths = sorted(
+            int(w)
+            for w in os.environ.get("SCALE_PROBE_WIDTHS", "8,32").split(",")
+        )
+        names = [
+            q
+            for q in CORE_SCALING_QUERIES
+            if not os.environ.get("SCALE_PROBE_ONLY")
+            or q in os.environ["SCALE_PROBE_ONLY"].split(",")
+        ]
+        per_width: dict[int, dict] = {}
+        for w in widths:
+            os.environ["SPARK_GRAFT_CPUS"] = str(w)
+            per_width[w] = run_factor(factor, names)
+        lo, hi = widths[0], widths[-1]
+        table: dict = {}
+        print(f"\n{'query':34s}  t@{lo}c     t@{hi}c     ratio(lo/hi)")
+        for name in names:
+            def _m(w: int):
+                runs = [t for t in per_width[w].get(name, []) if t >= 0]
+                return min(runs) if runs else None
+
+            tlo, thi = _m(lo), _m(hi)
+            ratio = round(tlo / thi, 2) if tlo and thi else None
+            table[name] = {f"t_{lo}c": tlo, f"t_{hi}c": thi, "ratio": ratio}
+            print(f"{name:34s}  {str(tlo):8s}  {str(thi):8s}  {ratio}")
+        payload = {
+            "factor": factor,
+            "widths": widths,
+            "results": table,
+            "__calib__": {
+                str(w): per_width[w].get("__calib__") for w in widths
+            },
+            "__rows__": {
+                str(w): per_width[w].get("__rows__") for w in widths
+            },
+        }
+        json.dump(
+            payload, open(f"{OUT}/core_scaling_x{factor}.json", "w"), indent=1
+        )
+        art = os.environ.get("SCALE_PROBE_ARTIFACT")
+        if art:
+            merged = {"runs": {}}
+            if os.path.exists(art):
+                try:
+                    merged = json.load(open(art))
+                except ValueError:
+                    pass
+            merged.setdefault("runs", {})[f"cores-x{factor}"] = payload
+            merged["base"] = BASE
+            json.dump(merged, open(art, "w"), indent=1)
+            print(f"artifact -> {art}")
         return 0
     if mode == "stream":
         squeries = [
