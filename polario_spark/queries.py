@@ -2692,12 +2692,16 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent.repartition(1).write.mode("overwrite").parquet(
         prepare_stable_dir(cent_path)
     )
-    cent = spark.read.parquet(cent_path)
-    # Round 16 (opt): one driver collect of the (tiny, 1-file) refined
-    # centroid table shared by assignment + probes, and the two index
-    # writes overlap from a 2-thread pool — same restructure as
-    # ann_ivf_topk (see _materialized_probes for the bit-identity
-    # argument for corpus-fed probe queries).
+    # Round 16 (opt): ONE centroid matrix shared by assignment + probes
+    # (was one collect job each), built from the LOCAL frame the Lloyd
+    # loop just returned — its rows are driver-resident
+    # (createDataFrame), so the collect is a LocalTableScan, not a
+    # cluster job over the read-back. Bit-identity with the materialized
+    # table holds because parquet round-trips float64 exactly (the write
+    # above IS these rows); the oracle still reads the materialized
+    # bytes. The two index writes then overlap from a 2-thread pool —
+    # same restructure as ann_ivf_topk (see _materialized_probes for
+    # the corpus-fed probe-query bit-identity argument).
     cent_np = similarity._collect_centroid_matrix(cent)
     from concurrent.futures import ThreadPoolExecutor
 
