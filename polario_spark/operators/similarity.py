@@ -1790,6 +1790,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 3,
+    n_hint: Optional[int] = None,
 ) -> DataFrame:
     """Lloyd refinement of IVF centroids: (cid, __cent), no RNG.
 
@@ -1827,9 +1828,20 @@ def kmeans_centroids(
 
     corpus = ensure_parallelism(corpus)
     spark = corpus.sparkSession
-    vecs = canonical_vectors(corpus, id_col, vec_col).select(
-        "nid",
-        F.expr("transform(__v, x -> cast(x as double))").alias("__v"),
+    # Round 16 (opt): carry each canonical row's raw multiplicity so the
+    # init-stride count can ride the SAME job as the init-centroid
+    # collect (the fused-job trick of collect_stride_centroids); the
+    # loop's GEMM passes prune to __v, so the extra int column costs
+    # checkpoint storage only.
+    vecs = (
+        corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("__v"))
+        .groupBy("nid")
+        .agg(F.max("__v").alias("__v"), F.count(F.lit(1)).alias("__c"))
+        .select(
+            "nid",
+            F.expr("transform(__v, x -> cast(x as double))").alias("__v"),
+            "__c",
+        )
     )
     # Round 15 (opt): materialize the canonical frame ONCE — every Lloyd
     # round's plan otherwise re-executes scan -> repartition -> the
@@ -1840,12 +1852,51 @@ def kmeans_centroids(
     # rounds 2+ read the stored partitions; release_cached_residue
     # sweeps the blocks between bench runs.
     vecs = vecs.localCheckpoint(eager=False)
-    init_stride = adaptive_centroid_stride(corpus.count())
-    cent_np = _collect_centroid_matrix(
-        vecs.filter(F.col("nid") % init_stride == 0).select(
-            F.col("nid").alias("cid"), F.col("__v").alias("__cent")
+    cent_np = None
+    if n_hint is not None and n_hint > 0:
+        # fused init (one job, which also materializes the checkpoint):
+        # exact raw count = sum of per-id multiplicities; candidates at
+        # the hint-guessed stride. Same fallback contract as
+        # collect_stride_centroids: a true count in a lower power-of-4
+        # bracket than the hint makes the candidate set incomplete.
+        guess = adaptive_centroid_stride(n_hint)
+        row = (
+            vecs.groupBy()
+            .agg(
+                F.sum("__c").alias("n"),
+                F.collect_list(
+                    F.when(F.col("nid") % guess == 0, F.struct("nid", "__v"))
+                ).alias("cand"),
+            )
+            .collect()[0]
         )
-    )
+        init_stride = adaptive_centroid_stride(row["n"] or 0)
+        if init_stride >= guess:
+            pairs = sorted(
+                (r["nid"], r["__v"])
+                for r in (row["cand"] or [])
+                if r["nid"] % init_stride == 0
+            )
+            ids = np.array([p[0] for p in pairs], np.int64)
+            if pairs:
+                mat = np.stack([np.asarray(p[1], np.float64) for p in pairs])
+                norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+                cent_np = (ids, mat, norms)
+            else:
+                cent_np = (ids, np.empty((0, 0)), np.empty(0))
+        else:
+            cent_np = _collect_centroid_matrix(
+                vecs.filter(F.col("nid") % init_stride == 0).select(
+                    F.col("nid").alias("cid"), F.col("__v").alias("__cent")
+                )
+            )
+    if cent_np is None:
+        init_stride = adaptive_centroid_stride(corpus.count())
+        cent_np = _collect_centroid_matrix(
+            vecs.filter(F.col("nid") % init_stride == 0).select(
+                F.col("nid").alias("cid"), F.col("__v").alias("__cent")
+            )
+        )
     mean_rows: list = []
     for _ in range(iters):
         # round-owned broadcast: the collect below is the ONLY consumer
@@ -2397,6 +2448,10 @@ def _gemm_partial_means(vecs: DataFrame, bc) -> DataFrame:
             StructField("part", ArrayType(DoubleType(), False), False),
         ]
     )
+    # pass only the column the kernel touches across the Python boundary
+    # (guide §4.1) — the caller's frame also carries nid (and, r16, the
+    # multiplicity column used by the fused init job)
+    vecs = vecs.select("__v")
     block = ASSIGN_CENT_BLOCK
 
     def partial(batches):

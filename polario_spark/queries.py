@@ -2679,7 +2679,12 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "embedding", 64
     )
     cent_path = stable_work_path("kmeans_centroids", sf_dir)
-    cent = similarity.kmeans_centroids(emb, "vec_id", "embedding", iters=3)
+    # n_hint (r16): fuses the init-stride count into the init-centroid
+    # collect job — see kmeans_centroids / collect_stride_centroids
+    cent = similarity.kmeans_centroids(
+        emb, "vec_id", "embedding", iters=3,
+        n_hint=_footer_rows(sf_dir, "embeddings"),
+    )
     # repartition(1): the centroid table is driver-sized by construction
     # (K ~ sqrt(n) rows; the Lloyd loop literally held it as one numpy
     # matrix on the driver), so parallelize()'s default slicing would

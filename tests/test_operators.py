@@ -1208,3 +1208,24 @@ def test_collect_stride_centroids_fused_matches_two_job_path(spark):
 
     # no hint: plain two-job path
     assert_same(triplet(emb, None), reference(emb))
+
+
+def test_kmeans_centroids_fused_init_matches_counted_path(spark):
+    """``n_hint`` (r16) fuses the init-stride count into the init
+    collect; centroids must be identical to the two-job path — on a
+    matching hint and on a boundary-crossing hint (fallback)."""
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 4), j -> cast(id * j % 7 as float))"
+        ).alias("embedding"),
+    )
+    base = sorted(map(tuple, similarity.kmeans_centroids(emb, iters=2).collect()))
+    hinted = sorted(
+        map(tuple, similarity.kmeans_centroids(emb, iters=2, n_hint=300).collect())
+    )
+    crossing = sorted(
+        map(tuple, similarity.kmeans_centroids(emb, iters=2, n_hint=9000).collect())
+    )
+    assert base == hinted == crossing
+    assert base, "init must produce centroids for the test to bite"
