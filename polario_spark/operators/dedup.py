@@ -401,15 +401,11 @@ def connected_components(
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .localCheckpoint()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
+    labels: "DataFrame | None" = None
+    node_type = edges.schema["src"].dataType
+    null_old = F.lit(None).cast(node_type)
     converged = False
     for i in range(max_iterations):
-        propagated = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), F.col("label"))
-        )
         # Round 15 (opt): each old-label row carries itself in ``__old``
         # (propagated/jumped rows carry NULL, which min() ignores), so
         # the aggregate below lands BOTH min(label) and the node's prior
@@ -420,10 +416,34 @@ def connected_components(
         # job per round instead of checkpoint-materialize + join + count.
         # Labels are monotone non-increasing (the old label is always in
         # the union), so label < __old captures exactly "changed".
-        null_old = F.lit(None).cast(labels.schema["label"].dataType)
-        combined = labels.select(
-            "node", "label", F.col("label").alias("__old")
-        ).union(propagated.withColumn("__old", null_old))
+        if i == 0:
+            # Round 16 (opt): round 0's labels are the identity map, so
+            # the |E| x |V| propagation join is just a projection of the
+            # edge set (label(src) = src), and the |V| distinct that
+            # built the identity frame is unnecessary too — identity
+            # rows may carry per-edge multiplicity because the min-agg
+            # collapses duplicates (min over equal values) and __old is
+            # the same u on every copy. Two shuffles removed from the
+            # first round at any scale.
+            combined = edges.select(
+                F.col("src").alias("node"),
+                F.col("src").alias("label"),
+                F.col("src").alias("__old"),
+            ).union(
+                edges.select(
+                    F.col("dst").alias("node"),
+                    F.col("src").alias("label"),
+                    null_old.alias("__old"),
+                )
+            )
+        else:
+            propagated = (
+                edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), F.col("label"))
+            )
+            combined = labels.select(
+                "node", "label", F.col("label").alias("__old")
+            ).union(propagated.withColumn("__old", null_old))
         # pointer jumping: every label is itself a node of the graph, so
         # its current label is one lookup away; min(label, label-of-label)
         # halves chain depth per round, turning diameter-bound convergence
