@@ -5667,19 +5667,21 @@ def federated_three_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      the earlier hand-curated _DRIVER_GREEN back-list, which required
 #      manual rotation every round.
 _PRIORITY = [
-    # Round-14 code changes (kept small per the r7 ruling so the
-    # stalest-green rotation keeps refreshing old rows — the whole
-    # r11-stale cohort of 20 plus these 5 fits this round's 50-entry
-    # sample): the corpus-keyed stable-path rework moved every
-    # materialize-then-read artifact these entries gate on
-    # (workdir.stable_work_path now folds sf_dir into the path; their
-    # oracles bake the gate-corpus twin), and the sized entry's
-    # signature funnel gained the hoisted r>62 refusal.
-    "semantic_dedup",
+    # Round-16 code changes (kept small per the r7 ruling so the
+    # stalest-green rotation keeps refreshing old rows): the IVF family
+    # gained the fused centroid job + overlapped index writes, kmeans
+    # the fused init, semantic_dedup the fused assignment job, minhash
+    # the array-signature join, dedup_clusters the projection round 0,
+    # incremental_rollup the shared daily aggregate, and ngram the
+    # hardened pin dial.
     "ann_ivf_topk",
     "ann_ivf_quantized_topk",
     "ann_ivf_kmeans_topk",
-    "dedup_embedding_cosine_lsh_sized",
+    "semantic_dedup",
+    "dedup_minhash",
+    "dedup_clusters",
+    "incremental_rollup",
+    "dedup_ngram_jaccard",
 ]
 
 
