@@ -2604,32 +2604,52 @@ def ann_ivf_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_probes_path = stable_work_path("ivf_quant_probes", sf_dir)
     # Round 16 (opt): the stride count() + centroid collect() fuse into
     # ONE job shared by assignment + probe selection (was a count plus
-    # one collect job per consumer). The probe step here stays SERIAL
-    # behind the index write — its query vectors are the DEQUANTIZED
-    # INDEX values, a real data dependency (recomputing them in-flight
-    # would re-run the assignment GEMM, the n*K term, per branch —
-    # scale-negative).
+    # one collect job per consumer), and — like the float entry — the
+    # two index writes overlap from a 2-thread pool: the probe step's
+    # query vectors are dequant(quantize(canonical __v)), PURE
+    # deterministic column expressions of the canonical corpus (the
+    # assignment GEMM computes only the CELL, which the query side
+    # never reads), so computing them in-flight is bit-identical to
+    # reading them back from the materialized index (int8 survives
+    # parquet exactly; the quantize exprs are shared via
+    # quantized_index).
     cent_np = similarity.collect_stride_centroids(
         emb, "vec_id", "embedding", n_hint=_footer_rows(sf_dir, "embeddings")
     )
-    qidx = similarity.quantized_index(
-        similarity.assign_cells(
-            emb, "vec_id", "embedding", cent_np=cent_np
-        ).select("nid", "__v", "cell")
-    )
-    qidx.write.mode("overwrite").parquet(prepare_stable_dir(q_assign_path))
-    assigned_q = spark.read.parquet(q_assign_path)
-    probes = similarity.probe_cells(
-        emb,
-        "vec_id",
-        "embedding",
-        queries_from=assigned_q.select(
+
+    def _write_qidx() -> DataFrame:
+        qidx = similarity.quantized_index(
+            similarity.assign_cells(
+                emb, "vec_id", "embedding", cent_np=cent_np
+            ).select("nid", "__v", "cell")
+        )
+        qidx.write.mode("overwrite").parquet(
+            prepare_stable_dir(q_assign_path)
+        )
+        return spark.read.parquet(q_assign_path)
+
+    def _write_probes() -> DataFrame:
+        q_inflight = similarity.quantized_index(
+            similarity.canonical_vectors(emb, "vec_id", "embedding")
+            .withColumn("cell", F.lit(None).cast("long"))
+        ).select(
             "nid", F.expr(similarity.dequant_expr("__qv")).alias("__v")
-        ),
-        cent_np=cent_np,
-    )
-    probes.write.mode("overwrite").parquet(prepare_stable_dir(q_probes_path))
-    probes = spark.read.parquet(q_probes_path)
+        )
+        probes = similarity.probe_cells(
+            emb, "vec_id", "embedding",
+            queries_from=q_inflight, cent_np=cent_np,
+        )
+        probes.write.mode("overwrite").parquet(
+            prepare_stable_dir(q_probes_path)
+        )
+        return spark.read.parquet(q_probes_path)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_assigned = pool.submit(_write_qidx)
+        f_probes = pool.submit(_write_probes)
+        assigned_q, probes = f_assigned.result(), f_probes.result()
     return similarity.ivf_topk_quantized(
         emb, "vec_id", "embedding", 5, assigned_q=assigned_q, probes=probes
     ).orderBy("qid", "rank")
