@@ -1791,7 +1791,8 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     iters: int = 3,
     n_hint: Optional[int] = None,
-) -> DataFrame:
+    return_matrix: bool = False,
+):
     """Lloyd refinement of IVF centroids: (cid, __cent), no RNG.
 
     Initialization is the same deterministic stride subset ``ivf_topk``
@@ -1943,16 +1944,25 @@ def kmeans_centroids(
         ids = np.array([r["cid"] for r in mean_rows], np.int64)
         mat = np.stack([np.asarray(r["__cent"], np.float64) for r in mean_rows])
         cent_np = (ids, mat, np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12))
+    # Round 16 (opt): the loop's final ``cent_np`` IS the triplet
+    # ``_collect_centroid_matrix`` would rebuild from the returned frame
+    # (same mean_rows, same cid sort, same norm clamp; float64 survives
+    # the createDataFrame round-trip exactly — pinned by
+    # tests/test_operators.py::test_kmeans_return_matrix_matches_collect),
+    # so callers that need the matrix can take it here instead of paying
+    # a collect job over the frame.
     if not mean_rows:  # iters == 0 or empty corpus: the init set stands
         ids, mat, _ = cent_np
-        return spark.createDataFrame(
+        frame = spark.createDataFrame(
             [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)],
             "cid long, __cent array<double>",
         )
-    return spark.createDataFrame(
+        return (frame, cent_np) if return_matrix else frame
+    frame = spark.createDataFrame(
         [(r["cid"], list(r["__cent"])) for r in mean_rows],
         "cid long, __cent array<double>",
     )
+    return (frame, cent_np) if return_matrix else frame
 
 
 def collect_stride_centroids(

@@ -2700,37 +2700,47 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent_path = stable_work_path("kmeans_centroids", sf_dir)
     # n_hint (r16): fuses the init-stride count into the init-centroid
-    # collect job — see kmeans_centroids / collect_stride_centroids
-    cent = similarity.kmeans_centroids(
+    # collect job — see kmeans_centroids / collect_stride_centroids.
+    # return_matrix (r16b): the Lloyd loop's final means already live on
+    # the driver as the (ids, matrix, norms) triplet — take them directly
+    # instead of re-collecting the frame (was one extra job +
+    # Python-worker round-trip per entry; bit-identity pinned by
+    # tests/test_operators.py::test_kmeans_return_matrix_matches_collect).
+    cent, cent_np = similarity.kmeans_centroids(
         emb, "vec_id", "embedding", iters=3,
         n_hint=_footer_rows(sf_dir, "embeddings"),
+        return_matrix=True,
     )
-    # repartition(1): the centroid table is driver-sized by construction
-    # (K ~ sqrt(n) rows; the Lloyd loop literally held it as one numpy
-    # matrix on the driver), so parallelize()'s default slicing would
-    # write one near-empty file per core — pure commit overhead at any
-    # scale (guide §6 small-files; round 15 opt). repartition, NOT
-    # coalesce: coalesce(1) funnels all of createDataFrame's pickled
-    # slices through ONE task's sequential Python-worker round-trips
-    # (measured 4+ s for 45 rows); the repartition shuffle keeps the
-    # Python side parallel and the single write task pure-JVM (0.4 s).
-    cent.repartition(1).write.mode("overwrite").parquet(
-        prepare_stable_dir(cent_path)
-    )
+
+    def _write_cent() -> None:
+        # repartition(1): the centroid table is driver-sized by
+        # construction (K ~ sqrt(n) rows; the Lloyd loop literally held
+        # it as one numpy matrix on the driver), so parallelize()'s
+        # default slicing would write one near-empty file per core —
+        # pure commit overhead at any scale (guide §6 small-files; round
+        # 15 opt). repartition, NOT coalesce: coalesce(1) funnels all of
+        # createDataFrame's pickled slices through ONE task's sequential
+        # Python-worker round-trips (measured 4+ s for 45 rows); the
+        # repartition shuffle keeps the Python side parallel and the
+        # single write task pure-JVM (0.4 s).
+        cent.repartition(1).write.mode("overwrite").parquet(
+            prepare_stable_dir(cent_path)
+        )
+
     # Round 16 (opt): ONE centroid matrix shared by assignment + probes
-    # (was one collect job each), built from the LOCAL frame the Lloyd
-    # loop just returned — its rows are driver-resident
-    # (createDataFrame), so the collect is a LocalTableScan, not a
-    # cluster job over the read-back. Bit-identity with the materialized
-    # table holds because parquet round-trips float64 exactly (the write
-    # above IS these rows); the oracle still reads the materialized
-    # bytes. The two index writes then overlap from a 2-thread pool —
-    # same restructure as ann_ivf_topk (see _materialized_probes for
-    # the corpus-fed probe-query bit-identity argument).
-    cent_np = similarity._collect_centroid_matrix(cent)
+    # (was one collect job each), taken from the Lloyd loop's own final
+    # triplet (see return_matrix above); the oracle still reads the
+    # materialized bytes, which round-trip float64 exactly. The THREE
+    # independent jobs — the tiny centroid-table write (nothing on the
+    # Spark side reads it back; only the oracle consumes the bytes) and
+    # the two index writes — overlap from a thread pool (§2.6), same
+    # restructure as ann_ivf_topk (see _materialized_probes for the
+    # corpus-fed probe-query bit-identity argument). FIFO scheduling
+    # back-fills the big writes' tails with the small one.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cent = pool.submit(_write_cent)
         f_assigned = pool.submit(
             _materialized_assignment, emb,
             stable_work_path("ivf_kmeans_assign", sf_dir),
@@ -2741,6 +2751,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_work_path("ivf_kmeans_probes", sf_dir),
             centroids=cent, cent_np=cent_np,
         )
+        f_cent.result()
         assigned, probes = f_assigned.result(), f_probes.result()
     return similarity.ivf_topk(
         emb, "vec_id", "embedding", 5, centroids=cent, assigned=assigned,

@@ -1229,3 +1229,43 @@ def test_kmeans_centroids_fused_init_matches_counted_path(spark):
     )
     assert base == hinted == crossing
     assert base, "init must produce centroids for the test to bite"
+
+
+def test_kmeans_return_matrix_matches_collect(spark):
+    """``return_matrix=True`` (r16) hands back the Lloyd loop's own final
+    (ids, matrix, norms) triplet; it must be bitwise what
+    ``_collect_centroid_matrix`` rebuilds from the returned frame —
+    including the iters=0 (init-set) path and the empty-corpus path."""
+    import numpy as np
+
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 4), j -> cast(id * j % 7 as float))"
+        ).alias("embedding"),
+    )
+
+    def assert_triplets_equal(got, want):
+        g_ids, g_mat, g_norms = got
+        w_ids, w_mat, w_norms = want
+        assert list(g_ids) == list(w_ids)
+        assert g_mat.shape == w_mat.shape
+        assert np.array_equal(g_mat, w_mat)  # bitwise: exact equality
+        assert np.array_equal(g_norms, w_norms)
+
+    for iters in (0, 2):
+        frame, triplet = similarity.kmeans_centroids(
+            emb, iters=iters, n_hint=300, return_matrix=True
+        )
+        assert_triplets_equal(
+            triplet, similarity._collect_centroid_matrix(frame)
+        )
+
+    empty = emb.where("vec_id < 0")
+    frame, triplet = similarity.kmeans_centroids(
+        empty, iters=2, return_matrix=True
+    )
+    assert frame.count() == 0
+    assert_triplets_equal(
+        triplet, similarity._collect_centroid_matrix(frame)
+    )
